@@ -1,0 +1,113 @@
+"""Grid / Z-order cell encoding — the spatial index for every self-join.
+
+The reference replaces O(n²) spatial joins with a sorted sweep
+(src/coastline_ring_collection.cpp:277,313-316). On Spark the equivalent is
+cell binning: assign geometries to fixed grid cells (with boundary-cell
+duplication for objects spanning cells), shuffle on the cell id, and do exact
+geometry only within a cell. This bounds candidates per cell the same way the
+sweep's x-window bounds them — and unlike the sweep, it parallelizes.
+
+Cells are pure arithmetic (portable to DuckDB SQL for the oracle checks):
+
+    ix = floor((lon + 180) / cell_deg)
+    iy = floor((lat +  90) / cell_deg)
+    cell = ix * 1_000_000 + iy            # collision-free for cell_deg ≥ 1e-3
+
+A true Morton/Z-order interleave is also provided for locality-preserving
+range partitioning of sinks (Iceberg sort order at scale).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+CELL_STRIDE = 1_000_000
+
+
+def cell_id_expr(lon: Column, lat: Column, cell_deg: float) -> Column:
+    ix = F.floor((lon + F.lit(180.0)) / F.lit(cell_deg))
+    iy = F.floor((lat + F.lit(90.0)) / F.lit(cell_deg))
+    return (ix * F.lit(CELL_STRIDE) + iy).cast("long")
+
+
+def cell_id_sql(lon: str, lat: str, cell_deg: float) -> str:
+    """Identical arithmetic as ANSI SQL (DuckDB oracle parity)."""
+    return (
+        f"(CAST(floor(({lon} + 180.0) / {cell_deg!r}) AS BIGINT) * {CELL_STRIDE} "
+        f"+ CAST(floor(({lat} + 90.0) / {cell_deg!r}) AS BIGINT))"
+    )
+
+
+def cell_id_np(lon: np.ndarray, lat: np.ndarray, cell_deg: float) -> np.ndarray:
+    ix = np.floor((np.asarray(lon, dtype=np.float64) + 180.0) / cell_deg).astype(np.int64)
+    iy = np.floor((np.asarray(lat, dtype=np.float64) + 90.0) / cell_deg).astype(np.int64)
+    return ix * CELL_STRIDE + iy
+
+
+def segment_cover_cells(x1, y1, x2, y2, cell_deg: float) -> list[np.ndarray]:
+    """Cells covered by each segment's bbox (boundary-cell duplication).
+
+    Returns a python list of int64 arrays (ragged). Coastline segments are
+    short relative to any sane cell size, so the cover is almost always 1-2
+    cells; the dedup after the binned self-join removes the duplicates this
+    creates (dropDuplicates on the pair key).
+    """
+    x1 = np.asarray(x1, dtype=np.float64)
+    y1 = np.asarray(y1, dtype=np.float64)
+    x2 = np.asarray(x2, dtype=np.float64)
+    y2 = np.asarray(y2, dtype=np.float64)
+    ix_lo = np.floor((np.minimum(x1, x2) + 180.0) / cell_deg).astype(np.int64)
+    ix_hi = np.floor((np.maximum(x1, x2) + 180.0) / cell_deg).astype(np.int64)
+    iy_lo = np.floor((np.minimum(y1, y2) + 90.0) / cell_deg).astype(np.int64)
+    iy_hi = np.floor((np.maximum(y1, y2) + 90.0) / cell_deg).astype(np.int64)
+    out = []
+    for a, b, c, d in zip(ix_lo, ix_hi, iy_lo, iy_hi):
+        gx = np.arange(a, b + 1, dtype=np.int64)
+        gy = np.arange(c, d + 1, dtype=np.int64)
+        out.append((gx[:, None] * CELL_STRIDE + gy[None, :]).ravel())
+    return out
+
+
+def bbox_cover_cells_expr(minx: Column, miny: Column, maxx: Column, maxy: Column, cell_deg: float) -> Column:
+    """Array of covered cell ids as a pure Catalyst expression (sequence ×
+    sequence cross-flatten) — keeps tile-cover joins JVM-side."""
+    ix_lo = F.floor((minx + F.lit(180.0)) / F.lit(cell_deg)).cast("long")
+    ix_hi = F.floor((maxx + F.lit(180.0)) / F.lit(cell_deg)).cast("long")
+    iy_lo = F.floor((miny + F.lit(90.0)) / F.lit(cell_deg)).cast("long")
+    iy_hi = F.floor((maxy + F.lit(90.0)) / F.lit(cell_deg)).cast("long")
+    xs = F.sequence(ix_lo, ix_hi)
+    ys = F.sequence(iy_lo, iy_hi)
+    return F.flatten(
+        F.transform(xs, lambda ix: F.transform(ys, lambda iy: ix * F.lit(CELL_STRIDE) + iy))
+    )
+
+
+def morton_interleave_expr(lon: Column, lat: Column, bits: int = 16) -> Column:
+    """Z-order (Morton) code as a Catalyst expression: interleave `bits`
+    bits of the quantized lon/lat. Used as a sink sort key so spatially
+    nearby rows land in the same files (Iceberg metadata pruning)."""
+    ix = F.least(
+        F.lit((1 << bits) - 1),
+        F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << bits))).cast("long"),
+    )
+    iy = F.least(
+        F.lit((1 << bits) - 1),
+        F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << bits))).cast("long"),
+    )
+    code = F.lit(0).cast("long")
+    for b in range(bits):
+        code = (
+            code
+            + F.shiftleft(F.shiftright(ix, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+            + F.shiftleft(F.shiftright(iy, b).bitwiseAND(F.lit(1)), 2 * b)
+        )
+    return code
+
+
+def with_salt(df, col_name: str, buckets: int):
+    """Deterministic salt for skew-prone keys: salt = positive hash of the
+    row's content modulo `buckets`. Used to split mega-cells (coastline
+    density skew) before per-cell work that doesn't need cell completeness."""
+    return df.withColumn("salt", F.pmod(F.hash(*df.columns), F.lit(buckets)))

@@ -1,0 +1,84 @@
+"""Milestone 1: valid-island-from-two-ways end-to-end
+(port of /root/reference/test/t/valid-island-from-two-ways.sh, golden from
+FIXTURES.md F1)."""
+
+from osmcoastline_spark import geom
+from osmcoastline_spark.operators.filter import coastline_ways, tagged_node_errors
+from osmcoastline_spark.operators.locations import missing_location_count, ways_with_locations
+from osmcoastline_spark.operators.polygonize import fix_direction, polygonize
+from osmcoastline_spark.operators.rings import assemble_rings, route_rings
+from osmcoastline_spark.synth import fixture_df
+
+F1_NODES = [
+    (100, 1.01, 1.01),
+    (101, 1.02, 1.01),
+    (102, 1.03, 1.02),
+    (103, 1.04, 1.02),
+    (104, 1.05, 1.03),
+    (105, 1.01, 1.03),
+]
+F1_WAYS = [
+    (200, [100, 101, 102]),
+    (201, [102, 103, 104, 105, 100]),
+]
+
+GOLDEN = "POLYGON((1.01 1.01, 1.01 1.03, 1.05 1.03, 1.04 1.02, 1.03 1.02, 1.02 1.01, 1.01 1.01))"
+
+
+def test_island_from_two_ways(spark):
+    nodes, ways = fixture_df(spark, F1_NODES, F1_WAYS)
+    ways = coastline_ways(ways)
+    assert tagged_node_errors(nodes).count() == 0
+    assert missing_location_count(ways, nodes) == 0
+
+    ways_loc = ways_with_locations(ways, nodes)
+    closed, open_ = assemble_rings(ways_loc)
+    assert open_.count() == 0
+    rows = closed.collect()
+    assert len(rows) == 1
+    ring = rows[0]
+    assert ring.ring_id == 200  # min way id
+    assert ring.nways == 2
+    assert len(ring.node_ids) == 7  # 6 nodes + closing repeat
+
+    routed = route_rings(closed)
+    polys = polygonize(routed["polygonizable"])
+    polys, direrr = fix_direction(polys)
+    assert direrr.count() == 0
+    p = polys.collect()
+    assert len(p) == 1
+    # reference starts the ring at the first-inserted way's first node; our
+    # ring start is deterministic-but-different, so compare rotation- and
+    # orientation-canonically (same convention the reference tests rely on
+    # after their 3857 round-trip).
+    got = geom.wkt_polygon(p[0].shell_x, p[0].shell_y)
+    golden_xs = [1.01, 1.01, 1.05, 1.04, 1.03, 1.02]
+    golden_ys = [1.01, 1.03, 1.03, 1.02, 1.02, 1.01]
+    assert geom.canonical_ring(p[0].shell_x, p[0].shell_y) == geom.canonical_ring(
+        golden_xs, golden_ys
+    ), got
+    # shell must be clockwise (GIS land convention after reversal)
+    assert geom.is_clockwise(p[0].shell_x, p[0].shell_y)
+
+
+def test_closed_single_way_fast_path(spark):
+    nodes, ways = fixture_df(
+        spark,
+        [(100, 1.0, 1.0), (101, 1.1, 1.0), (102, 1.1, 1.1), (103, 1.0, 1.1)],
+        [(200, [100, 101, 102, 103, 100])],
+    )
+    ways_loc = ways_with_locations(coastline_ways(ways), nodes)
+    closed, open_ = assemble_rings(ways_loc)
+    assert closed.count() == 1 and open_.count() == 0
+
+
+def test_bogus_coastline_excluded(spark):
+    nodes, ways = fixture_df(
+        spark,
+        [(100, 1.0, 1.0), (101, 1.1, 1.0)],
+        [
+            (200, [100, 101], {"natural": "coastline", "coastline": "bogus"}),
+            (201, [100, 101], {"highway": "road"}),
+        ],
+    )
+    assert coastline_ways(ways).count() == 0
