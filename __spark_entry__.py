@@ -1,38 +1,881 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exercises every operator family from SURVEY.md §2 over the
+driver's parquet tables (plus deterministic arithmetic-derived geometry so
+the DuckDB oracle can verify spatial operators without a spatial extension):
+
+  relational  : F1/F2 filters, J1 semi, J3 anti, J13 exceptAll, A6 distinct,
+                A2 counters, O1 sort
+  geometry    : J2 location join + A4 haversine, R1 ring assembly (closed
+                form oracle), J5 intersection math, J6 duplicate segments,
+                G6 point-in-polygon, G15 tile grid, cells, R4 envelope math,
+                F7/F8 edge filters, F4/F5 routing
+  training    : exact dedup, minhash signatures + LSH pairs, simhash,
+                n-gram jaccard, text features, fingerprints, language guess,
+                embedding cosine top-k (brute force + LSH rows-only)
+  streaming   : tumbling-window agg (batch twin of the streaming plan)
+
+Column names are aliased identically in Spark and SQL (the driver hashes
+values after sorting columns by name).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osmcoastline_spark.cells import cell_id_expr
+from osmcoastline_spark.functions import dedup as D
+from osmcoastline_spark.functions import similarity as S
+from osmcoastline_spark.functions import text as T
+from osmcoastline_spark.operators.rings import assemble_rings
+from osmcoastline_spark.streaming.events import windowed_counts_batch
+
+# ----------------------------------------------------------------- helpers
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# Deterministic synthetic geometry derived from table keys (identical
+# arithmetic on the DuckDB side). Nodes from part keys; segments from
+# lineitem keys; rings from part-count-scaled range.
+
+NODE_LON = "(CAST(p_partkey % 347 AS DOUBLE) * 0.9 - 170.0)"
+NODE_LAT = "(CAST((p_partkey * 7) % 149 AS DOUBLE) * 1.0 - 70.0)"
+
+# concave pentagon for point-in-polygon
+PIP_RING_X = [0.0, 10.0, 10.0, 5.0, 0.0]
+PIP_RING_Y = [0.0, 0.0, 10.0, 5.0, 10.0]
+
+
+def _nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _read(spark, sf_dir, "part").selectExpr(
+        "p_partkey AS node_id", f"{NODE_LON} AS lon", f"{NODE_LAT} AS lat"
+    )
+
+
+def _nodes_sql() -> str:
+    return f"SELECT p_partkey AS node_id, {NODE_LON} AS lon, {NODE_LAT} AS lat FROM part"
+
+
+# segments: one per lineitem row, connecting two derived points; normalized
+SEG_EXPR = """
+  CAST(l_orderkey % 211 AS DOUBLE) * 0.31 - 30.0 AS ax,
+  CAST((l_orderkey * 3 + l_linenumber) % 197 AS DOUBLE) * 0.23 - 20.0 AS ay,
+  CAST((l_partkey * 5) % 211 AS DOUBLE) * 0.31 - 30.0 AS bx,
+  CAST((l_partkey * 11 + l_suppkey) % 197 AS DOUBLE) * 0.23 - 20.0 AS by
+"""
+
+NORM_SEG_SQL = f"""
+WITH raw AS (SELECT {SEG_EXPR} FROM lineitem),
+norm AS (
+  SELECT CASE WHEN ax < bx OR (ax = bx AND ay <= by) THEN ax ELSE bx END AS x1,
+         CASE WHEN ax < bx OR (ax = bx AND ay <= by) THEN ay ELSE by END AS y1,
+         CASE WHEN ax < bx OR (ax = bx AND ay <= by) THEN bx ELSE ax END AS x2,
+         CASE WHEN ax < bx OR (ax = bx AND ay <= by) THEN by ELSE ay END AS y2
+  FROM raw)
+"""
+
+
+def _segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = _read(spark, sf_dir, "lineitem").selectExpr(*[e.strip() for e in SEG_EXPR.split(",\n")])
+    fwd = (F.col("ax") < F.col("bx")) | ((F.col("ax") == F.col("bx")) & (F.col("ay") <= F.col("by")))
+    return raw.select(
+        F.when(fwd, F.col("ax")).otherwise(F.col("bx")).alias("x1"),
+        F.when(fwd, F.col("ay")).otherwise(F.col("by")).alias("y1"),
+        F.when(fwd, F.col("bx")).otherwise(F.col("ax")).alias("x2"),
+        F.when(fwd, F.col("by")).otherwise(F.col("ay")).alias("y2"),
+    )
+
+
+# ------------------------------------------------------------------ entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: R1 ring assembly at sf0.001 — assemble ways (derived
+    deterministically from the part table) into rings via the distributed
+    fixpoint, return per-ring stats."""
+    return q_ring_assembly(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_filter_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2: tag-equality filter + negated exclusion."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.filter((F.col("event_type") == "click") & (~F.col("props").contains("bogus")))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_clicks"), F.round(F.sum("value"), 4).alias("click_value"))
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: semi-join (filter keeps nodes referenced by kept ways)."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 1000)
+    kept = c.join(o.select("o_custkey").distinct(), c.c_custkey == o.o_custkey, "left_semi")
+    return kept.groupBy("c_mktsegment").agg(F.count("*").alias("n_customers"))
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: missing-location anti-join analog."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    missing = c.join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_anti")
+    return missing.select("c_custkey", "c_name")
+
+
+def q_location_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 + A4: explode way refs → equi-join node locations → re-collect
+    ordered → per-way point count + exact-integer haversine length."""
+    li = _read(spark, sf_dir, "lineitem")
+    nodes = _nodes(spark, sf_dir)
+    refs = li.select(
+        F.col("l_orderkey").alias("way_id"),
+        F.col("l_linenumber").alias("pos"),
+        (F.col("l_partkey") % 200).alias("node_id"),
+    )
+    j = refs.join(nodes, "node_id")
+    pts = (
+        j.groupBy("way_id")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "node_id", "lon", "lat"))).alias("p"))
+        .select("way_id", F.col("p.lon").alias("xs"), F.col("p.lat").alias("ys"))
+    )
+    # haversine in integer meters (order-independent exact sum)
+    def leg(i):
+        lon1 = F.element_at(F.col("xs"), (i - 1).cast("int"))
+        lat1 = F.element_at(F.col("ys"), (i - 1).cast("int"))
+        lon2 = F.element_at(F.col("xs"), i.cast("int"))
+        lat2 = F.element_at(F.col("ys"), i.cast("int"))
+        return F.round(
+            F.lit(2.0 * 6371000.0)
+            * F.asin(
+                F.sqrt(
+                    F.pow(F.sin(F.radians(lat2 - lat1) / 2), 2)
+                    + F.cos(F.radians(lat1))
+                    * F.cos(F.radians(lat2))
+                    * F.pow(F.sin(F.radians(lon2 - lon1) / 2), 2)
+                )
+            )
+        ).cast("long")
+
+    hav = F.when(F.size("xs") < 2, F.lit(0).cast("long")).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(2), F.greatest(F.size("xs"), F.lit(2))),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc + leg(i),
+        )
+    )
+    return pts.select("way_id", F.size("xs").cast("int").alias("npoints"), hav.alias("length_m"))
+
+
+def q_ring_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: the distributed ring-assembly fixpoint vs a closed-form oracle.
+
+    Ring r (r in 0..R-1) is built from s = (r%7)+1 ways of 3 nodes each,
+    chained in a cycle; way ids are globally sequential. The oracle knows
+    the answer arithmetically: ring_id = min way id, nways = s,
+    npoints = 2s+1.
+    """
+    n_part = _read(spark, sf_dir, "part").count()
+    R = max(n_part // 2, 8)
+    base = spark.range(R).select(F.col("id").alias("r"))
+    ways = base.select(
+        "r",
+        F.explode(F.sequence(F.lit(0), F.col("r") % 7)).alias("j"),
+        ((F.col("r") % 7) + 1).alias("s"),
+    ).select(
+        "r",
+        "j",
+        "s",
+        (
+            (F.col("r") / 7).cast("long") * 28
+            + (F.col("r") % 7) * ((F.col("r") % 7) + 1) / 2
+            + F.col("j")
+            + 1
+        ).cast("long").alias("way_id"),
+    )
+    ways_loc = ways.select(
+        "way_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(2)),
+            lambda i: F.col("r") * 1000 + F.pmod(F.col("j") * 2 + i, F.col("s") * 2),
+        ).alias("node_ids"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(2)),
+            lambda i: (F.pmod(F.col("r") * 1000 + F.col("j") * 2 + i, F.lit(360)) - 180.0).cast(
+                "double"
+            ),
+        ).alias("xs"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(2)),
+            lambda i: (F.pmod(F.col("r") * 77 + F.col("j") * 2 + i, F.lit(160)) - 80.0).cast(
+                "double"
+            ),
+        ).alias("ys"),
+    )
+    closed, open_ = assemble_rings(ways_loc)
+    return closed.select(
+        "ring_id", "nways", F.size("node_ids").cast("int").alias("npoints")
+    )
+
+
+def q_segments_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/S4: undirected segment normalization (canonical total order)."""
+    return _segments(spark, sf_dir)
+
+
+def q_duplicate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: exact-duplicate segments via groupBy on all coords."""
+    return (
+        _segments(spark, sf_dir)
+        .groupBy("x1", "y1", "x2", "y2")
+        .agg(F.count("*").alias("k"))
+        .filter(F.col("k") > 1)
+    )
+
+
+def q_segment_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/G1: cell-binned segment self-join + the reference's exact
+    intersection arithmetic, vs the same formula in SQL over an H×V
+    crossing grid."""
+    n = _read(spark, sf_dir, "part").count()
+    H = max(int(n**0.5), 4)
+    hseg = spark.range(H).select(
+        F.lit(0.0).alias("x1"),
+        (F.col("id") * 0.01 + 0.005).alias("y1"),
+        F.lit(1.0).alias("x2"),
+        (F.col("id") * 0.01 + 0.005).alias("y2"),
+        F.lit(0).alias("kind"),
+        F.col("id").alias("sid"),
+    )
+    vseg = spark.range(H).select(
+        (F.col("id") * 0.01 + 0.003).alias("x1"),
+        F.lit(-1.0).alias("y1"),
+        (F.col("id") * 0.01 + 0.003).alias("x2"),
+        F.lit(2.0).alias("y2"),
+        F.lit(1).alias("kind"),
+        (F.col("id") + 100000).alias("sid"),
+    )
+    segs = hseg.unionByName(vseg).withColumn("ring_id", F.col("sid")).withColumn(
+        "idx", F.lit(0)
+    )
+    from osmcoastline_spark.operators.intersections import intersection_errors
+
+    pts = intersection_errors(segs, cell_deg=0.2)
+    return pts.select(F.round("x", 9).alias("ix"), F.round("y", 9).alias("iy"))
+
+
+def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6/R3: batched even-odd ray-cast vs the identical unrolled SQL."""
+    import pandas as pd
+    import numpy as np
+    from osmcoastline_spark import geom
+
+    nodes = _nodes(spark, sf_dir).selectExpr(
+        "node_id", "(lon + 170.0) / 15.0 AS px", "(lat + 70.0) / 10.0 AS py"
+    )
+
+    def run(it):
+        for pdf in it:
+            inside = geom.points_in_ring(
+                pdf["px"].to_numpy(), pdf["py"].to_numpy(),
+                np.array(PIP_RING_X), np.array(PIP_RING_Y),
+            )
+            out = pdf[["node_id"]].copy()
+            out["inside"] = inside.astype(int)
+            yield out
+
+    return nodes.mapInPandas(run, "node_id long, inside int")
+
+
+def q_cell_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid cell encoding (the spatial-join index) per node → counts."""
+    nodes = _nodes(spark, sf_dir)
+    return (
+        nodes.withColumn("cell", cell_id_expr(F.col("lon"), F.col("lat"), 5.0))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_tile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G15 + J12: zoom-3 tile grid joined to nodes → per-tile counts."""
+    nodes = _nodes(spark, sf_dir)
+    n = 8  # 2^3
+    return (
+        nodes.select(
+            F.least(F.lit(n - 1), F.floor((F.col("lon") + 180.0) / (360.0 / n))).alias("tx"),
+            F.least(F.lit(n - 1), F.floor((F.col("lat") + 90.0) / (180.0 / n))).alias("ty"),
+        )
+        .groupBy("tx", "ty")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_envelope_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 split decisions: axis + midpoint per synthetic envelope."""
+    nodes = _nodes(spark, sf_dir)
+    env = nodes.select(
+        (F.col("node_id") % 50).alias("grp"), "lon", "lat"
+    ).groupBy("grp").agg(
+        F.min("lon").alias("minx"),
+        F.min("lat").alias("miny"),
+        F.max("lon").alias("maxx"),
+        F.max("lat").alias("maxy"),
+    )
+    wide = (F.col("maxx") - F.col("minx")) >= (F.col("maxy") - F.col("miny"))
+    return env.select(
+        "grp",
+        F.when(wide, F.lit(0)).otherwise(F.lit(1)).alias("axis"),
+        F.round(
+            F.when(wide, (F.col("maxx") + F.col("minx")) / 2.0).otherwise(
+                (F.col("maxy") + F.col("miny")) / 2.0
+            ),
+            9,
+        ).alias("mid"),
+    )
+
+
+def q_edge_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/F8: antimeridian / southern-edge suppression predicates."""
+    segs = _segments(spark, sf_dir)
+    return segs.filter(
+        ~(
+            ((F.col("y1") < -85.049) & (F.col("y2") < -85.049))
+            | ((F.col("x1") > 179.9999) & (F.col("x2") > 179.9999))
+            | ((F.col("x1") < -179.9999) & (F.col("x2") < -179.9999))
+        )
+        & (F.col("x1") < -25.0)
+    )
+
+
+def q_way_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F5: closed-way predicate + size routing counts."""
+    li = _read(spark, sf_dir, "lineitem")
+    ways = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.struct("l_linenumber", "l_partkey"))).alias("p")
+    ).select(
+        F.col("l_orderkey").alias("way_id"),
+        F.col("p.l_partkey").alias("node_ids"),
+    )
+    closed = F.element_at("node_ids", 1) == F.element_at("node_ids", -1)
+    npts = F.size("node_ids")
+    route = (
+        F.when(~closed, "not_closed")
+        .when(npts > 3, "polygon")
+        .when(npts == 1, "single_point_in_ring")
+        .otherwise("not_a_ring")
+    )
+    return ways.select(route.alias("route")).groupBy("route").agg(F.count("*").alias("n"))
+
+
+def q_except_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13: segment-diff via exceptAll both directions."""
+    s = _segments(spark, sf_dir)
+    old = s.filter((F.col("x1") + F.col("y1")) % 3 < 2)
+    new = s.filter((F.col("x2") + F.col("y2")) % 3 < 2)
+    removed = old.exceptAll(new).withColumn("change", F.lit("removed"))
+    added = new.exceptAll(old).withColumn("change", F.lit("added"))
+    return removed.unionByName(added).groupBy("change").agg(F.count("*").alias("n"))
+
+
+def q_distinct_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: sorted-distinct node-id set of kept ways."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") > 25).select(
+        (F.col("l_partkey") % 500).alias("node_id")
+    ).distinct()
+
+
+def q_stats_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/S8: the run-metrics row."""
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    return spark.createDataFrame(
+        [
+            (
+                li.count(),
+                o.count(),
+                li.filter(F.col("l_returnflag") == "R").count(),
+            )
+        ],
+        "num_lineitems long, num_orders long, num_returned long",
+    )
+
+
+def q_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming batch-twin: tumbling 1h window counts over events."""
+    ev = _read(spark, sf_dir, "events")
+    out = windowed_counts_batch(ev, minutes=60)
+    return out.select(
+        F.unix_timestamp("window_start").alias("bucket"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+# ------------------------------------------------- training-data operators
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return D.dedup_exact(docs)
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return D.minhash_signatures(docs, n_hashes=4, k=5)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return D.minhash_lsh_pairs(docs, n_hashes=4, bands=2, k=5)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    return D.ngram_jaccard_pairs(docs, k=8, threshold=0.2)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return D.simhash64(docs)
+
+
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return T.with_text_features(docs).select(
+        "doc_id", "tokens", "word_units", "punct_ratio", "quality", "fingerprint"
+    )
+
+
+def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.lang_guess(F.col("text")).alias("lang_guess"))
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return S.brute_force_topk(emb, queries, k=3)
+
+
+def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (rows-only check: hyperplanes aren't SQL)."""
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    return S.lsh_topk(emb, k=3, bits=6, n_tables=2)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q_filter_ways": q_filter_ways,
+        "q_semi_join": q_semi_join,
+        "q_anti_join": q_anti_join,
+        "q_location_join": q_location_join,
+        "q_ring_assembly": q_ring_assembly,
+        "q_segments_normalize": q_segments_normalize,
+        "q_duplicate_segments": q_duplicate_segments,
+        "q_segment_intersections": q_segment_intersections,
+        "q_point_in_polygon": q_point_in_polygon,
+        "q_cell_ids": q_cell_ids,
+        "q_tile_grid": q_tile_grid,
+        "q_envelope_split": q_envelope_split,
+        "q_edge_filter": q_edge_filter,
+        "q_way_routing": q_way_routing,
+        "q_except_diff": q_except_diff,
+        "q_distinct_ids": q_distinct_ids,
+        "q_stats_counters": q_stats_counters,
+        "q_window_agg": q_window_agg,
+        "q_dedup_exact": q_dedup_exact,
+        "q_minhash_signatures": q_minhash_signatures,
+        "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_simhash": q_simhash,
+        "q_text_features": q_text_features,
+        "q_lang_guess": q_lang_guess,
+        "q_embedding_topk": q_embedding_topk,
+        "q_embedding_lsh_topk": q_embedding_lsh_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ----------------------------------------------------------------- oracles
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    seg = NORM_SEG_SQL
+    px = "((" + NODE_LON + ") + 170.0) / 15.0"
+    py = "((" + NODE_LAT + ") + 70.0) / 10.0"
+
+    # unrolled even-odd ray cast over the PIP ring edges
+    edges = list(zip(PIP_RING_X, PIP_RING_Y, PIP_RING_X[1:] + PIP_RING_X[:1], PIP_RING_Y[1:] + PIP_RING_Y[:1]))
+    crossing_terms = " + ".join(
+        f"(CASE WHEN (({y1} > py) != ({y2} > py)) AND "
+        f"(px < {x1} + (py - {y1}) * ({x2} - {x1}) / ({y2} - {y1})) THEN 1 ELSE 0 END)"
+        for x1, y1, x2, y2 in edges
+    )
+
+    return {
+        "q_filter_ways": """
+            SELECT user_id, count(*) AS n_clicks, round(sum(value), 4) AS click_value
+            FROM events
+            WHERE event_type = 'click' AND props NOT LIKE '%bogus%'
+            GROUP BY user_id
+        """,
+        "q_semi_join": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 1000)
+            GROUP BY c_mktsegment
+        """,
+        "q_anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "q_location_join": f"""
+            WITH nodes AS ({_nodes_sql()}),
+            refs AS (
+              SELECT l_orderkey AS way_id, l_linenumber AS pos,
+                     l_partkey % 200 AS node_id
+              FROM lineitem
+            ),
+            pts AS (
+              SELECT way_id, pos, node_id, lon, lat
+              FROM refs JOIN nodes USING (node_id)
+            ),
+            seq AS (
+              SELECT way_id, lon, lat,
+                     row_number() OVER (PARTITION BY way_id ORDER BY pos, node_id, lon, lat) AS rn
+              FROM pts
+            ),
+            segs AS (
+              SELECT a.way_id,
+                     CAST(round(2.0 * 6371000.0 * asin(sqrt(
+                       pow(sin(radians(b.lat - a.lat) / 2), 2) +
+                       cos(radians(a.lat)) * cos(radians(b.lat)) *
+                       pow(sin(radians(b.lon - a.lon) / 2), 2)
+                     ))) AS BIGINT) AS m
+              FROM seq a JOIN seq b ON a.way_id = b.way_id AND b.rn = a.rn + 1
+            ),
+            np AS (SELECT way_id, count(*) AS npoints FROM seq GROUP BY way_id)
+            SELECT np.way_id, CAST(np.npoints AS INT) AS npoints,
+                   coalesce(s.len, 0) AS length_m
+            FROM np LEFT JOIN (SELECT way_id, sum(m) AS len FROM segs GROUP BY way_id) s
+            USING (way_id)
+        """,
+        "q_ring_assembly": """
+            WITH r AS (SELECT p_partkey AS r FROM part WHERE p_partkey < greatest((SELECT count(*) FROM part) // 2, 8))
+            SELECT CAST((r // 7) * 28 + (r % 7) * ((r % 7) + 1) // 2 + 1 AS BIGINT) AS ring_id,
+                   CAST((r % 7) + 1 AS INT) AS nways,
+                   CAST(2 * ((r % 7) + 1) + 1 AS INT) AS npoints
+            FROM r
+        """,
+        "q_segments_normalize": seg + "SELECT x1, y1, x2, y2 FROM norm",
+        "q_duplicate_segments": seg
+        + "SELECT x1, y1, x2, y2, count(*) AS k FROM norm GROUP BY 1,2,3,4 HAVING count(*) > 1",
+        "q_segment_intersections": """
+            WITH n AS (SELECT CAST(greatest(floor(sqrt((SELECT count(*) FROM part))), 4) AS BIGINT) AS h),
+            ids AS (SELECT p_partkey AS i FROM part),
+            hs AS (SELECT i FROM ids, n WHERE i < n.h),
+            vs AS (SELECT i FROM ids, n WHERE i < n.h)
+            SELECT round(v.i * 0.01 + 0.003, 9) AS ix,
+                   round(h.i * 0.01 + 0.005, 9) AS iy
+            FROM hs h CROSS JOIN vs v
+        """,
+        "q_point_in_polygon": f"""
+            WITH pts AS (
+              SELECT p_partkey AS node_id, {px} AS px, {py} AS py FROM part
+            )
+            SELECT node_id, CAST(({crossing_terms}) % 2 AS INT) AS inside FROM pts
+        """,
+        "q_cell_ids": f"""
+            WITH nodes AS ({_nodes_sql()})
+            SELECT (CAST(floor((lon + 180.0) / 5.0) AS BIGINT) * 1000000
+                    + CAST(floor((lat + 90.0) / 5.0) AS BIGINT)) AS cell,
+                   count(*) AS n
+            FROM nodes GROUP BY 1
+        """,
+        "q_tile_grid": f"""
+            WITH nodes AS ({_nodes_sql()})
+            SELECT least(7, CAST(floor((lon + 180.0) / 45.0) AS BIGINT)) AS tx,
+                   least(7, CAST(floor((lat + 90.0) / 22.5) AS BIGINT)) AS ty,
+                   count(*) AS n
+            FROM nodes GROUP BY 1, 2
+        """,
+        "q_envelope_split": f"""
+            WITH nodes AS ({_nodes_sql()}),
+            env AS (
+              SELECT node_id % 50 AS grp, min(lon) AS minx, min(lat) AS miny,
+                     max(lon) AS maxx, max(lat) AS maxy
+              FROM nodes GROUP BY 1
+            )
+            SELECT grp,
+                   CASE WHEN (maxx - minx) >= (maxy - miny) THEN 0 ELSE 1 END AS axis,
+                   round(CASE WHEN (maxx - minx) >= (maxy - miny)
+                         THEN (maxx + minx) / 2.0 ELSE (maxy + miny) / 2.0 END, 9) AS mid
+            FROM env
+        """,
+        "q_edge_filter": seg
+        + """
+            SELECT x1, y1, x2, y2 FROM norm
+            WHERE NOT ((y1 < -85.049 AND y2 < -85.049)
+                    OR (x1 > 179.9999 AND x2 > 179.9999)
+                    OR (x1 < -179.9999 AND x2 < -179.9999))
+              AND x1 < -25.0
+        """,
+        "q_way_routing": """
+            WITH seq AS (
+              SELECT l_orderkey AS way_id, l_partkey,
+                     row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS rn,
+                     count(*) OVER (PARTITION BY l_orderkey) AS np
+              FROM lineitem
+            ),
+            ends AS (
+              SELECT way_id, np,
+                     max(CASE WHEN rn = 1 THEN l_partkey END) AS first_id,
+                     max(CASE WHEN rn = np THEN l_partkey END) AS last_id
+              FROM seq GROUP BY way_id, np
+            )
+            SELECT CASE WHEN first_id != last_id THEN 'not_closed'
+                        WHEN np > 3 THEN 'polygon'
+                        WHEN np = 1 THEN 'single_point_in_ring'
+                        ELSE 'not_a_ring' END AS route,
+                   count(*) AS n
+            FROM ends GROUP BY 1
+        """,
+        "q_except_diff": seg
+        + """
+            , old AS (SELECT * FROM norm WHERE (x1 + y1) % 3 < 2),
+            new AS (SELECT * FROM norm WHERE (x2 + y2) % 3 < 2),
+            rem AS (SELECT 'removed' AS change, count(*) AS n FROM
+                    (SELECT * FROM old EXCEPT ALL SELECT * FROM new)),
+            add_ AS (SELECT 'added' AS change, count(*) AS n FROM
+                    (SELECT * FROM new EXCEPT ALL SELECT * FROM old))
+            SELECT * FROM rem UNION ALL SELECT * FROM add_
+        """,
+        "q_distinct_ids": """
+            SELECT DISTINCT l_partkey % 500 AS node_id FROM lineitem WHERE l_quantity > 25
+        """,
+        "q_stats_counters": """
+            SELECT (SELECT count(*) FROM lineitem) AS num_lineitems,
+                   (SELECT count(*) FROM orders) AS num_orders,
+                   (SELECT count(*) FROM lineitem WHERE l_returnflag = 'R') AS num_returned
+        """,
+        "q_window_agg": """
+            SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket,
+                   event_type, count(*) AS n, round(sum(value), 6) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "q_dedup_exact": """
+            SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "q_minhash_signatures": """
+            WITH sh AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+              FROM documents WHERE doc_id % 10 = 0
+            ),
+            shingle AS (SELECT doc_id, substring(text, CAST(i AS INT), 5) AS s FROM sh),
+            bands AS (SELECT doc_id, s, unnest(generate_series(0, 3)) AS band FROM shingle)
+            SELECT doc_id, CAST(band AS INT) AS band,
+                   min(md5(s || '#' || band)) AS sig
+            FROM bands GROUP BY doc_id, band
+        """,
+        "q_minhash_lsh_pairs": """
+            WITH sh AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+              FROM documents WHERE doc_id % 10 = 0
+            ),
+            shingle AS (SELECT doc_id, substring(text, CAST(i AS INT), 5) AS s FROM sh),
+            bands AS (SELECT doc_id, s, unnest(generate_series(0, 3)) AS band FROM shingle),
+            sigs AS (
+              SELECT doc_id, band, min(md5(s || '#' || band)) AS sig
+              FROM bands GROUP BY doc_id, band
+            ),
+            keys AS (
+              SELECT doc_id, band // 2 AS lsh_band,
+                     string_agg(band || ':' || sig, '|' ORDER BY band || ':' || sig) AS key
+              FROM sigs GROUP BY doc_id, band // 2
+            )
+            SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+            FROM keys a JOIN keys b ON a.lsh_band = b.lsh_band AND a.key = b.key
+            WHERE a.doc_id < b.doc_id
+        """,
+        "q_ngram_jaccard": """
+            WITH sh AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+              FROM documents WHERE doc_id % 25 = 0
+            ),
+            shingle AS (SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 8) AS s FROM sh),
+            sizes AS (SELECT doc_id, count(*) AS nsh FROM shingle GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+              FROM shingle a JOIN shingle b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   round(CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i) >= 0.2
+        """,
+        "q_simhash": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+              FROM documents WHERE doc_id % 10 = 0
+            ),
+            h AS (
+              SELECT doc_id, substring(md5(tok), 1, 16) AS hx
+              FROM toks WHERE length(tok) > 0
+            ),
+            bits AS (
+              SELECT doc_id,
+                     unnest(generate_series(0, 63)) AS bitpos, hx
+              FROM h
+            ),
+            contrib AS (
+              SELECT doc_id, bitpos,
+                     2 * ((CAST(instr('0123456789abcdef',
+                                substring(hx, CAST(bitpos // 4 AS INT) + 1, 1)) - 1 AS BIGINT)
+                           >> CAST(3 - bitpos % 4 AS INT)) & 1) - 1 AS c
+              FROM bits
+            ),
+            sums AS (SELECT doc_id, bitpos, sum(c) AS s FROM contrib GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN
+                     CASE WHEN bitpos = 63 THEN -9223372036854775808
+                          ELSE (1::BIGINT << CAST(bitpos AS INT)) END
+                   ELSE 0 END) AS BIGINT) AS simhash
+            FROM sums GROUP BY doc_id
+        """,
+        "q_lang_guess": _LANG_SQL,
+        "q_text_features": _TEXT_FEATURES_SQL,
+        "q_embedding_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 100 = 0),
+            v AS (SELECT vec_id AS nbr_id, embedding::DOUBLE[] AS nv FROM embeddings),
+            scored AS (
+              SELECT query_id, nbr_id,
+                     round(list_inner_product(qv, nv) /
+                           (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(nv, nv))), 6) AS cos
+              FROM q CROSS JOIN v WHERE query_id != nbr_id
+            ),
+            ranked AS (
+              SELECT query_id, nbr_id, cos,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, nbr_id, cos, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 3
+        """,
+        # q_embedding_lsh_topk: intentionally no oracle (random hyperplanes
+        # are not SQL-expressible) — rows-only check.
+    }
+
+
+# language-guess SQL twin (marker counting via replace-length trick)
+def _marker_count(marker: str) -> str:
+    m = marker.replace("'", "''")
+    return (
+        f"CAST((length(' ' || lower(text) || ' ') - "
+        f"length(replace(' ' || lower(text) || ' ', '{m}', ''))) / {len(marker)} AS INT)"
+    )
+
+
+_LANG_SCORES = {
+    lang: " + ".join(_marker_count(m) for m in markers)
+    for lang, markers in T.LANG_MARKERS.items()
+}
+
+_LANG_SQL = f"""
+WITH scores AS (
+  SELECT doc_id,
+         {_LANG_SCORES['de']} AS s_de,
+         {_LANG_SCORES['en']} AS s_en,
+         {_LANG_SCORES['es']} AS s_es,
+         {_LANG_SCORES['fr']} AS s_fr
+  FROM documents
+),
+mx AS (SELECT doc_id, s_de, s_en, s_es, s_fr,
+              greatest(s_de, s_en, s_es, s_fr) AS m FROM scores)
+SELECT doc_id,
+       CASE WHEN m <= 0 THEN 'und'
+            WHEN s_de = m THEN 'de'
+            WHEN s_en = m THEN 'en'
+            WHEN s_es = m THEN 'es'
+            ELSE 'fr' END AS lang_guess
+FROM mx
+"""
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in T.STOPWORDS)
+
+_TEXT_FEATURES_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(regexp_replace(trim(text), '\\S+', 'x', 'g'))
+                   - length(replace(regexp_replace(trim(text), '\\S+', 'x', 'g'), 'x', ''))
+         END AS _dummy
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+tokstats AS (
+  SELECT doc_id,
+         count(*) AS tokens,
+         sum(CASE WHEN lower(tok) IN ({_STOP_LIST}) THEN 1 ELSE 0 END) AS stops
+  FROM toks WHERE length(tok) > 0 GROUP BY doc_id
+),
+feat AS (
+  SELECT d.doc_id,
+         coalesce(t.tokens, 0) AS tokens,
+         length(regexp_replace(
+           regexp_replace(d.text, '[A-Za-z0-9]+|[^\\sA-Za-z0-9]', chr(1), 'g'),
+           '[^' || chr(1) || ']', '', 'g')) AS word_units,
+         CASE WHEN length(d.text) = 0 THEN 0.0
+              ELSE CAST(length(regexp_replace(d.text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+                   / length(d.text) END AS praw,
+         CASE WHEN coalesce(t.tokens, 0) = 0 THEN 0.0
+              ELSE CAST(coalesce(t.stops, 0) AS DOUBLE) / t.tokens END AS sraw,
+         length(d.text) AS n
+  FROM documents d LEFT JOIN tokstats t USING (doc_id)
+),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT)
+              * CASE (i - 1) % 8
+                  WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 WHEN 3 THEN 29791
+                  WHEN 4 THEN 923521 WHEN 5 THEN 28629151 WHEN 6 THEN 887503681
+                  ELSE 27512614111 END) % 1000000007 AS BIGINT) AS fingerprint
+  FROM (
+    SELECT doc_id, text, unnest(generate_series(1, greatest(length(text), 1))) AS i
+    FROM documents
+  ) WHERE length(text) > 0
+  GROUP BY doc_id
+)
+SELECT f.doc_id,
+       CAST(f.tokens AS INT) AS tokens,
+       CAST(f.word_units AS INT) AS word_units,
+       round(f.praw, 6) AS punct_ratio,
+       round((least(CAST(f.n AS DOUBLE) / 200.0, 1.0)
+              + greatest(0.0, 1.0 - f.praw * 4.0)
+              + least(f.sraw * 5.0, 1.0)) / 3.0, 6) AS quality,
+       coalesce(fp.fingerprint, 0) AS fingerprint
+FROM feat f LEFT JOIN fp USING (doc_id)
+"""

@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "tiles+rings assembled/sec", "value": N, "unit": "sec",
+     "queries": {...per-query seconds...}, "sf": ...}
+
+The headline metric follows BASELINE.json: rings assembled + tiles emitted
+per second by the coastline pipeline over the deterministic synthetic
+coastline fixture (islands + giants + open rings) sized from the sf dir.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from osmcoastline_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus) * 2)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qfns = entrymod.queries()
+    bench_queries = [
+        "q_ring_assembly",
+        "q_location_join",
+        "q_segment_intersections",
+        "q_segments_normalize",
+        "q_minhash_lsh_pairs",
+        "q_simhash",
+        "q_text_features",
+        "q_embedding_topk",
+        "q_window_agg",
+        "q_dedup_exact",
+    ]
+    times: dict[str, float] = {}
+    for name in bench_queries:
+        t0 = time.time()
+        n = qfns[name](spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+
+    # headline: full coastline pipeline on the synthetic coastline fixture
+    from osmcoastline_spark.plans.pipeline import Options, run_pipeline
+    from osmcoastline_spark.synth import synth_nodes_ways
+
+    n_lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    n_islands = max(n_lineitem // 60, 200)
+    nodes, ways = synth_nodes_ways(spark, n_islands, seed=42)
+    nodes = nodes.localCheckpoint(eager=True)
+    ways = ways.localCheckpoint(eager=True)
+
+    t0 = time.time()
+    res = run_pipeline(
+        spark,
+        nodes,
+        ways,
+        Options(output_polygons="both", water_cell_deg=4.0, max_points_in_polygon=500),
+    )
+    rings = res.stats.get("rings", 0)
+    land = res.tables["land_polygons"].count() if "land_polygons" in res.tables else 0
+    tiles = res.tables["water_polygons"].count() if "water_polygons" in res.tables else 0
+    pipeline_sec = time.time() - t0
+    times["pipeline"] = round(pipeline_sec, 3)
+
+    value = round((rings + land + tiles) / pipeline_sec, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "tiles+rings assembled/sec",
+                "value": value,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "detail": {
+                    "islands": n_islands,
+                    "rings": rings,
+                    "land_polygons": land,
+                    "water_tiles": tiles,
+                    "cpus": int(cpus),
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,189 @@
+"""Deduplication operators for training-data pipelines.
+
+Every variant is designed around one constraint: the pairwise work must be
+bounded by bucketing BEFORE any quadratic step — the same cell-binning
+discipline as the spatial joins.
+
+* exact           — hash groupBy, keep min doc_id (one shuffle)
+* minhash + LSH   — shingle → per-band min(md5(shingle||salt)) signature →
+                    band-bucket equi-join → candidate pairs (optionally
+                    Jaccard-verified). Hashes are md5 hex strings: portable
+                    to DuckDB for the oracle (min() over strings).
+* simhash         — 64-bit sign-sum sketch over token md5 bits; near-dup =
+                    equal band keys (hamming-adjacent pairs surface via
+                    4×16-bit band equality)
+* n-gram Jaccard  — exact shingle-set Jaccard via explode + groupBy
+* embedding       — cosine near-dup via LSH sign-buckets (see similarity.py)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------------ exact
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per exact text hash."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+# --------------------------------------------------------------- shingles
+
+
+def shingles(docs: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Character k-shingles via sequence+transform (JVM-side) + explode."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
+                f"i -> substring({text_col}, i, {k})))"
+            )
+        ).alias("shingle"),
+    )
+
+
+# ------------------------------------------------------------ minhash LSH
+
+
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = 8, k: int = 5,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, band, sig): per band, min over md5(shingle || band-salt).
+
+    One explode + one groupBy; signature strings are portable across
+    engines (md5 hex compares lexicographically everywhere).
+    """
+    sh = shingles(docs, k, text_col, id_col)
+    salted = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.md5(F.concat(F.col("shingle"), F.lit(f"#{b}"))).alias("h"))
+                for b in range(n_hashes)
+            ])
+        ).alias("bh"),
+    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    return salted.groupBy("doc_id", "band").agg(F.min("h").alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, n_hashes: int = 8, bands: int = 4, k: int = 5,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-duplicate pairs: equal concatenated-signature in ANY
+    LSH band (rows_per_band = n_hashes // bands)."""
+    rows_per_band = max(n_hashes // bands, 1)
+    sigs = minhash_signatures(docs, n_hashes, k, text_col, id_col)
+    banded = sigs.withColumn("lsh_band", (F.col("band") / rows_per_band).cast("int"))
+    keys = banded.groupBy("doc_id", "lsh_band").agg(
+        F.concat_ws("|", F.sort_array(F.collect_list(F.concat_ws(":", F.col("band"), F.col("sig"))))).alias("key")
+    )
+    a = keys.select(F.col("doc_id").alias("a"), "lsh_band", "key")
+    b = keys.select(F.col("doc_id").alias("b"), "lsh_band", "key")
+    return (
+        a.join(b, ["lsh_band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, k: int = 5, threshold: float = 0.8,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard over distinct k-shingle sets, restricted to pairs that
+    share at least one shingle (the equi-join bounds the candidates)."""
+    sh = shingles(docs, k, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("nsh").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("nsh").alias("nb")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over whitespace tokens.
+
+    Bit b of the sketch = sign of Σ_tokens (±1 depending on bit b of
+    md5(token)). Bits come from the first 16 hex chars; each hex char
+    contributes 4 bits via its value — portable arithmetic (strpos over
+    '0123456789abcdef').
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    hexes = toks.withColumn("h", F.substring(F.md5("tok"), 1, 16))
+    # per (doc, bit): sum of (2*bit - 1)
+    HEXD = "0123456789abcdef"
+    bit_cols = []
+    for nib in range(16):
+        ch = F.substring(F.col("h"), nib + 1, 1)
+        val = F.instr(F.lit(HEXD), ch) - 1  # 0..15
+        for b in range(4):
+            bit = F.shiftright(val, 3 - b).bitwiseAND(F.lit(1))
+            bit_cols.append((2 * bit - 1).alias(f"b{nib * 4 + b}"))
+    contrib = hexes.select("doc_id", *bit_cols)
+    agg = contrib.groupBy("doc_id").agg(
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(64)]
+    )
+    sim = F.lit(0).cast("long")
+    for i in range(63):
+        sim = sim + F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    # bit 63 would overflow a signed int64 literal; fold it in as the sign bit
+    sim = sim + F.when(F.col("s63") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_band_pairs(sims: DataFrame, band_bits: int = 16) -> DataFrame:
+    """Hamming-near candidates: docs sharing any 16-bit band of the sketch."""
+    bands = sims.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned(F.col("simhash"), i * band_bits)
+                    .bitwiseAND(F.lit((1 << band_bits) - 1))
+                    .alias("key"),
+                )
+                for i in range(64 // band_bits)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a = bands.select(F.col("doc_id").alias("a"), "band", "key")
+    b = bands.select(F.col("doc_id").alias("b"), "band", "key")
+    return a.join(b, ["band", "key"]).filter(F.col("a") < F.col("b")).select("a", "b").distinct()

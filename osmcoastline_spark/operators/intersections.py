@@ -1,0 +1,151 @@
+"""J5/J6/O1/S4 — segment extraction, duplicate detection, cell-binned
+self-intersection join.
+
+The reference sorts every segment globally and sweeps with an x-window
+(src/coastline_ring_collection.cpp:277,313-316) — inherently sequential.
+Spark-first replacement: bin segments to grid cells (bbox cover, boundary
+duplication), self-join on the cell id with `a.seg_id < b.seg_id`, dedupe
+cross-cell pairs, then run the exact intersection arithmetic (bit-identical
+to the reference, src/coastline_ring_collection.cpp:202-230) as a vectorized
+numpy kernel over Arrow batches. Candidates per cell are bounded the same way
+the sweep's window bounds them, and cells process in parallel.
+
+Duplicate segments (J6) are a plain groupBy on the normalized coordinates —
+map-side partial aggregation, no UDF.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osmcoastline_spark import geom
+from osmcoastline_spark.cells import bbox_cover_cells_expr
+
+DEFAULT_CELL_DEG = 0.5
+
+
+def ring_segments(rings: DataFrame) -> DataFrame:
+    """Explode ring coordinate arrays into normalized undirected segments.
+
+    Pure Catalyst (transform/sequence/posexplode) — no Python. Output:
+    ring_id, idx, x1, y1, x2, y2 with (x1,y1) <= (x2,y2) lexicographically
+    (the reference's UndirectedSegment normalization).
+    """
+    segs = rings.select(
+        "ring_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(xs)-1), "
+                "i -> struct(xs[i-1] as ax, ys[i-1] as ay, xs[i] as bx, ys[i] as by))"
+            )
+        ).alias("idx", "s"),
+    ).select("ring_id", "idx", "s.ax", "s.ay", "s.bx", "s.by")
+    fwd = (F.col("ax") < F.col("bx")) | ((F.col("ax") == F.col("bx")) & (F.col("ay") <= F.col("by")))
+    return segs.select(
+        "ring_id",
+        "idx",
+        F.when(fwd, F.col("ax")).otherwise(F.col("bx")).alias("x1"),
+        F.when(fwd, F.col("ay")).otherwise(F.col("by")).alias("y1"),
+        F.when(fwd, F.col("bx")).otherwise(F.col("ax")).alias("x2"),
+        F.when(fwd, F.col("by")).otherwise(F.col("ay")).alias("y2"),
+    )
+
+
+def sorted_segments(segments: DataFrame) -> DataFrame:
+    """O1/S4: canonical total-order segment table (range-partitioned sort)
+    — the parquet equivalent of the reference's binary segment dump."""
+    return segments.select("x1", "y1", "x2", "y2").orderBy("x1", "y1", "x2", "y2")
+
+
+def duplicate_segments(segments: DataFrame) -> DataFrame:
+    """J6 → error_lines('overlap'); k copies of a segment yield C(k,2)
+    overlap rows, matching the reference's pairwise loop."""
+    dup = (
+        segments.groupBy("x1", "y1", "x2", "y2")
+        .agg(F.count("*").alias("k"))
+        .filter(F.col("k") > 1)
+    )
+    return dup.select(
+        F.explode(F.sequence(F.lit(1), (F.col("k") * (F.col("k") - 1) / 2).cast("int"))).alias(
+            "_n"
+        ),
+        F.lit(0).cast("long").alias("osm_id"),
+        F.lit("overlap").alias("error"),
+        F.array("x1", "x2").alias("xs"),
+        F.array("y1", "y2").alias("ys"),
+    ).drop("_n")
+
+
+def intersection_errors(segments: DataFrame, cell_deg: float = DEFAULT_CELL_DEG) -> DataFrame:
+    """J5 → error_points('intersection').
+
+    segments must carry (ring_id, idx) for a stable per-instance id.
+    """
+    with_id = segments.withColumn("seg_id", F.xxhash64("ring_id", "idx"))
+    covered = with_id.withColumn(
+        "cell",
+        F.explode(
+            bbox_cover_cells_expr(
+                F.least("x1", "x2"), F.least("y1", "y2"),
+                F.greatest("x1", "x2"), F.greatest("y1", "y2"),
+                cell_deg,
+            )
+        ),
+    )
+    a = covered.select(
+        "cell",
+        F.col("seg_id").alias("a_id"),
+        F.col("x1").alias("ax1"), F.col("y1").alias("ay1"),
+        F.col("x2").alias("ax2"), F.col("y2").alias("ay2"),
+    )
+    b = covered.select(
+        "cell",
+        F.col("seg_id").alias("b_id"),
+        F.col("x1").alias("bx1"), F.col("y1").alias("by1"),
+        F.col("x2").alias("bx2"), F.col("y2").alias("by2"),
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        # identical segments are 'overlap', not 'intersection'
+        .filter(
+            (F.col("ax1") != F.col("bx1"))
+            | (F.col("ay1") != F.col("by1"))
+            | (F.col("ax2") != F.col("bx2"))
+            | (F.col("ay2") != F.col("by2"))
+        )
+        # a segment pair may share several cover cells — count it once
+        .dropDuplicates(["a_id", "b_id"])
+        # cheap bbox reject before the exact kernel (reference y-range test)
+        .filter(
+            (F.least("ax1", "ax2") <= F.greatest("bx1", "bx2"))
+            & (F.least("bx1", "bx2") <= F.greatest("ax1", "ax2"))
+            & (F.least("ay1", "ay2") <= F.greatest("by1", "by2"))
+            & (F.least("by1", "by2") <= F.greatest("ay1", "ay2"))
+        )
+    )
+
+    def exact(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mask, ix, iy = geom.segment_intersections(
+                pdf["ax1"].to_numpy(), pdf["ay1"].to_numpy(),
+                pdf["ax2"].to_numpy(), pdf["ay2"].to_numpy(),
+                pdf["bx1"].to_numpy(), pdf["by1"].to_numpy(),
+                pdf["bx2"].to_numpy(), pdf["by2"].to_numpy(),
+            )
+            yield pd.DataFrame({"x": ix[mask], "y": iy[mask]})
+
+    pts = pairs.mapInPandas(exact, "x double, y double")
+    return pts.select(
+        F.lit(0).cast("long").alias("osm_id"),
+        F.lit("intersection").alias("error"),
+        "x",
+        "y",
+    )

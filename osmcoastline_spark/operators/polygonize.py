@@ -1,32 +1,32 @@
 """R3 — polygonization with hole nesting (reference: src/osmcoastline.cpp:74-152
-via GDAL organizePolygons(ONLY_CCW)) re-expressed as batched point-in-polygon.
+via GDAL organizePolygons(METHOD=ONLY_CCW)) re-expressed Spark-first.
 
-Nesting rule: test each ring's first vertex against every other ring;
-containment count = nesting depth; even depth ⇒ shell (land), odd depth ⇒
-hole of its immediate parent (the containing ring at depth-1 with the
-smallest area).
+Classification follows ONLY_CCW semantics: rings are emitted reversed
+(OSM land-left CCW → GIS CW, reference ogr_polygon(reverse=true)); after the
+reversal a ring wound CW is an OUTER shell and a ring wound CCW is a hole
+candidate. A hole attaches to the smallest shell containing its first
+vertex; a CCW ring with no containing shell becomes its own polygon (that's
+the wrong-direction case — fix_direction flips it and warns). A shell whose
+holes nest inside each other is INVALID (hole-in-hole,
+valid-inland-sea-with-island golden: the polygon is dropped with errors++).
 
-Scale design (the raster↔vector trick from the north rule): a containment
-test against a giant container (Eurasia: 10^6+ vertices) must not ship the
-container's array to every candidate point. Each container pre-classifies
-its envelope's grid cells once:
+Scale design (the raster↔vector trick from the north rule): containment of
+a point in a giant shell (Eurasia, 10^6+ vertices) must not ship the shell's
+array to every candidate. Each shell pre-classifies its envelope's grid
+cells once:
 
     boundary cells — cells its ring passes through  → exact ray-cast needed
     inside cells   — cell center inside, no segment → containment is free
 
-Points landing in inside-cells are contained with **no geometry join at
-all**; only points in boundary cells join the container's coordinate arrays.
-Exact work is ∝ coastline-adjacent points, not ∝ points.
-
-Winding: rings arrive in OSM orientation (land left ⇒ CCW); polygon
-emission reverses them (reference ogr_polygon(reverse=true),
-src/coastline_ring.cpp:123-132 + class comment). fix_direction (G7) then
-enforces shells-CW and flags rings that were wound wrong in OSM.
+Hole vertices landing in inside-cells are contained with no geometry join;
+only vertices in boundary cells join the shell's coordinate arrays. Exact
+ray-cast work is ∝ coastline-adjacent candidates, not ∝ candidates.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
@@ -40,18 +40,30 @@ from osmcoastline_spark.cells import CELL_STRIDE, cell_id_expr
 DEFAULT_CELL_DEG = 1.0
 
 
-def _with_env(rings: DataFrame) -> DataFrame:
-    return (
-        rings.withColumn("env_minx", F.array_min("xs"))
-        .withColumn("env_maxx", F.array_max("xs"))
-        .withColumn("env_miny", F.array_min("ys"))
-        .withColumn("env_maxy", F.array_max("ys"))
+def _area2_expr(xc: str, yc: str):
+    """Signed shoelace (×2) as a pure Catalyst expression (stays in codegen)."""
+    return F.aggregate(
+        F.zip_with(
+            F.slice(xc, 1, F.size(xc) - 1),
+            F.slice(yc, 2, F.size(yc) - 1),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) - F.aggregate(
+        F.zip_with(
+            F.slice(xc, 2, F.size(xc) - 1),
+            F.slice(yc, 1, F.size(yc) - 1),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
 
 
 def classify_container_cells(rings: DataFrame, cell_deg: float = DEFAULT_CELL_DEG) -> DataFrame:
-    """Per ring: (ring_id, cell, kind) for every envelope cell; kind is
-    'bnd' (ring passes through) or 'in' (cell center strictly inside)."""
+    """Per ring: (ring_id, cell, kind) — 'bnd' (ring passes through) or
+    'in' (cell center strictly inside). Batched point-in-polygon backbone."""
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -61,17 +73,13 @@ def classify_container_cells(rings: DataFrame, cell_deg: float = DEFAULT_CELL_DE
                 ys = np.asarray(ys, dtype=np.float64)
                 ix = np.floor((xs + 180.0) / cell_deg).astype(np.int64)
                 iy = np.floor((ys + 90.0) / cell_deg).astype(np.int64)
-                # boundary cells: every cell touched by a vertex or a
-                # segment bbox (segments are short; use per-segment bbox)
                 bnd = set()
                 for k in range(len(xs) - 1):
                     for gx in range(min(ix[k], ix[k + 1]), max(ix[k], ix[k + 1]) + 1):
                         for gy in range(min(iy[k], iy[k + 1]), max(iy[k], iy[k + 1]) + 1):
                             bnd.add(gx * CELL_STRIDE + gy)
-                exlo = int(np.floor((xs.min() + 180.0) / cell_deg))
-                exhi = int(np.floor((xs.max() + 180.0) / cell_deg))
-                eylo = int(np.floor((ys.min() + 90.0) / cell_deg))
-                eyhi = int(np.floor((ys.max() + 90.0) / cell_deg))
+                exlo, exhi = int(ix.min()), int(ix.max())
+                eylo, eyhi = int(iy.min()), int(iy.max())
                 cand = [
                     (gx, gy)
                     for gx in range(exlo, exhi + 1)
@@ -98,27 +106,22 @@ def classify_container_cells(rings: DataFrame, cell_deg: float = DEFAULT_CELL_DE
     )
 
 
-def containment_pairs(rings: DataFrame, cell_deg: float = DEFAULT_CELL_DEG) -> DataFrame:
-    """(ring_id, container_id) for every ring whose first vertex lies
-    strictly inside another ring."""
-    pts = rings.select(
-        "ring_id",
-        F.element_at("xs", 1).alias("px"),
-        F.element_at("ys", 1).alias("py"),
-    ).withColumn("cell", cell_id_expr(F.col("px"), F.col("py"), cell_deg))
-
-    cls = classify_container_cells(rings, cell_deg).withColumnRenamed("ring_id", "container_id")
-
-    hits = pts.join(cls, "cell").filter(F.col("ring_id") != F.col("container_id"))
-    free = hits.filter(F.col("kind") == "in").select("ring_id", "container_id")
-
-    # boundary cells: exact vectorized ray-cast, container arrays joined once
-    # per (container, boundary-point) pair
+def containment_pairs(
+    points: DataFrame, containers: DataFrame, cell_deg: float = DEFAULT_CELL_DEG
+) -> DataFrame:
+    """(point_id, container_id) for every point strictly inside a container
+    ring. points: (point_id, px, py); containers: (ring_id, xs, ys)."""
+    pts = points.withColumn("cell", cell_id_expr(F.col("px"), F.col("py"), cell_deg))
+    cls = classify_container_cells(containers, cell_deg).withColumnRenamed(
+        "ring_id", "container_id"
+    )
+    hits = pts.join(cls, "cell")
+    free = hits.filter(F.col("kind") == "in").select("point_id", "container_id")
     bnd = (
         hits.filter(F.col("kind") == "bnd")
-        .select("ring_id", "px", "py", "container_id")
+        .select("point_id", "px", "py", "container_id")
         .join(
-            rings.select(
+            containers.select(
                 F.col("ring_id").alias("container_id"),
                 F.col("xs").alias("cxs"),
                 F.col("ys").alias("cys"),
@@ -138,140 +141,160 @@ def containment_pairs(rings: DataFrame, cell_deg: float = DEFAULT_CELL_DEG) -> D
                         )[0]
                     )
                 )
-            yield pdf.loc[keep, ["ring_id", "container_id"]]
+            yield pdf.loc[keep, ["point_id", "container_id"]]
 
-    exact_pairs = bnd.mapInPandas(exact, "ring_id long, container_id long")
+    exact_pairs = bnd.mapInPandas(exact, "point_id long, container_id long")
     return free.unionByName(exact_pairs).distinct()
 
 
-def polygonize(rings: DataFrame, cell_deg: float = DEFAULT_CELL_DEG) -> DataFrame:
-    """Closed rings (npoints>3, OSM orientation) → polygons with holes.
+@dataclass
+class PolygonizeResult:
+    polygons: DataFrame
+    invalid_count: int
+    invalid_error_lines: DataFrame  # 'invalid' error lines (empty when the
+    # run produced a single polygon — reference quirk, osmcoastline.cpp:140-146
+    # vs :91-99)
 
-    Output: POLYGONS_SCHEMA (+ ring lineage columns shell_ring_id,
-    hole_ring_ids). Coordinates are reversed to GIS orientation here.
-    """
-    rings = _with_env(rings).cache()
-    pairs = containment_pairs(rings, cell_deg)
 
-    depth = (
-        rings.select("ring_id")
-        .join(pairs.groupBy("ring_id").agg(F.count("*").alias("depth")), "ring_id", "left")
-        .fillna(0, ["depth"])
-    )
-
-    area = rings.select(
-        "ring_id",
-        F.abs(
-            F.aggregate(
-                F.zip_with(
-                    F.slice("xs", 1, F.size("xs") - 1),
-                    F.slice("ys", 2, F.size("ys") - 1),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            - F.aggregate(
-                F.zip_with(
-                    F.slice("xs", 2, F.size("xs") - 1),
-                    F.slice("ys", 1, F.size("ys") - 1),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-        ).alias("area2"),
-    )
-
-    shells = depth.filter(F.col("depth") % 2 == 0).select("ring_id")
-    holes = depth.filter(F.col("depth") % 2 == 1).select("ring_id")
-
-    # immediate parent of a hole: containing ring with depth-1 parity and
-    # minimal area among containers (ties broken by ring_id)
-    hole_parent = (
-        pairs.join(holes, "ring_id", "left_semi")
-        .join(
-            depth.select(F.col("ring_id").alias("container_id"), F.col("depth").alias("cdepth")),
-            "container_id",
-        )
-        .join(depth.select("ring_id", "depth"), "ring_id")
-        .filter(F.col("cdepth") == F.col("depth") - 1)
-        .join(area.select(F.col("ring_id").alias("container_id"), "area2"), "container_id")
-        .withColumn(
-            "rk",
-            F.row_number().over(Window.partitionBy("ring_id").orderBy("area2", "container_id")),
-        )
-        .filter(F.col("rk") == 1)
-        .select("ring_id", F.col("container_id").alias("shell_id"))
-    )
-
+def polygonize(rings: DataFrame, cell_deg: float = DEFAULT_CELL_DEG) -> PolygonizeResult:
+    """Closed rings (npoints>3, OSM orientation) → polygons with holes."""
+    spark = rings.sparkSession
     rev = rings.select(
         "ring_id",
-        F.reverse("xs").alias("rxs"),
-        F.reverse("ys").alias("rys"),
+        F.reverse("xs").alias("xs"),
+        F.reverse("ys").alias("ys"),
         "nways",
         "fixed",
-        "env_minx",
-        "env_miny",
-        "env_maxx",
-        "env_maxy",
+    ).withColumn("area2", _area2_expr("xs", "ys")).localCheckpoint(eager=True)
+
+    shells = rev.filter(F.col("area2") < 0)  # CW after reversal = outer
+    hole_cands = rev.filter(F.col("area2") >= 0)
+
+    hole_pts = hole_cands.select(
+        F.col("ring_id").alias("point_id"),
+        F.element_at("xs", 1).alias("px"),
+        F.element_at("ys", 1).alias("py"),
+    )
+    pairs = containment_pairs(hole_pts, shells.select("ring_id", "xs", "ys"), cell_deg)
+
+    # smallest containing shell wins (ties → ring_id)
+    parent = (
+        pairs.join(
+            shells.select(
+                F.col("ring_id").alias("container_id"), F.abs(F.col("area2")).alias("carea")
+            ),
+            "container_id",
+        )
+        .withColumn(
+            "rk", F.row_number().over(Window.partitionBy("point_id").orderBy("carea", "container_id"))
+        )
+        .filter(F.col("rk") == 1)
+        .select(F.col("point_id").alias("ring_id"), F.col("container_id").alias("shell_id"))
     )
 
-    shell_geo = rev.join(shells, "ring_id", "left_semi")
-    hole_geo = rev.join(hole_parent, "ring_id").select(
-        "shell_id", F.col("rxs").alias("hxs"), F.col("rys").alias("hys"),
+    orphan_holes = hole_cands.join(parent, "ring_id", "left_anti")
+    holes = hole_cands.join(parent, "ring_id")
+
+    # hole-in-hole ⇒ invalid shell (checked per shell; holes per shell are few)
+    hole_geo = holes.select(
+        "shell_id",
         F.col("ring_id").alias("hole_ring_id"),
+        F.col("xs").alias("hxs"),
+        F.col("ys").alias("hys"),
     )
+
+    def check_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        invalid = False
+        n = len(pdf)
+        arrs = [
+            (np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64))
+            for x, y in zip(pdf["hxs"], pdf["hys"])
+        ]
+        for i in range(n):
+            for j in range(n):
+                if i != j and geom.points_in_ring(
+                    arrs[i][0][:1], arrs[i][1][:1], arrs[j][0], arrs[j][1]
+                )[0]:
+                    invalid = True
+        return pd.DataFrame({"shell_id": [key[0]], "bad": [invalid]})
+
+    shell_valid = (
+        hole_geo.groupBy("shell_id").applyInPandas(check_group, "shell_id long, bad boolean")
+        if not hole_geo.isEmpty()
+        else spark.createDataFrame([], "shell_id long, bad boolean")
+    )
+    bad_shells = shell_valid.filter("bad").select("shell_id")
+
     hole_agg = hole_geo.groupBy("shell_id").agg(
         F.collect_list("hxs").alias("holes_x"),
         F.collect_list("hys").alias("holes_y"),
         F.collect_list("hole_ring_id").alias("hole_ring_ids"),
     )
 
-    return (
-        shell_geo.join(hole_agg, shell_geo.ring_id == hole_agg.shell_id, "left")
-        .select(
-            F.col("ring_id").alias("poly_id"),
-            F.col("rxs").alias("shell_x"),
-            F.col("rys").alias("shell_y"),
-            "holes_x",
-            "holes_y",
-            F.size("rxs").cast("int").alias("npoints"),
-            "env_minx",
-            "env_miny",
-            "env_maxx",
-            "env_maxy",
-            F.col("ring_id").alias("shell_ring_id"),
-            "hole_ring_ids",
-            "nways",
-            "fixed",
-        )
+    shell_polys = shells.join(hole_agg, shells.ring_id == hole_agg.shell_id, "left").drop(
+        "shell_id"
     )
+    # mark invalid shells
+    shell_polys = shell_polys.join(
+        bad_shells.withColumnRenamed("shell_id", "ring_id").withColumn("bad", F.lit(True)),
+        "ring_id",
+        "left",
+    ).fillna(False, ["bad"])
+
+    orphan_polys = orphan_holes.select(
+        "ring_id", "xs", "ys", "nways", "fixed", "area2"
+    ).withColumn("holes_x", F.lit(None).cast("array<array<double>>")).withColumn(
+        "holes_y", F.lit(None).cast("array<array<double>>")
+    ).withColumn("hole_ring_ids", F.lit(None).cast("array<long>")).withColumn(
+        "bad", F.lit(False)
+    )
+
+    all_polys = shell_polys.select(*orphan_polys.columns).unionByName(orphan_polys)
+
+    good = all_polys.filter(~F.col("bad"))
+    bad = all_polys.filter(F.col("bad"))
+    n_bad = bad.count()
+    n_good = good.count()
+
+    # reference quirk: the 'invalid' error line is only written on the
+    # multipolygon path (add_polygons_in_multi_to); a lone invalid polygon
+    # is dropped silently (errors++ only)
+    if n_bad and (n_good + n_bad) > 1:
+        invalid_lines = bad.select(
+            F.lit(0).cast("long").alias("osm_id"),
+            F.lit("invalid").alias("error"),
+            "xs",
+            "ys",
+        )
+    else:
+        invalid_lines = spark.createDataFrame(
+            [], "osm_id long, error string, xs array<double>, ys array<double>"
+        )
+
+    polys = good.select(
+        F.col("ring_id").alias("poly_id"),
+        F.col("xs").alias("shell_x"),
+        F.col("ys").alias("shell_y"),
+        "holes_x",
+        "holes_y",
+        F.size("xs").cast("int").alias("npoints"),
+        F.array_min("xs").alias("env_minx"),
+        F.array_min("ys").alias("env_miny"),
+        F.array_max("xs").alias("env_maxx"),
+        F.array_max("ys").alias("env_maxy"),
+        F.col("ring_id").alias("shell_ring_id"),
+        "hole_ring_ids",
+        "nways",
+        "fixed",
+    )
+    return PolygonizeResult(polygons=polys, invalid_count=n_bad, invalid_error_lines=invalid_lines)
 
 
 def fix_direction(polygons: DataFrame) -> tuple[DataFrame, DataFrame]:
     """G7 (reference src/coastline_polygons.cpp:93-114): exterior rings must
     be clockwise; fix and emit error_lines('direction') for flipped ones.
-    Pure column math — signed shoelace area via higher-order functions,
-    conditional reverse — no UDF, stays in codegen."""
-    area2 = F.aggregate(
-        F.zip_with(
-            F.slice("shell_x", 1, F.size("shell_x") - 1),
-            F.slice("shell_y", 2, F.size("shell_y") - 1),
-            lambda x, y: x * y,
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    ) - F.aggregate(
-        F.zip_with(
-            F.slice("shell_x", 2, F.size("shell_x") - 1),
-            F.slice("shell_y", 1, F.size("shell_y") - 1),
-            lambda x, y: x * y,
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    tagged = polygons.withColumn("ccw", area2 > 0)
+    Pure column math — no UDF, stays in codegen."""
+    tagged = polygons.withColumn("ccw", _area2_expr("shell_x", "shell_y") > 0)
     flipped = tagged.filter("ccw")
     errors = flipped.select(
         F.lit(0).cast("long").alias("osm_id"),

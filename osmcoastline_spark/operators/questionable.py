@@ -1,0 +1,70 @@
+"""J9/J10 — questionable-coastline detection.
+
+Reference: src/coastline_ring_collection.cpp:436-480. All rings are sorted
+by first location; for each output polygon, `lower_bound` on the polygon's
+exterior-ring start marks the FIRST ring with first_location >= start as
+'outer' (note: >=, not equality — and at equal locations the tie goes to the
+earliest-inserted ring, which is how a fully-duplicated ring ends up flagged
+while its twin is marked outer in invalid-duplicate-segments-1). Closed,
+not-outer rings with 3 < npoints < 10000 ⇒ error_lines('questionable'),
+NOT reversed (add_error_line(..., false)). 4326 only.
+
+Spark shape: the lower_bound over a global sort is a union of 'query' events
+(polygon starts) and 'ring' events ordered by (x, y, kind, ring_id) with a
+forward-looking window picking the next ring event. The window is global
+(matches the reference's single sorted vector); for planet-scale ring counts
+a range-partitioned variant would be substituted — ring cardinality is
+polygon-count-sized, far below row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from osmcoastline_spark.schemas import QUESTIONABLE_NPOINTS_CAP
+
+
+def questionable_rings(rings: DataFrame, polygons: DataFrame) -> DataFrame:
+    """rings: ALL assembled rings (closed and open, OSM orientation).
+    polygons: output polygons (GIS orientation)."""
+    ring_events = rings.select(
+        F.element_at("xs", 1).alias("x"),
+        F.element_at("ys", 1).alias("y"),
+        F.lit(1).alias("kind"),  # ring events sort after queries at equal loc
+        "ring_id",
+    )
+    query_events = polygons.select(
+        F.element_at("shell_x", 1).alias("x"),
+        F.element_at("shell_y", 1).alias("y"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("ring_id"),
+    )
+    w = (
+        Window.orderBy("x", "y", "kind", "ring_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    events = ring_events.unionByName(query_events).withColumn(
+        "marked", F.first("ring_id", ignorenulls=True).over(w)
+    )
+    outer_ids = (
+        events.filter(F.col("kind") == 0)
+        .select(F.col("marked").alias("ring_id"))
+        .dropna()
+        .distinct()
+    )
+
+    closed = F.element_at("node_ids", 1) == F.element_at("node_ids", -1)
+    return (
+        rings.join(outer_ids, "ring_id", "left_anti")
+        .filter(closed)
+        .withColumn("npoints", F.size("node_ids"))
+        .filter((F.col("npoints") > 3) & (F.col("npoints") < QUESTIONABLE_NPOINTS_CAP))
+        .select(
+            F.col("ring_id").alias("osm_id"),
+            F.lit("questionable").alias("error"),
+            "xs",
+            "ys",
+        )
+    )

@@ -47,61 +47,185 @@ def _init_chains(ways_loc: DataFrame) -> DataFrame:
         "ys",
         F.lit(1).alias("nways"),
         F.lit(False).alias("fixed"),
+        # 'lead' = first node of the min-way-id chain: closed rings are
+        # rotated to start here, mirroring the reference's
+        # insertion-order ring start (needed for questionable-marking and
+        # WKT golden parity).
+        F.element_at("node_ids", 1).alias("lead"),
     )
 
 
+def rotate_closed_to_lead(df: DataFrame) -> DataFrame:
+    """Rotate each CLOSED ring (first==last) so node_ids[0] == lead."""
+    pos = F.array_position("node_ids", F.col("lead"))
+    n = F.size("node_ids")
+
+    def rot(c):
+        col = F.col(c)
+        return F.when((pos <= 1) | (pos == 0), col).otherwise(
+            F.concat(
+                F.slice(col, pos.cast("int"), (n - pos).cast("int")),
+                F.slice(col, 2, (pos - 1).cast("int")),
+                F.array(F.element_at(col, pos.cast("int"))),
+            )
+        )
+
+    return (
+        df.withColumn("_nids", rot("node_ids"))
+        .withColumn("_xs", rot("xs"))
+        .withColumn("_ys", rot("ys"))
+        .drop("node_ids", "xs", "ys")
+        .withColumnRenamed("_nids", "node_ids")
+        .withColumnRenamed("_xs", "xs")
+        .withColumnRenamed("_ys", "ys")
+        .select(*df.columns)
+    )
+
+
+def _driver_finish_plan(endpoints: list[tuple[int, int, int]]) -> tuple[list, list]:
+    """Sequential chaining over (ring_id, first_node, last_node) tuples —
+    a port of the reference's add_partial_ring map juggling
+    (src/coastline_ring_collection.cpp:51-118) applied to partially
+    assembled chains in ascending ring_id order. Returns (plan, finalize)
+    rows for apply_merge_plan. State is O(open chains)."""
+
+    class Obj:
+        __slots__ = ("parts", "first", "last")
+
+        def __init__(self, rid, first, last):
+            self.parts = [rid]
+            self.first = first
+            self.last = last
+
+        @property
+        def closed(self):
+            return self.first == self.last
+
+    start_nodes: dict[int, Obj] = {}
+    end_nodes: dict[int, Obj] = {}
+    objs: list[Obj] = []
+
+    for rid, first, last in sorted(endpoints):
+        prev = end_nodes.get(first)
+        nxt = start_nodes.get(last)
+        if prev is None and nxt is None:
+            o = Obj(rid, first, last)
+            objs.append(o)
+            start_nodes[first] = o
+            end_nodes[last] = o
+            continue
+        if prev is not None:
+            prev.parts.append(rid)
+            end_nodes.pop(first, None)
+            prev.last = last
+            if prev.closed:
+                if start_nodes.get(prev.first) is prev:
+                    start_nodes.pop(prev.first, None)
+                continue
+            if nxt is not None and nxt is not prev:
+                prev.parts.extend(nxt.parts)
+                prev.last = nxt.last
+                start_nodes.pop(last, None)
+                objs.remove(nxt)
+                if prev.closed:
+                    if start_nodes.get(prev.first) is prev:
+                        start_nodes.pop(prev.first, None)
+                    if end_nodes.get(prev.last) is prev:
+                        end_nodes.pop(prev.last, None)
+                    continue
+            end_nodes[prev.last] = prev
+        elif nxt is not None:
+            nxt.parts.insert(0, rid)
+            start_nodes.pop(last, None)
+            nxt.first = first
+            if nxt.closed:
+                if end_nodes.get(nxt.last) is nxt:
+                    end_nodes.pop(nxt.last, None)
+                continue
+            start_nodes[nxt.first] = nxt
+
+    plan = []
+    finalize = []
+    for o in objs:
+        gid = min(o.parts)
+        for seq, rid in enumerate(o.parts):
+            plan.append((rid, gid, seq, seq > 0))
+        finalize.append((gid, False, False, False))
+    return plan, finalize
+
+
 def assemble_rings(
-    ways_loc: DataFrame, max_rounds: int = 64, checkpoint_every: int = 1
+    ways_loc: DataFrame,
+    max_rounds: int = 64,
+    checkpoint_every: int = 1,
+    driver_threshold: int = 200_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (closed_rings, open_rings) with schema
-    ring_id, node_ids, xs, ys, nways, fixed."""
+    ring_id, node_ids, xs, ys, nways, fixed, lead.
+
+    Hybrid strategy: distributed mating rounds while the open-chain count is
+    large; once it drops below `driver_threshold` (endpoints only — a few MB
+    even for a full planet's coastline ways), the remaining chain graph is
+    solved sequentially on the driver and applied as ONE distributed
+    concatenation pass. Chain count ∝ coastline ways, never ∝ rows, so the
+    driver step is bounded at any data scale; the distributed rounds exist
+    for inputs whose way count itself is huge.
+    """
     spark = ways_loc.sparkSession
     chains = _init_chains(ways_loc)
     closed = chains.filter(_closed())
     open_ = chains.filter(~_closed()).localCheckpoint(eager=True)
 
-    cols = ["ring_id", "node_ids", "xs", "ys", "nways", "fixed"]
+    cols = ["ring_id", "node_ids", "xs", "ys", "nways", "fixed", "lead"]
 
     for rnd in range(max_rounds):
-        if open_.isEmpty():
+        n_open = open_.count()
+        if n_open == 0:
+            break
+        if n_open <= driver_threshold:
+            eps = [
+                (r["ring_id"], r["first_node"], r["last_node"])
+                for r in _with_endpoints(open_).select("ring_id", "first_node", "last_node").collect()
+            ]
+            plan, finalize = _driver_finish_plan(eps)
+            from osmcoastline_spark.operators.merge_apply import apply_merge_plan
+
+            open_ = apply_merge_plan(spark, open_, plan, finalize).localCheckpoint(eager=True)
+            closed = closed.unionByName(open_.filter(_closed()))
+            open_ = open_.filter(~_closed())
             break
         a = _with_endpoints(open_).select(*cols, "first_node", "last_node")
+        # Endpoint OWNERSHIP: the reference's endpoint maps are assignments
+        # (m_start_nodes[id] = ring, coastline_ring_collection.cpp:59-62),
+        # so when bad data makes several chains share an endpoint node id,
+        # only the last-inserted (max way id) chain is reachable through it.
+        # We replicate that with a per-round max-ring_id window per endpoint
+        # — which also makes every (endpoint → chain) match unique.
+        a = a.withColumn(
+            "own_start",
+            F.col("ring_id") == F.max("ring_id").over(Window.partitionBy("first_node")),
+        ).withColumn(
+            "own_end",
+            F.col("ring_id") == F.max("ring_id").over(Window.partitionBy("last_node")),
+        )
         coin = F.pmod(F.xxhash64(F.col("ring_id"), F.lit(rnd)), F.lit(2))
-        heads = a.filter(coin == 0).select(
-            *[F.col(c).alias(f"a_{c}") for c in cols], F.col("last_node").alias("a_last")
+        heads_all = a.filter(F.col("own_end")).select(
+            *[F.col(c).alias(f"a_{c}") for c in cols],
+            F.col("last_node").alias("a_last"),
+            (coin == 0).alias("a_coin"),
         )
-        tails = a.filter(coin == 1).select(
-            *[F.col(c).alias(f"b_{c}") for c in cols], F.col("first_node").alias("b_first")
+        tails_all = a.filter(F.col("own_start")).select(
+            *[F.col(c).alias(f"b_{c}") for c in cols],
+            F.col("first_node").alias("b_first"),
+            (coin == 1).alias("b_coin"),
         )
-        pairs = heads.join(tails, heads.a_last == tails.b_first).filter(
+        pairs_all = heads_all.join(tails_all, heads_all.a_last == tails_all.b_first).filter(
             F.col("a_ring_id") != F.col("b_ring_id")
-        )
-        # Valid coastline data has unique endpoint ids; guard against bad
-        # data producing multi-matches: keep a deterministic min partner.
-        pairs = (
-            pairs.withColumn(
-                "rk", F.row_number().over(Window.partitionBy("a_ring_id").orderBy("b_ring_id"))
-            )
-            .filter(F.col("rk") == 1)
-            .withColumn(
-                "rk2", F.row_number().over(Window.partitionBy("b_ring_id").orderBy("a_ring_id"))
-            )
-            .filter(F.col("rk2") == 1)
-        )
+        ).localCheckpoint(eager=True)
+        if pairs_all.isEmpty():
+            break
+        pairs = pairs_all.filter(F.col("a_coin") & F.col("b_coin"))
         if pairs.isEmpty():
-            # no mergeable pair this round; if no pair exists at all we are done
-            any_pair = (
-                _with_endpoints(open_)
-                .alias("x")
-                .join(
-                    _with_endpoints(open_).alias("y"),
-                    (F.col("x.last_node") == F.col("y.first_node"))
-                    & (F.col("x.ring_id") != F.col("y.ring_id")),
-                    "left_semi",
-                )
-            )
-            if any_pair.isEmpty():
-                break
             continue
 
         merged = pairs.select(
@@ -118,6 +242,9 @@ def assemble_rings(
             ).alias("ys"),
             (F.col("a_nways") + F.col("b_nways")).alias("nways"),
             (F.col("a_fixed") | F.col("b_fixed")).alias("fixed"),
+            F.when(F.col("a_ring_id") < F.col("b_ring_id"), F.col("a_lead"))
+            .otherwise(F.col("b_lead"))
+            .alias("lead"),
         )
         consumed = pairs.select(F.col("a_ring_id").alias("ring_id")).unionAll(
             pairs.select(F.col("b_ring_id").alias("ring_id"))
@@ -131,7 +258,7 @@ def assemble_rings(
         closed = closed.unionByName(newly_closed)
         open_ = open_.filter(~_closed())
 
-    closed = closed.localCheckpoint(eager=True)
+    closed = rotate_closed_to_lead(closed).localCheckpoint(eager=True)
     open_ = open_.localCheckpoint(eager=True)
     return closed, open_
 

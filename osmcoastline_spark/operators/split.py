@@ -1,0 +1,160 @@
+"""R4 — recursive polygon split into a quadtree-like tile grid.
+
+Reference: src/coastline_polygons.cpp:122-243. While a polygon's exterior
+has more than max_points points: halve its envelope along the longer axis,
+expand each half by bbox_overlap (clamped to the SRS extent), intersect,
+recurse. Defaults: max_points=1000 (options.hpp:61), overlap=0.0001° /
+10 m (options.cpp:216-222); give up when the overlap is ≥ 1/4 of the
+envelope extent (split would not shrink).
+
+Spark plan: a driver-controlled fixpoint — each iteration is ONE distributed
+pass where every oversized polygon splits into its two halves via the exact
+cut-by-line kernel (geom.cut_ring — true multi-part results, unlike a
+Sutherland–Hodgman clip). Finished polygons accumulate; only oversized ones
+loop. Skew note: a single giant polygon (Eurasia) dominates early rounds —
+rows are per-polygon so AQE rebalances; after O(log(npoints/max_points))
+rounds the giant has fanned out into thousands of parallel rows, which is
+exactly the point of the split.
+
+Holes: each hole is cut by the same line; pieces attach to the child whose
+shell contains their first vertex (even-odd region semantics preserved).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osmcoastline_spark import geom
+from osmcoastline_spark.schemas import EXTENT_3857, EXTENT_4326
+
+_SPLIT_SCHEMA = (
+    "poly_id long, shell_x array<double>, shell_y array<double>, "
+    "holes_x array<array<double>>, holes_y array<array<double>>, "
+    "npoints int, env_minx double, env_miny double, env_maxx double, env_maxy double, "
+    "final boolean, depth int"
+)
+
+
+def _split_one(
+    row, expand: float, extent: tuple[float, float, float, float]
+) -> list[dict]:
+    xs = np.asarray(row["shell_x"], dtype=np.float64)
+    ys = np.asarray(row["shell_y"], dtype=np.float64)
+    minx, miny, maxx, maxy = geom.envelope(xs, ys)
+    if maxx - minx < maxy - miny:
+        if expand >= (maxy - miny) / 4:
+            return [_emit(row, final=True)]
+        axis, mid = 1, (maxy + miny) / 2
+    else:
+        if expand >= (maxx - minx) / 4:
+            return [_emit(row, final=True)]
+        axis, mid = 0, (maxx + minx) / 2
+    lo_c = min(mid + expand, extent[2] if axis == 0 else extent[3])
+    hi_c = max(mid - expand, extent[0] if axis == 0 else extent[1])
+
+    lo_pieces = geom.cut_ring(xs, ys, axis, lo_c, keep_low=True)
+    hi_pieces = geom.cut_ring(xs, ys, axis, hi_c, keep_low=False)
+    if not lo_pieces or not hi_pieces:
+        # split unsuccessful — keep un-split (reference :215-217)
+        return [_emit(row, final=True)]
+
+    # distribute holes
+    holes_x = row["holes_x"] or []
+    holes_y = row["holes_y"] or []
+    lo_holes: list[tuple[np.ndarray, np.ndarray]] = []
+    hi_holes: list[tuple[np.ndarray, np.ndarray]] = []
+    for hx, hy in zip(holes_x, holes_y):
+        lo_holes.extend(geom.cut_ring(np.asarray(hx), np.asarray(hy), axis, lo_c, True))
+        hi_holes.extend(geom.cut_ring(np.asarray(hx), np.asarray(hy), axis, hi_c, False))
+
+    out = []
+    child_no = 0
+    for side_pieces, side_holes, side_tag in ((lo_pieces, lo_holes, 0), (hi_pieces, hi_holes, 1)):
+        for k, (px, py) in enumerate(side_pieces):
+            child_no += 1
+            hxs, hys = [], []
+            for hx, hy in side_holes:
+                if geom.points_in_ring(hx[:1], hy[:1], px, py)[0]:
+                    hxs.append(hx.tolist())
+                    hys.append(hy.tolist())
+            e = geom.envelope(px, py)
+            out.append(
+                {
+                    # collision-free child id lineage: 5 bits per level
+                    # (≤31 children per split is ample; ids stay traceable)
+                    "poly_id": (row["poly_id"] << 5) | (child_no & 0x1F),
+                    "shell_x": px.tolist(),
+                    "shell_y": py.tolist(),
+                    "holes_x": hxs,
+                    "holes_y": hys,
+                    "npoints": len(px),
+                    "env_minx": e[0],
+                    "env_miny": e[1],
+                    "env_maxx": e[2],
+                    "env_maxy": e[3],
+                    "final": False,
+                    "depth": row["depth"] + 1,
+                }
+            )
+    return out
+
+
+def _emit(row, final: bool) -> dict:
+    d = {k: row[k] for k in (
+        "poly_id", "shell_x", "shell_y", "holes_x", "holes_y",
+        "npoints", "env_minx", "env_miny", "env_maxx", "env_maxy",
+    )}
+    d["shell_x"] = list(d["shell_x"])
+    d["shell_y"] = list(d["shell_y"])
+    d["final"] = final
+    d["depth"] = row["depth"]
+    return d
+
+
+def split_polygons(
+    polygons: DataFrame,
+    max_points: int = 1000,
+    expand: float = 0.0001,
+    epsg: int = 4326,
+    max_rounds: int = 48,
+) -> DataFrame:
+    """Iterative R4. Input/Output: POLYGONS_SCHEMA columns (lineage columns
+    are preserved on finished rows via pass-through union)."""
+    extent = EXTENT_4326 if epsg == 4326 else EXTENT_3857
+    base_cols = [
+        "poly_id", "shell_x", "shell_y", "holes_x", "holes_y",
+        "npoints", "env_minx", "env_miny", "env_maxx", "env_maxy",
+    ]
+    work = polygons.select(*base_cols).withColumn("depth", F.lit(0))
+    done = work.filter(F.col("npoints") <= max_points).withColumn("final", F.lit(True))
+    todo = work.filter(F.col("npoints") > max_points)
+
+    for _ in range(max_rounds):
+        if todo.isEmpty():
+            break
+
+        def split_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                rows = []
+                for _, row in pdf.iterrows():
+                    rows.extend(_split_one(row, expand, extent))
+                if rows:
+                    yield pd.DataFrame(rows)
+
+        children = todo.withColumn("final", F.lit(False)).mapInPandas(
+            split_batch, _SPLIT_SCHEMA
+        ).localCheckpoint(eager=True)
+        done = done.unionByName(
+            children.filter(F.col("final") | (F.col("npoints") <= max_points))
+        ).localCheckpoint(eager=True)
+        todo = children.filter(~F.col("final") & (F.col("npoints") > max_points))
+
+    # anything still oversized after max_rounds is kept as-is (refuse to loop
+    # forever — mirrors the reference's give-up paths)
+    done = done.unionByName(todo.withColumn("final", F.lit(True)))
+    return done.drop("final", "depth")

@@ -1,0 +1,178 @@
+"""R5 — water polygons as the per-tile inverse of land + G15 tile grid.
+
+Reference: src/coastline_polygons.cpp:322-442 recursively partitions land
+polygons into bboxes (≤100 per leaf) and computes box − p1 − p2 − …; the SQL
+formulation (simplify_and_split_postgis/create_water_polygons.sql:13-31) is
+per-tile `ST_Difference(tile, ST_Union(land))` plus whole-tile water for
+land-free tiles (J15 anti-join). We implement the SQL formulation — it is
+the shape that parallelizes:
+
+    tile-cover join (J12: a polygon overlapping k tiles clones into k rows —
+    exactly the reference's clone-into-both-children at :430-432)
+    → groupBy(tile).applyInPandas(tile − land)
+    → anti-join for land-free tiles.
+
+Water region representation: even-odd polygon — shell = tile rectangle,
+interior rings = land shells AND land holes clipped to the tile (a land hole
+is water, so its ring flips the region back in; even-odd gives exactly
+tile − (shell − holes)). Area/containment semantics are exact; OGC-strict
+multi-shell decomposition is deferred to the sink.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osmcoastline_spark import geom
+from osmcoastline_spark.cells import CELL_STRIDE, bbox_cover_cells_expr
+
+
+def tile_grid(spark, zoom: int, extent=(-180.0, -90.0, 180.0, 90.0)) -> DataFrame:
+    """G15: 2^zoom × 2^zoom tile grid as pure column math over spark.range
+    (reference setup_bbox_tiles.sql:13-25)."""
+    n = 2**zoom
+    w = (extent[2] - extent[0]) / n
+    h = (extent[3] - extent[1]) / n
+    return (
+        spark.range(n * n)
+        .select(
+            (F.col("id") % n).alias("tx"),
+            (F.col("id") / n).cast("long").alias("ty"),
+        )
+        .select(
+            "tx",
+            "ty",
+            (F.lit(extent[0]) + F.col("tx") * w).alias("tile_minx"),
+            (F.lit(extent[1]) + F.col("ty") * h).alias("tile_miny"),
+            (F.lit(extent[0]) + (F.col("tx") + 1) * w).alias("tile_maxx"),
+            (F.lit(extent[1]) + (F.col("ty") + 1) * h).alias("tile_maxy"),
+        )
+    )
+
+
+def water_polygons(
+    land: DataFrame, cell_deg: float, extent=(-180.0, -90.0, 180.0, 90.0),
+    include_empty_tiles: bool = False,
+) -> DataFrame:
+    """Water = tile − land for every tile the land touches (and optionally
+    full-water tiles for the rest of the world).
+
+    `land`: POLYGONS_SCHEMA columns. Tiles are the cell grid of size
+    cell_deg. Output: tile cell id + water polygon (shell=tile, holes=land
+    pieces), env bounds.
+    """
+    spark = land.sparkSession
+    covered = land.withColumn(
+        "cell",
+        F.explode(
+            bbox_cover_cells_expr(
+                F.col("env_minx"), F.col("env_miny"), F.col("env_maxx"), F.col("env_maxy"), cell_deg
+            )
+        ),
+    )
+
+    def tile_bounds(cell: int) -> tuple[float, float, float, float]:
+        ix, iy = divmod(int(cell), CELL_STRIDE)
+        return (
+            ix * cell_deg - 180.0,
+            iy * cell_deg - 90.0,
+            (ix + 1) * cell_deg - 180.0,
+            (iy + 1) * cell_deg - 90.0,
+        )
+
+    def diff(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(key[0])
+        tminx, tminy, tmaxx, tmaxy = tile_bounds(cell)
+        tile_area2 = 2.0 * (tmaxx - tminx) * (tmaxy - tminy)
+        holes_x, holes_y = [], []
+        covered_area2 = 0.0
+        for _, row in pdf.iterrows():
+            rings = [(np.asarray(row["shell_x"]), np.asarray(row["shell_y"]))]
+            for hx, hy in zip(row["holes_x"] or [], row["holes_y"] or []):
+                rings.append((np.asarray(hx), np.asarray(hy)))
+            for i, (rx, ry) in enumerate(rings):
+                for px, py in geom.clip_ring_rect(rx, ry, tminx, tminy, tmaxx, tmaxy):
+                    a2 = abs(geom.signed_area2(px, py))
+                    if a2 == 0.0:
+                        continue
+                    covered_area2 += a2 if i == 0 else -a2
+                    holes_x.append(px.tolist())
+                    holes_y.append(py.tolist())
+        if covered_area2 >= tile_area2 - 1e-12:
+            return pd.DataFrame(
+                columns=["cell", "shell_x", "shell_y", "holes_x", "holes_y",
+                         "env_minx", "env_miny", "env_maxx", "env_maxy"]
+            )
+        shell_x = [tminx, tminx, tmaxx, tmaxx]
+        shell_y = [tminy, tmaxy, tmaxy, tminy]  # clockwise (GIS outer)
+        return pd.DataFrame(
+            {
+                "cell": [cell],
+                "shell_x": [shell_x],
+                "shell_y": [shell_y],
+                "holes_x": [holes_x],
+                "holes_y": [holes_y],
+                "env_minx": [tminx],
+                "env_miny": [tminy],
+                "env_maxx": [tmaxx],
+                "env_maxy": [tmaxy],
+            }
+        )
+
+    schema = (
+        "cell long, shell_x array<double>, shell_y array<double>, "
+        "holes_x array<array<double>>, holes_y array<array<double>>, "
+        "env_minx double, env_miny double, env_maxx double, env_maxy double"
+    )
+    water = covered.groupBy("cell").applyInPandas(diff, schema)
+
+    if include_empty_tiles:
+        nx = int(round((extent[2] - extent[0]) / cell_deg))
+        ny = int(round((extent[3] - extent[1]) / cell_deg))
+        x0 = int((extent[0] + 180.0) / cell_deg)
+        y0 = int((extent[1] + 90.0) / cell_deg)
+        all_tiles = spark.range(nx * ny).select(
+            ((F.col("id") % nx + x0) * CELL_STRIDE + (F.col("id") / nx).cast("long") + y0).alias(
+                "cell"
+            )
+        )
+        # J15: tiles with no land at all ⇒ whole-tile water
+        empty = all_tiles.join(covered.select("cell").distinct(), "cell", "left_anti")
+
+        def full_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for cell in pdf["cell"]:
+                tminx, tminy, tmaxx, tmaxy = tile_bounds(int(cell))
+                rows.append(
+                    {
+                        "cell": int(cell),
+                        "shell_x": [tminx, tminx, tmaxx, tmaxx],
+                        "shell_y": [tminy, tmaxy, tmaxy, tminy],
+                        "holes_x": [],
+                        "holes_y": [],
+                        "env_minx": tminx,
+                        "env_miny": tminy,
+                        "env_maxx": tmaxx,
+                        "env_maxy": tmaxy,
+                    }
+                )
+            return pd.DataFrame(
+                rows, columns=["cell", "shell_x", "shell_y", "holes_x", "holes_y",
+                               "env_minx", "env_miny", "env_maxx", "env_maxy"]
+            )
+
+        water = water.unionByName(empty.mapInPandas(lambda it: map(full_tile, it), schema))
+
+    return water
+
+
+def drop_antimeridian_slivers(water: DataFrame, max_x: float = 179.9999) -> DataFrame:
+    """F7 (reference src/coastline_polygons.cpp:316-320,469-490): drop water
+    polygons whose envelope lies entirely inside the antimeridian sliver
+    bands — pure column predicates on the envelope."""
+    return water.filter(
+        ~((F.col("env_minx") >= max_x) | (F.col("env_maxx") <= -max_x))
+    )

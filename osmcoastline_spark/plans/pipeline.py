@@ -1,0 +1,322 @@
+"""The full osmcoastline DAG (reference src/osmcoastline.cpp:177-440, §3.1 of
+SURVEY.md) as one orchestrated Spark job.
+
+Ordering constraints preserved: intersections before gap closing (closing
+segments never appear in the segment dump); fix_direction before transform
+(winding checked in 4326); questionable before split, 4326 only; water
+derivation consumes the *split* land polygons.
+
+Warning/error accounting matches the reference:
+  warnings: intersections+overlaps, output_rings routing, turned-around
+            polygons, questionable rings
+  errors:   fixed rings, unconnected nodes after closing, 'No polygons
+            created!' (+1)
+  exit:     2 if errors or warnings > 500; 1 if warnings; else 0
+            (src/osmcoastline.cpp:70,428-439)
+
+Known deviations (no GEOS in this container, all geometry pure numpy):
+  * Buffer(0) self-repair of invalid rings is not performed; such rings are
+    kept (they were already reported via intersection errors).
+  * check_polygons post-split validity warnings are not emitted.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osmcoastline_spark import geom
+from osmcoastline_spark.operators.antarctica import close_antarctica_ring
+from osmcoastline_spark.operators.close import close_rings
+from osmcoastline_spark.operators.filter import coastline_ways, tagged_node_errors
+from osmcoastline_spark.operators.intersections import (
+    duplicate_segments,
+    intersection_errors,
+    ring_segments,
+)
+from osmcoastline_spark.operators.lines import rings_to_lines
+from osmcoastline_spark.operators.locations import missing_location_count, ways_with_locations
+from osmcoastline_spark.operators.polygonize import fix_direction, polygonize
+from osmcoastline_spark.operators.questionable import questionable_rings
+from osmcoastline_spark.operators.rings import assemble_rings, route_rings
+from osmcoastline_spark.operators.split import split_polygons
+from osmcoastline_spark.operators.water import drop_antimeridian_slivers, water_polygons
+from osmcoastline_spark.schemas import (
+    DEFAULT_BBOX_OVERLAP_3857,
+    DEFAULT_BBOX_OVERLAP_4326,
+    DEFAULT_CLOSE_DISTANCE,
+    DEFAULT_MAX_POINTS_IN_POLYGON,
+    ERROR_LINES_SCHEMA,
+    ERROR_POINTS_SCHEMA,
+    MAX_WARNINGS,
+)
+
+
+@dataclass
+class Options:
+    epsg: int = 4326
+    close_distance: float = DEFAULT_CLOSE_DISTANCE
+    max_points_in_polygon: int = DEFAULT_MAX_POINTS_IN_POLYGON
+    bbox_overlap: float | None = None
+    split_large_polygons: bool = True
+    output_rings: bool = False
+    output_lines: bool = False
+    output_polygons: str = "land"  # land | water | both | none
+    water_cell_deg: float = 1.0
+    cell_deg: float = 0.5  # intersection-join binning
+
+    def effective_overlap(self) -> float:
+        if self.bbox_overlap is not None:
+            return self.bbox_overlap
+        return DEFAULT_BBOX_OVERLAP_4326 if self.epsg == 4326 else DEFAULT_BBOX_OVERLAP_3857
+
+
+@dataclass
+class PipelineResult:
+    tables: dict = field(default_factory=dict)  # name -> DataFrame
+    stats: dict = field(default_factory=dict)
+    warnings: int = 0
+    errors: int = 0
+
+    @property
+    def exit_code(self) -> int:
+        if self.errors or self.warnings > MAX_WARNINGS:
+            return 2
+        if self.warnings:
+            return 1
+        return 0
+
+
+def _empty(spark: SparkSession, schema):
+    return spark.createDataFrame([], schema)
+
+
+def _transform_polygons_3857(polys: DataFrame) -> DataFrame:
+    """G11: closed-form WebMercator, vectorized over Arrow batches."""
+
+    def tx(it):
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                sx, sy = geom.merc_forward(row["shell_x"], row["shell_y"])
+                hx = [geom.merc_forward(a, b)[0].tolist() for a, b in zip(row["holes_x"] or [], row["holes_y"] or [])]
+                hy = [geom.merc_forward(a, b)[1].tolist() for a, b in zip(row["holes_x"] or [], row["holes_y"] or [])]
+                r = dict(row)
+                r["shell_x"], r["shell_y"] = sx.tolist(), sy.tolist()
+                r["holes_x"], r["holes_y"] = hx, hy
+                ex, ey = geom.merc_forward(
+                    [row["env_minx"], row["env_maxx"]], [row["env_miny"], row["env_maxy"]]
+                )
+                r["env_minx"], r["env_maxx"] = float(ex[0]), float(ex[1])
+                r["env_miny"], r["env_maxy"] = float(ey[0]), float(ey[1])
+                rows.append(r)
+            yield pd.DataFrame(rows, columns=list(pdf.columns))
+
+    return polys.mapInPandas(tx, polys.schema)
+
+
+def run_pipeline(
+    spark: SparkSession, nodes: DataFrame, ways: DataFrame, options: Options | None = None
+) -> PipelineResult:
+    opt = options or Options()
+    res = PipelineResult()
+
+    error_points = [tagged_node_errors(nodes)]
+    error_lines = [_empty(spark, ERROR_LINES_SCHEMA)]
+
+    # pass 1+2: filter, locations
+    cways = coastline_ways(ways)
+    res.stats["ways"] = cways.count()
+    missing = missing_location_count(cways, nodes)
+    if missing:
+        res.stats["missing_locations"] = missing
+        res.errors += 1
+        return res
+    ways_loc = ways_with_locations(cways, nodes)
+
+    # R1 assembly
+    closed, open_ = assemble_rings(ways_loc)
+    res.stats["rings_from_single_way"] = closed.filter(F.col("nways") == 1).count()
+    res.stats["unconnected_nodes_before_close"] = open_.count() * 2
+
+    # J5/J6 intersections & overlaps (before closing!)
+    segs = ring_segments(closed.unionByName(open_))
+    overlaps = duplicate_segments(segs)
+    isects = intersection_errors(segs, opt.cell_deg)
+    n_overlaps = overlaps.count()
+    n_isects = isects.count()
+    res.warnings += n_overlaps + n_isects
+    res.stats["overlaps"] = n_overlaps
+    res.stats["intersections"] = n_isects
+    error_lines.append(overlaps)
+    error_points.append(isects)
+    res.tables["segments"] = segs
+
+    # G12 Antarctica
+    open_, found = close_antarctica_ring(open_, opt.epsg)
+    res.stats["antarctica_closed"] = found
+    newly = open_.filter(F.element_at("node_ids", 1) == F.element_at("node_ids", -1))
+    closed = closed.unionByName(newly.select(*closed.columns))
+    open_ = open_.filter(F.element_at("node_ids", 1) != F.element_at("node_ids", -1))
+
+    # R2 gap closing. Open rings ENTIRELY made of duplicated segments are
+    # leftover duplicate-way artifacts — the reference orphans them via its
+    # endpoint-map overwrite semantics (see invalid-duplicate-segments-1);
+    # we detect them explicitly and exclude them from closing.
+    if opt.close_distance > 0:
+        open_segs = ring_segments(open_)
+        dup_keys = (
+            segs.groupBy("x1", "y1", "x2", "y2").count().filter(F.col("count") > 1).drop("count")
+        )
+        per_ring = open_segs.groupBy("ring_id").agg(F.count("*").alias("ntot"))
+        dup_per_ring = (
+            open_segs.join(dup_keys, ["x1", "y1", "x2", "y2"], "left_semi")
+            .groupBy("ring_id")
+            .agg(F.count("*").alias("ndup"))
+        )
+        orphan_ids = (
+            per_ring.join(dup_per_ring, "ring_id")
+            .filter(F.col("ndup") == F.col("ntot"))
+            .select("ring_id")
+        )
+        orphans = open_.join(orphan_ids, "ring_id", "left_semi")
+        active = open_.join(orphan_ids, "ring_id", "left_anti")
+        merged, cres = close_rings(active, opt.close_distance)
+        merged = merged.unionByName(orphans)
+        res.stats["rings_fixed"] = cres.fixed_rings
+        res.stats["unconnected_nodes"] = cres.unconnected_nodes
+        res.errors += cres.fixed_rings + cres.unconnected_nodes
+        if cres.error_points:
+            error_points.append(spark.createDataFrame(cres.error_points, ERROR_POINTS_SCHEMA))
+        if cres.error_lines:
+            error_lines.append(spark.createDataFrame(cres.error_lines, ERROR_LINES_SCHEMA))
+        now_closed = merged.filter(F.element_at("node_ids", 1) == F.element_at("node_ids", -1))
+        closed = closed.unionByName(now_closed.select(*closed.columns))
+        open_ = merged.filter(F.element_at("node_ids", 1) != F.element_at("node_ids", -1))
+    res.stats["rings"] = closed.count()
+
+    routed = route_rings(closed)
+
+    if opt.output_rings:
+        # routing warnings: single_point / not_a_ring / not_closed (+end_point)
+        sp = routed["single_point"]
+        nar = routed["not_a_ring"]
+        res.warnings += sp.count() + nar.count() + open_.count()
+        error_points.append(
+            sp.select(
+                F.element_at("node_ids", 1).alias("osm_id"),
+                F.lit("single_point_in_ring").alias("error"),
+                F.element_at("xs", 1).alias("x"),
+                F.element_at("ys", 1).alias("y"),
+            )
+        )
+        error_lines.append(
+            nar.select(
+                F.col("ring_id").alias("osm_id"),
+                F.lit("not_a_ring").alias("error"),
+                F.reverse("xs").alias("xs"),
+                F.reverse("ys").alias("ys"),
+            )
+        )
+        error_points.append(
+            nar.selectExpr(
+                "element_at(node_ids, 1) as osm_id", "'not_a_ring' as error",
+                "element_at(xs, 1) as x", "element_at(ys, 1) as y"
+            ).unionByName(
+                nar.selectExpr(
+                    "element_at(node_ids, -1) as osm_id", "'not_a_ring' as error",
+                    "element_at(xs, -1) as x", "element_at(ys, -1) as y"
+                )
+            )
+        )
+        error_lines.append(
+            open_.select(
+                F.col("ring_id").alias("osm_id"),
+                F.lit("not_closed").alias("error"),
+                F.reverse("xs").alias("xs"),
+                F.reverse("ys").alias("ys"),
+            )
+        )
+        error_points.append(
+            open_.selectExpr(
+                "element_at(node_ids, 1) as osm_id", "'end_point' as error",
+                "element_at(xs, 1) as x", "element_at(ys, 1) as y"
+            ).unionByName(
+                open_.selectExpr(
+                    "element_at(node_ids, -1) as osm_id", "'end_point' as error",
+                    "element_at(xs, -1) as x", "element_at(ys, -1) as y"
+                )
+            )
+        )
+        res.tables["rings"] = routed["polygonizable"].select(
+            F.col("ring_id").alias("osm_id"),
+            "nways",
+            "npoints",
+            F.col("fixed").cast("int").alias("fixed"),
+            "node_ids",
+            "xs",
+            "ys",
+        )
+
+    if opt.output_polygons != "none" or opt.output_lines:
+        polygonizable = routed["polygonizable"]
+        if polygonizable.isEmpty():
+            res.errors += 1  # "No polygons created!" (osmcoastline.cpp:119,414-417)
+            res.stats["no_polygons"] = True
+        else:
+            pres = polygonize(polygonizable)
+            polys = pres.polygons
+            res.errors += pres.invalid_count
+            res.stats["invalid_polygons"] = pres.invalid_count
+            error_lines.append(pres.invalid_error_lines)
+            res.stats["land_polygons_before_split"] = polys.count()
+            polys, direrr = fix_direction(polys)
+            turned = direrr.count()
+            res.warnings += turned
+            res.stats["rings_turned_around"] = turned
+            error_lines.append(direrr)
+
+            if opt.epsg != 4326:
+                polys = _transform_polygons_3857(polys)
+
+            if opt.output_lines:
+                res.tables["lines"] = rings_to_lines(
+                    polys, opt.max_points_in_polygon, opt.epsg
+                )
+
+            if opt.output_polygons != "none":
+                if opt.epsg == 4326:
+                    all_rings = closed.unionByName(open_)
+                    q = questionable_rings(all_rings, polys)
+                    nq = q.count()
+                    res.warnings += nq
+                    res.stats["questionable"] = nq
+                    error_lines.append(q.select("osm_id", "error", "xs", "ys"))
+
+                if opt.split_large_polygons and opt.max_points_in_polygon > 0:
+                    polys = split_polygons(
+                        polys,
+                        opt.max_points_in_polygon,
+                        opt.effective_overlap(),
+                        opt.epsg,
+                    )
+                    res.stats["land_polygons_after_split"] = polys.count()
+
+                if opt.output_polygons in ("land", "both"):
+                    res.tables["land_polygons"] = polys
+                if opt.output_polygons in ("water", "both"):
+                    water = water_polygons(polys, opt.water_cell_deg)
+                    res.tables["water_polygons"] = drop_antimeridian_slivers(water)
+
+    ep = error_points[0]
+    for df in error_points[1:]:
+        ep = ep.unionByName(df)
+    el = error_lines[0]
+    for df in error_lines[1:]:
+        el = el.unionByName(df)
+    res.tables["error_points"] = ep
+    res.tables["error_lines"] = el
+    return res

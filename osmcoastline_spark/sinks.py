@@ -1,0 +1,77 @@
+"""S6/S8 — multi-layer sink with snapshot checkpoints, lineage and metrics.
+
+Production shape (north rule): each pipeline stage commits an Iceberg table
+snapshot; resume = start from the last committed stage. This container has
+no Iceberg runtime, so the same contract is implemented as parquet dirs plus
+an atomic `_MANIFEST.json` written *after* the data — a stage directory
+without a manifest is an uncommitted snapshot and is ignored on resume.
+
+Spatial layout: geometry tables are written sorted by a Morton (Z-order)
+code of their envelope center — the Iceberg sort-order / metadata-pruning
+stand-in (reference's spatialite spatial index, output_database.cpp:241-256).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osmcoastline_spark.cells import morton_interleave_expr
+
+MANIFEST = "_MANIFEST.json"
+
+
+class CheckpointSink:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _dir(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def exists(self, stage: str) -> bool:
+        return os.path.exists(os.path.join(self._dir(stage), MANIFEST))
+
+    def write(self, stage: str, df: DataFrame, *, spatial: bool = False,
+              lineage: dict | None = None) -> int:
+        """Commit a stage snapshot; returns row count."""
+        path = self._dir(stage)
+        out = df
+        if spatial and {"env_minx", "env_maxx", "env_miny", "env_maxy"} <= set(df.columns):
+            cx = (F.col("env_minx") + F.col("env_maxx")) / 2
+            cy = (F.col("env_miny") + F.col("env_maxy")) / 2
+            out = df.withColumn("zorder", morton_interleave_expr(cx, cy)).sortWithinPartitions(
+                "zorder"
+            )
+        out.write.mode("overwrite").parquet(path)
+        n = df.sparkSession.read.parquet(path).count()
+        manifest = {
+            "stage": stage,
+            "rows": n,
+            "committed_at": time.time(),
+            "schema": df.schema.simpleString(),
+            "lineage": lineage or {},
+        }
+        tmp = os.path.join(path, MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(path, MANIFEST))
+        return n
+
+    def read(self, spark: SparkSession, stage: str) -> DataFrame:
+        if not self.exists(stage):
+            raise FileNotFoundError(f"stage {stage!r} has no committed snapshot")
+        return spark.read.parquet(self._dir(stage))
+
+    def manifest(self, stage: str) -> dict:
+        with open(os.path.join(self._dir(stage), MANIFEST)) as f:
+            return json.load(f)
+
+    def write_meta(self, stats: dict, options: dict) -> None:
+        """S8: run metadata + options (reference output_database.cpp:91-137)."""
+        with open(os.path.join(self.root, "meta.json"), "w") as f:
+            json.dump({"stats": stats, "options": options, "written_at": time.time()}, f, indent=2)

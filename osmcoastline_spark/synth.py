@@ -162,6 +162,24 @@ def synth_images_for_nodes(nodes: DataFrame, seed: int = 42) -> DataFrame:
 # ------------------------------------------------------------- fixtures
 
 
+def nodegrid(ascii_art: str) -> list[tuple[int, float, float]]:
+    """Port of the reference's nodegrid2opl fixture format
+    (/root/reference/src/nodegrid2opl.cpp:83-103): grid chars 0-9a-z ⇒
+    node id 100+value at lon = 1 + col*0.01 (cols from 1), lat = 1 + y*0.01
+    with y starting at 100 on the first line and decreasing per line."""
+    nodes = []
+    y = 100
+    for line in ascii_art.splitlines():
+        x = 1
+        for c in line:
+            if c.isdigit() or ("a" <= c <= "z"):
+                nid = 100 + (ord(c) - ord("0") if c.isdigit() else ord(c) - ord("a") + 10)
+                nodes.append((nid, 1 + x * 0.01, 1 + y * 0.01))
+            x += 1
+        y -= 1
+    return nodes
+
+
 def fixture_df(spark: SparkSession, nodes: list, ways: list) -> tuple[DataFrame, DataFrame]:
     """Tiny explicit fixtures (ports of the reference's OPL heredocs,
     /root/reference/test/t/*.sh)."""

@@ -1,0 +1,142 @@
+"""Unit tests for training-data operators (dedup/similarity/text/image)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osmcoastline_spark.functions import dedup as D
+from osmcoastline_spark.functions import image as I
+from osmcoastline_spark.functions import similarity as S
+from osmcoastline_spark.functions import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat and the dog barked"),
+        (1, "the cat sat on the mat and the dog barked"),  # exact dup of 0
+        (2, "the cat sat on the mat and the dog yowled"),  # near dup
+        (3, "der hund und die katze und der vogel"),
+        (4, "completely different content about spark engines"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact(spark, docs):
+    out = D.dedup_exact(docs).collect()
+    groups = {r.content_hash: (r.keep_id, r.dup_count) for r in out}
+    assert len(groups) == 5  # 6 docs, one exact pair
+    assert (0, 2) in groups.values()
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    pairs = {(r.a, r.b) for r in D.minhash_lsh_pairs(docs, n_hashes=8, bands=4, k=5).collect()}
+    assert (0, 1) in pairs  # exact dups always collide
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup caught by some band
+    assert (3, 4) not in pairs
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = D.ngram_jaccard_pairs(docs, k=5, threshold=0.5).collect()
+    d = {(r.a, r.b): r.jaccard for r in pairs}
+    assert d[(0, 1)] == 1.0
+    assert (0, 2) in d and 0.5 <= d[(0, 2)] < 1.0
+
+
+def test_simhash_near_dup_closer_than_random(spark, docs):
+    sims = {r.doc_id: r.simhash for r in D.simhash64(docs).collect()}
+    assert sims[0] == sims[1]
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(sims[0], sims[2]) < ham(sims[0], sims[4])
+
+
+def test_simhash_band_pairs(spark, docs):
+    sims = D.simhash64(docs)
+    pairs = {(r.a, r.b) for r in D.simhash_band_pairs(sims).collect()}
+    assert (0, 1) in pairs
+
+
+def test_brute_force_topk(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = S.brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    assert [r.nbr_id for r in sorted(top, key=lambda r: r.rank)] == [1, 2]
+
+
+def test_lsh_topk_recall(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 16)).astype(float)
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    # add a near-duplicate of vector 0
+    rows.append((99, (base[0] + 0.01 * rng.standard_normal(16)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = S.lsh_topk(df, k=3, bits=4, n_tables=3)
+    r0 = [r.nbr_id for r in top.filter(F.col("query_id") == 0).collect()]
+    assert 99 in r0
+
+
+def test_embedding_near_dup(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((20, 8))
+    rows = [(i, base[i].tolist()) for i in range(20)] + [(50, base[5].tolist())]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r.a, r.b) for r in S.embedding_near_dup_pairs(df, threshold=0.999, bits=4).collect()}
+    assert (5, 50) in pairs
+
+
+def test_text_features(spark, docs):
+    out = {r.doc_id: r for r in T.with_text_features(docs).collect()}
+    assert out[0].tokens == 10
+    assert out[5].tokens == 0
+    assert out[0].lang_guess == "en"
+    assert out[3].lang_guess == "de"
+    assert 0 <= out[0].quality <= 1
+    assert out[0].fingerprint == out[1].fingerprint
+    assert out[0].fingerprint != out[2].fingerprint
+
+
+def test_image_roundtrip_and_psnr(spark):
+    from osmcoastline_spark.synth import IMG_H, IMG_W, encode_raw
+
+    rng = np.random.default_rng(0)
+    px = rng.integers(0, 256, size=(IMG_H, IMG_W, 3), dtype=np.uint8)
+    rows = [("a", encode_raw(px), IMG_W, IMG_H, "raw", "cap", 0)]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+    )
+    feats = I.with_image_features(df).collect()[0]
+    assert feats.computed_phash is not None
+    assert abs(feats.mean_luma - px.mean()) < 1e-9
+    # invariant check: identical payloads pass
+    bad = I.verify_payloads(df, df).collect()
+    assert bad == []
+    # corrupted pixels fail PSNR
+    px2 = px.copy()
+    px2[::2] = 0
+    rows2 = [("a", encode_raw(px2), IMG_W, IMG_H, "raw", "cap", 0)]
+    df2 = spark.createDataFrame(
+        rows2, "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+    )
+    bad2 = I.verify_payloads(df2, df).collect()
+    assert len(bad2) == 1 and bad2[0].reason == "psnr_below_threshold"
+    # caption mismatch
+    rows3 = [("a", encode_raw(px), IMG_W, IMG_H, "raw", "other", 0)]
+    df3 = spark.createDataFrame(
+        rows3, "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+    )
+    bad3 = I.verify_payloads(df3, df).collect()
+    assert len(bad3) == 1 and bad3[0].reason == "caption_mismatch"
+
+
+def test_image_stub_codec(spark):
+    with pytest.raises(NotImplementedError):
+        I.decode_image(b"xx", 1, 1, "jpeg")

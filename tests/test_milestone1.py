@@ -42,8 +42,9 @@ def test_island_from_two_ways(spark):
     assert len(ring.node_ids) == 7  # 6 nodes + closing repeat
 
     routed = route_rings(closed)
-    polys = polygonize(routed["polygonizable"])
-    polys, direrr = fix_direction(polys)
+    pres = polygonize(routed["polygonizable"])
+    assert pres.invalid_count == 0
+    polys, direrr = fix_direction(pres.polygons)
     assert direrr.count() == 0
     p = polys.collect()
     assert len(p) == 1
@@ -59,6 +60,19 @@ def test_island_from_two_ways(spark):
     ), got
     # shell must be clockwise (GIS land convention after reversal)
     assert geom.is_clockwise(p[0].shell_x, p[0].shell_y)
+
+
+def test_distributed_mating_path_matches_driver_path(spark):
+    """driver_threshold=0 forces the distributed mating rounds; results must
+    equal the driver-finish path (same rings, same rotation)."""
+    nodes, ways = fixture_df(spark, F1_NODES, F1_WAYS)
+    ways_loc = ways_with_locations(coastline_ways(ways), nodes)
+    c_driver, o_driver = assemble_rings(ways_loc)
+    c_dist, o_dist = assemble_rings(ways_loc, driver_threshold=0)
+    a = {(r.ring_id, tuple(r.node_ids), r.nways) for r in c_driver.collect()}
+    b = {(r.ring_id, tuple(r.node_ids), r.nways) for r in c_dist.collect()}
+    assert a == b
+    assert o_driver.count() == o_dist.count() == 0
 
 
 def test_closed_single_way_fast_path(spark):

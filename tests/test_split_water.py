@@ -1,0 +1,135 @@
+"""R4 split + R5 water derivation + sinks checkpoint/resume."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from osmcoastline_spark import geom
+from osmcoastline_spark.operators.split import split_polygons
+from osmcoastline_spark.operators.water import drop_antimeridian_slivers, tile_grid, water_polygons
+
+
+def _poly_df(spark, shell_x, shell_y, holes_x=None, holes_y=None, poly_id=1):
+    e = geom.envelope(shell_x, shell_y)
+    rows = [
+        (
+            poly_id,
+            [float(v) for v in shell_x],
+            [float(v) for v in shell_y],
+            [[float(v) for v in h] for h in (holes_x or [])],
+            [[float(v) for v in h] for h in (holes_y or [])],
+            len(shell_x),
+            e[0], e[1], e[2], e[3],
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "poly_id long, shell_x array<double>, shell_y array<double>, "
+        "holes_x array<array<double>>, holes_y array<array<double>>, "
+        "npoints int, env_minx double, env_miny double, env_maxx double, env_maxy double",
+    )
+
+
+def _many_point_square(n_per_side):
+    xs, ys = [], []
+    for i in range(n_per_side):
+        xs.append(i / n_per_side)
+        ys.append(0.0)
+    for i in range(n_per_side):
+        xs.append(1.0)
+        ys.append(i / n_per_side)
+    for i in range(n_per_side):
+        xs.append(1.0 - i / n_per_side)
+        ys.append(1.0)
+    for i in range(n_per_side):
+        xs.append(0.0)
+        ys.append(1.0 - i / n_per_side)
+    return xs, ys
+
+
+def test_split_reduces_points_and_preserves_area(spark):
+    xs, ys = _many_point_square(100)  # 400 points
+    df = _poly_df(spark, xs, ys)
+    out = split_polygons(df, max_points=120, expand=0.0001).collect()
+    assert len(out) >= 2
+    assert all(r.npoints <= 120 for r in out)
+    total = sum(abs(geom.signed_area2(r.shell_x, r.shell_y)) / 2 for r in out)
+    # overlap makes the sum slightly exceed 1.0
+    assert 1.0 <= total < 1.01
+
+
+def test_split_keeps_small_polygons(spark):
+    df = _poly_df(spark, [0.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0])
+    out = split_polygons(df, max_points=1000).collect()
+    assert len(out) == 1 and out[0].npoints == 4
+
+
+def test_water_inverse_of_land(spark):
+    # land square [0.25,0.75]^2 inside the 1-degree tile [0,1]^2
+    land = _poly_df(spark, [0.25, 0.25, 0.75, 0.75], [0.25, 0.75, 0.75, 0.25])
+    water = water_polygons(land, cell_deg=1.0).collect()
+    ours = [w for w in water if w.env_minx == 0.0 and w.env_miny == 0.0]
+    assert len(ours) == 1
+    w = ours[0]
+    shell_area = abs(geom.signed_area2(w.shell_x, w.shell_y)) / 2
+    hole_area = sum(abs(geom.signed_area2(hx, hy)) / 2 for hx, hy in zip(w.holes_x, w.holes_y))
+    assert abs(shell_area - 1.0) < 1e-12
+    assert abs(hole_area - 0.25) < 1e-12
+
+
+def test_water_full_cover_tile_is_dry(spark):
+    land = _poly_df(spark, [-0.5, -0.5, 1.5, 1.5], [-0.5, 1.5, 1.5, -0.5])
+    water = water_polygons(land, cell_deg=1.0).collect()
+    # the tile [0,1]x[0,1] is fully covered → no water row for it
+    assert not any(w.env_minx == 0.0 and w.env_miny == 0.0 for w in water)
+
+
+def test_water_empty_tiles(spark):
+    land = _poly_df(spark, [0.25, 0.25, 0.75, 0.75], [0.25, 0.75, 0.75, 0.25])
+    water = water_polygons(
+        land, cell_deg=1.0, extent=(0.0, 0.0, 3.0, 1.0), include_empty_tiles=True
+    )
+    rows = water.collect()
+    # 3 tiles: one with land (partial water), two full-water
+    assert len(rows) == 3
+    full = [r for r in rows if not r.holes_x]
+    assert len(full) == 2
+
+
+def test_antimeridian_sliver_filter(spark):
+    rows = [
+        (1, [179.99995, 180.0, 180.0, 179.99995], [0.0, 0.0, 1.0, 1.0]),
+        (2, [10.0, 11.0, 11.0, 10.0], [0.0, 0.0, 1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        [
+            (pid, xs, ys, [], [], geom.envelope(xs, ys)[0], geom.envelope(xs, ys)[1],
+             geom.envelope(xs, ys)[2], geom.envelope(xs, ys)[3])
+            for pid, xs, ys in rows
+        ],
+        "cell long, shell_x array<double>, shell_y array<double>, holes_x array<array<double>>, "
+        "holes_y array<array<double>>, env_minx double, env_miny double, env_maxx double, env_maxy double",
+    )
+    kept = drop_antimeridian_slivers(df).collect()
+    assert len(kept) == 1 and kept[0].cell == 2
+
+
+def test_tile_grid(spark):
+    g = tile_grid(spark, zoom=2)
+    rows = g.collect()
+    assert len(rows) == 16
+    assert min(r.tile_minx for r in rows) == -180.0
+    assert max(r.tile_maxx for r in rows) == 180.0
+
+
+def test_checkpoint_sink_resume(spark, tmp_path):
+    from osmcoastline_spark.sinks import CheckpointSink
+
+    sink = CheckpointSink(str(tmp_path / "out"))
+    df = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    n = sink.write("stage1", df, lineage={"input": "range"})
+    assert n == 100
+    assert sink.exists("stage1") and not sink.exists("stage2")
+    back = sink.read(spark, "stage1")
+    assert back.count() == 100
+    m = sink.manifest("stage1")
+    assert m["rows"] == 100 and m["lineage"]["input"] == "range"
