@@ -1,0 +1,87 @@
+"""CLI — option parity with the reference binary (src/options.cpp:101-227)
+for the flags that make sense on Spark, launched as
+
+    spark-submit --py-files osmcoastline_spark.zip -m osmcoastline_spark.cli \
+        --nodes /path/nodes.parquet --ways /path/ways.parquet \
+        --output-database /path/out
+
+or plainly `python -m osmcoastline_spark.cli ...` in local mode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="osmcoastline_spark",
+        description="PySpark-native coastline spatial-join + tiling engine",
+    )
+    p.add_argument("--nodes", required=True, help="nodes parquet path")
+    p.add_argument("--ways", required=True, help="ways parquet path")
+    p.add_argument("-o", "--output-database", required=True, help="output directory")
+    p.add_argument("-s", "--srs", type=int, default=4326, choices=[4326, 3857])
+    p.add_argument("-c", "--close-distance", type=float, default=1.0)
+    p.add_argument("-m", "--max-points", type=int, default=1000)
+    p.add_argument("-b", "--bbox-overlap", type=float, default=None)
+    p.add_argument("-p", "--output-polygons", default="land",
+                   choices=["land", "water", "both", "none"])
+    p.add_argument("-r", "--output-rings", action="store_true")
+    p.add_argument("-l", "--output-lines", action="store_true")
+    p.add_argument("--water-cell-deg", type=float, default=1.0)
+    p.add_argument("--master", default=None)
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--exit-ignore-warnings", action="store_true")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from osmcoastline_spark.plans.pipeline import Options, run_pipeline
+    from osmcoastline_spark.session import get_spark
+    from osmcoastline_spark.sinks import CheckpointSink
+
+    pre_existing = SparkSession.getActiveSession() is not None
+    spark = get_spark("osmcoastline", master=args.master)
+    if not args.verbose:
+        spark.sparkContext.setLogLevel("ERROR")
+
+    nodes = spark.read.parquet(args.nodes)
+    ways = spark.read.parquet(args.ways)
+    opt = Options(
+        epsg=args.srs,
+        close_distance=args.close_distance,
+        max_points_in_polygon=args.max_points,
+        bbox_overlap=args.bbox_overlap,
+        split_large_polygons=args.max_points > 0,
+        output_rings=args.output_rings,
+        output_lines=args.output_lines,
+        output_polygons=args.output_polygons,
+        water_cell_deg=args.water_cell_deg,
+    )
+    res = run_pipeline(spark, nodes, ways, opt)
+
+    sink = CheckpointSink(args.output_database)
+    for name, df in res.tables.items():
+        if name == "segments":
+            continue
+        sink.write(name, df, spatial=name in ("land_polygons", "water_polygons", "rings"))
+    sink.write_meta(res.stats, vars(args))
+
+    print(f"There were {res.warnings} warnings.")
+    print(f"There were {res.errors} errors.")
+    code = res.exit_code
+    if code == 1 and args.exit_ignore_warnings:
+        code = 0
+    if not pre_existing:
+        spark.stop()
+    return code
+
+
+if __name__ == "__main__":
+    sys.exit(main())

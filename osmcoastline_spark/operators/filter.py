@@ -50,5 +50,10 @@ def filter_planet(nodes: DataFrame, ways: DataFrame) -> tuple[DataFrame, DataFra
     kept_ways = coastline_ways(ways)
     way_node_ids = kept_ways.select(F.explode("node_ids").alias("node_id")).distinct()
     tagged = nodes.filter(F.col("tags").getItem("natural") == "coastline")
-    kept_nodes = nodes.join(way_node_ids, "node_id", "left_semi").unionByName(tagged).distinct()
+    kept_nodes = (
+        nodes.join(way_node_ids, "node_id", "left_semi")
+        .unionByName(tagged)
+        # map-typed tags can't be distinct()'d; node_id is the row identity
+        .dropDuplicates(["node_id"])
+    )
     return kept_nodes, kept_ways

@@ -19,6 +19,22 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+
+
+def _aslist(v):
+    """None/NaN → []; ndarray/list → list (Arrow hands nested arrays as
+    numpy objects whose truthiness is ambiguous)."""
+    if v is None:
+        return []
+    try:
+        import math
+        if isinstance(v, float) and math.isnan(v):
+            return []
+    except Exception:
+        pass
+    return list(v)
+
+
 WGS84_EDGES = {"max_x": 179.9999, "min_x": -179.9999, "min_y": -85.049}
 MERC_EDGES = {"max_x": 20037500.0, "min_x": -20037500.0, "min_y": -20037400.0}
 
@@ -36,7 +52,7 @@ def rings_to_lines(
             out_x, out_y = [], []
             for _, row in pdf.iterrows():
                 rings = [(row["shell_x"], row["shell_y"])]
-                for hx, hy in zip(row["holes_x"] or [], row["holes_y"] or []):
+                for hx, hy in zip(_aslist(row["holes_x"]), _aslist(row["holes_y"])):
                     rings.append((hx, hy))
                 for rx, ry in rings:
                     xs = np.asarray(list(rx) + [rx[0]] if rx[0] != rx[-1] or ry[0] != ry[-1] else rx, dtype=np.float64)

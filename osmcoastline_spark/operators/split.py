@@ -32,6 +32,21 @@ from pyspark.sql import functions as F
 from osmcoastline_spark import geom
 from osmcoastline_spark.schemas import EXTENT_3857, EXTENT_4326
 
+
+def _aslist(v):
+    """None/NaN → []; ndarray/list → list (Arrow hands nested arrays as
+    numpy objects whose truthiness is ambiguous)."""
+    if v is None:
+        return []
+    try:
+        import math
+        if isinstance(v, float) and math.isnan(v):
+            return []
+    except Exception:
+        pass
+    return list(v)
+
+
 _SPLIT_SCHEMA = (
     "poly_id long, shell_x array<double>, shell_y array<double>, "
     "holes_x array<array<double>>, holes_y array<array<double>>, "
@@ -64,8 +79,8 @@ def _split_one(
         return [_emit(row, final=True)]
 
     # distribute holes
-    holes_x = row["holes_x"] or []
-    holes_y = row["holes_y"] or []
+    holes_x = _aslist(row["holes_x"])
+    holes_y = _aslist(row["holes_y"])
     lo_holes: list[tuple[np.ndarray, np.ndarray]] = []
     hi_holes: list[tuple[np.ndarray, np.ndarray]] = []
     for hx, hy in zip(holes_x, holes_y):

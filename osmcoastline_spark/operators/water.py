@@ -30,6 +30,21 @@ from osmcoastline_spark import geom
 from osmcoastline_spark.cells import CELL_STRIDE, bbox_cover_cells_expr
 
 
+def _aslist(v):
+    """None/NaN → []; ndarray/list → list (Arrow hands nested arrays as
+    numpy objects whose truthiness is ambiguous)."""
+    if v is None:
+        return []
+    try:
+        import math
+        if isinstance(v, float) and math.isnan(v):
+            return []
+    except Exception:
+        pass
+    return list(v)
+
+
+
 def tile_grid(spark, zoom: int, extent=(-180.0, -90.0, 180.0, 90.0)) -> DataFrame:
     """G15: 2^zoom × 2^zoom tile grid as pure column math over spark.range
     (reference setup_bbox_tiles.sql:13-25)."""
@@ -91,7 +106,7 @@ def water_polygons(
         covered_area2 = 0.0
         for _, row in pdf.iterrows():
             rings = [(np.asarray(row["shell_x"]), np.asarray(row["shell_y"]))]
-            for hx, hy in zip(row["holes_x"] or [], row["holes_y"] or []):
+            for hx, hy in zip(_aslist(row["holes_x"]), _aslist(row["holes_y"])):
                 rings.append((np.asarray(hx), np.asarray(hy)))
             for i, (rx, ry) in enumerate(rings):
                 for px, py in geom.clip_ring_rect(rx, ry, tminx, tminy, tmaxx, tmaxy):

@@ -90,6 +90,22 @@ class PipelineResult:
         return 0
 
 
+
+
+def _aslist(v):
+    """None/NaN → []; ndarray/list → list (Arrow hands nested arrays as
+    numpy objects whose truthiness is ambiguous)."""
+    if v is None:
+        return []
+    try:
+        import math
+        if isinstance(v, float) and math.isnan(v):
+            return []
+    except Exception:
+        pass
+    return list(v)
+
+
 def _empty(spark: SparkSession, schema):
     return spark.createDataFrame([], schema)
 
@@ -102,8 +118,8 @@ def _transform_polygons_3857(polys: DataFrame) -> DataFrame:
             rows = []
             for _, row in pdf.iterrows():
                 sx, sy = geom.merc_forward(row["shell_x"], row["shell_y"])
-                hx = [geom.merc_forward(a, b)[0].tolist() for a, b in zip(row["holes_x"] or [], row["holes_y"] or [])]
-                hy = [geom.merc_forward(a, b)[1].tolist() for a, b in zip(row["holes_x"] or [], row["holes_y"] or [])]
+                hx = [geom.merc_forward(a, b)[0].tolist() for a, b in zip(_aslist(row["holes_x"]), _aslist(row["holes_y"]))]
+                hy = [geom.merc_forward(a, b)[1].tolist() for a, b in zip(_aslist(row["holes_x"]), _aslist(row["holes_y"]))]
                 r = dict(row)
                 r["shell_x"], r["shell_y"] = sx.tolist(), sy.tolist()
                 r["holes_x"], r["holes_y"] = hx, hy

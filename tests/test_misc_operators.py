@@ -1,0 +1,113 @@
+"""filter_planet (S3/J1), ways_debug (S7/A4), simplify (G14/F9),
+segment diff (J13), CLI (option parity)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from osmcoastline_spark import geom
+from osmcoastline_spark.operators.filter import filter_planet
+from osmcoastline_spark.operators.segments_diff import (
+    diff_segments,
+    read_segments,
+    segments_equal,
+    write_segments,
+)
+from osmcoastline_spark.operators.simplify import filter_min_area, simplify_polygons
+from osmcoastline_spark.operators.ways_debug import total_length_m, ways_lines
+from osmcoastline_spark.synth import fixture_df
+
+
+def test_filter_planet(spark):
+    nodes, ways = fixture_df(
+        spark,
+        [(100, 1.0, 1.0), (101, 1.1, 1.0), (102, 1.2, 1.0),
+         (200, 5.0, 5.0, {"natural": "coastline"}), (201, 6.0, 6.0)],
+        [
+            (300, [100, 101], {"natural": "coastline"}),
+            (301, [101, 102], {"highway": "road"}),
+        ],
+    )
+    kept_nodes, kept_ways = filter_planet(nodes, ways)
+    assert kept_ways.count() == 1
+    ids = {r.node_id for r in kept_nodes.collect()}
+    # way nodes 100,101 + tagged node 200; NOT 102 (only on the road), NOT 201
+    assert ids == {100, 101, 200}
+
+
+def test_ways_debug_and_length(spark):
+    nodes, ways = fixture_df(
+        spark,
+        [(100, 0.0, 0.0), (101, 0.0, 1.0), (102, 0.0, 2.0)],
+        [(200, [100, 101, 102], {"natural": "coastline", "name": "testline"})],
+    )
+    out = ways_lines(ways, nodes).collect()
+    assert len(out) == 1 and out[0].name == "testline" and not out[0].bogus
+    from osmcoastline_spark.operators.locations import ways_with_locations
+
+    total = total_length_m(ways_with_locations(ways, nodes))
+    # 2 degrees of meridian ≈ 222,390 m (r=6371000)
+    expected = float(geom.haversine_m(0, 0, 0, 2))
+    assert abs(total - expected) < 1.0
+
+
+def test_simplify_and_area_filter(spark):
+    # noisy square: extra collinear-ish points that DP should remove
+    xs = [0.0, 0.5, 1.0, 1.0, 1.0, 0.5, 0.0, 0.0]
+    ys = [0.0, 0.001, 0.0, 0.5, 1.0, 1.0, 1.0, 0.5]
+    e = geom.envelope(xs, ys)
+    df = spark.createDataFrame(
+        [(1, xs, ys, None, None, len(xs), *e)],
+        "poly_id long, shell_x array<double>, shell_y array<double>, "
+        "holes_x array<array<double>>, holes_y array<array<double>>, "
+        "npoints int, env_minx double, env_miny double, env_maxx double, env_maxy double",
+    )
+    simp = simplify_polygons(df, 0.01).collect()
+    assert len(simp) == 1
+    assert simp[0].npoints < len(xs)
+    assert filter_min_area(df, 0.5).count() == 1
+    assert filter_min_area(df, 2.0).count() == 0
+
+
+def test_segment_diff_roundtrip(spark, tmp_path):
+    a = spark.createDataFrame(
+        [(0.0, 0.0, 1.0, 1.0), (1.0, 1.0, 2.0, 2.0), (1.0, 1.0, 2.0, 2.0)],
+        "x1 double, y1 double, x2 double, y2 double",
+    )
+    b = spark.createDataFrame(
+        [(0.0, 0.0, 1.0, 1.0), (1.0, 1.0, 2.0, 2.0), (3.0, 3.0, 4.0, 4.0)],
+        "x1 double, y1 double, x2 double, y2 double",
+    )
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    write_segments(a, pa)
+    write_segments(b, pb)
+    ra, rb = read_segments(spark, pa), read_segments(spark, pb)
+    removed, added = diff_segments(ra, rb)
+    # multiset semantics: one copy of the duplicated segment is 'removed'
+    assert removed.count() == 1 and added.count() == 1
+    assert not segments_equal(ra, rb)
+    assert segments_equal(ra, ra)
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    import json
+    import os
+
+    from osmcoastline_spark import cli
+
+    nodes, ways = fixture_df(
+        spark,
+        [(100, 1.01, 1.01), (101, 1.02, 1.01), (102, 1.03, 1.02), (103, 1.04, 1.02),
+         (104, 1.05, 1.03), (105, 1.01, 1.03)],
+        [(200, [100, 101, 102]), (201, [102, 103, 104, 105, 100])],
+    )
+    np_, wp = str(tmp_path / "nodes"), str(tmp_path / "ways")
+    nodes.write.parquet(np_)
+    ways.write.parquet(wp)
+    out = str(tmp_path / "out")
+    code = cli.main(
+        ["--nodes", np_, "--ways", wp, "-o", out, "--output-rings", "--master", "local[4]"]
+    )
+    assert code == 0
+    assert os.path.exists(os.path.join(out, "land_polygons", "_MANIFEST.json"))
+    meta = json.load(open(os.path.join(out, "meta.json")))
+    assert meta["stats"]["rings"] == 1
