@@ -37,7 +37,7 @@ ways = ways.localCheckpoint(eager=True)
 t0 = time.time()
 res = run_pipeline(spark, nodes, ways,
                    Options(output_polygons="both", water_cell_deg=4.0,
-                           max_points_in_polygon=500))
+                           max_points_in_polygon=500, collect_stats=False))
 rings = res.stats.get("rings", 0)
 land = res.tables["land_polygons"].count() if "land_polygons" in res.tables else 0
 tiles = res.tables["water_polygons"].count() if "water_polygons" in res.tables else 0
@@ -59,7 +59,7 @@ def run_level(cpus: int, n_islands: int) -> dict:
 
 
 def main() -> None:
-    n_islands = int(os.environ.get("SPARK_GRAFT_SCALING_ISLANDS", "6000"))
+    n_islands = int(os.environ.get("SPARK_GRAFT_SCALING_ISLANDS", "20000"))
     lo = int(os.environ.get("SPARK_GRAFT_SCALING_LO", "8"))
     hi = int(os.environ.get("SPARK_GRAFT_SCALING_HI", "32"))
 

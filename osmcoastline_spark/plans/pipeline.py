@@ -67,6 +67,7 @@ class Options:
     output_polygons: str = "land"  # land | water | both | none
     water_cell_deg: float = 1.0
     cell_deg: float = 0.5  # intersection-join binning
+    collect_stats: bool = True  # False skips non-essential count actions
 
     def effective_overlap(self) -> float:
         if self.bbox_overlap is not None:
@@ -145,7 +146,8 @@ def run_pipeline(
 
     # pass 1+2: filter, locations
     cways = coastline_ways(ways)
-    res.stats["ways"] = cways.count()
+    if opt.collect_stats:
+        res.stats["ways"] = cways.count()
     missing = missing_location_count(cways, nodes)
     if missing:
         res.stats["missing_locations"] = missing
@@ -155,18 +157,16 @@ def run_pipeline(
 
     # R1 assembly
     closed, open_ = assemble_rings(ways_loc)
-    res.stats["rings_from_single_way"] = closed.filter(F.col("nways") == 1).count()
-    res.stats["unconnected_nodes_before_close"] = open_.count() * 2
+    if opt.collect_stats:
+        res.stats["rings_from_single_way"] = closed.filter(F.col("nways") == 1).count()
+        res.stats["unconnected_nodes_before_close"] = open_.count() * 2
 
     # J5/J6 intersections & overlaps (before closing!)
-    segs = ring_segments(closed.unionByName(open_))
+    # checkpoint: segs feeds duplicates, intersections, the orphan filter
+    # and the output table — without it the explode re-executes 4×
+    segs = ring_segments(closed.unionByName(open_)).localCheckpoint(eager=True)
     overlaps = duplicate_segments(segs)
     isects = intersection_errors(segs, opt.cell_deg)
-    n_overlaps = overlaps.count()
-    n_isects = isects.count()
-    res.warnings += n_overlaps + n_isects
-    res.stats["overlaps"] = n_overlaps
-    res.stats["intersections"] = n_isects
     error_lines.append(overlaps)
     error_points.append(isects)
     res.tables["segments"] = segs
@@ -201,7 +201,7 @@ def run_pipeline(
         orphans = open_.join(orphan_ids, "ring_id", "left_semi")
         active = open_.join(orphan_ids, "ring_id", "left_anti")
         merged, cres = close_rings(active, opt.close_distance)
-        merged = merged.unionByName(orphans)
+        merged = merged.unionByName(orphans).localCheckpoint(eager=True)
         res.stats["rings_fixed"] = cres.fixed_rings
         res.stats["unconnected_nodes"] = cres.unconnected_nodes
         res.errors += cres.fixed_rings + cres.unconnected_nodes
@@ -212,15 +212,16 @@ def run_pipeline(
         now_closed = merged.filter(F.element_at("node_ids", 1) == F.element_at("node_ids", -1))
         closed = closed.unionByName(now_closed.select(*closed.columns))
         open_ = merged.filter(F.element_at("node_ids", 1) != F.element_at("node_ids", -1))
-    res.stats["rings"] = closed.count()
+    if opt.collect_stats:
+        res.stats["rings"] = closed.count()
 
     routed = route_rings(closed)
 
     if opt.output_rings:
-        # routing warnings: single_point / not_a_ring / not_closed (+end_point)
+        # routing: single_point / not_a_ring / not_closed (+end_point);
+        # warnings derived from the final error-category counts in one pass
         sp = routed["single_point"]
         nar = routed["not_a_ring"]
-        res.warnings += sp.count() + nar.count() + open_.count()
         error_points.append(
             sp.select(
                 F.element_at("node_ids", 1).alias("osm_id"),
@@ -284,19 +285,18 @@ def run_pipeline(
             res.stats["no_polygons"] = True
         else:
             pres = polygonize(polygonizable)
-            polys = pres.polygons
+            polys = pres.polygons.localCheckpoint(eager=True)
             res.errors += pres.invalid_count
             res.stats["invalid_polygons"] = pres.invalid_count
             error_lines.append(pres.invalid_error_lines)
-            res.stats["land_polygons_before_split"] = polys.count()
+            if opt.collect_stats:
+                res.stats["land_polygons_before_split"] = polys.count()
             polys, direrr = fix_direction(polys)
-            turned = direrr.count()
-            res.warnings += turned
-            res.stats["rings_turned_around"] = turned
+            polys = polys.localCheckpoint(eager=True)
             error_lines.append(direrr)
 
             if opt.epsg != 4326:
-                polys = _transform_polygons_3857(polys)
+                polys = _transform_polygons_3857(polys).localCheckpoint(eager=True)
 
             if opt.output_lines:
                 res.tables["lines"] = rings_to_lines(
@@ -307,9 +307,6 @@ def run_pipeline(
                 if opt.epsg == 4326:
                     all_rings = closed.unionByName(open_)
                     q = questionable_rings(all_rings, polys)
-                    nq = q.count()
-                    res.warnings += nq
-                    res.stats["questionable"] = nq
                     error_lines.append(q.select("osm_id", "error", "xs", "ys"))
 
                 if opt.split_large_polygons and opt.max_points_in_polygon > 0:
@@ -319,7 +316,8 @@ def run_pipeline(
                         opt.effective_overlap(),
                         opt.epsg,
                     )
-                    res.stats["land_polygons_after_split"] = polys.count()
+                    if opt.collect_stats:
+                        res.stats["land_polygons_after_split"] = polys.count()
 
                 if opt.output_polygons in ("land", "both"):
                     res.tables["land_polygons"] = polys
@@ -333,6 +331,29 @@ def run_pipeline(
     el = error_lines[0]
     for df in error_lines[1:]:
         el = el.unionByName(df)
+    # single-pass warning accounting: one job per error table instead of a
+    # count action per stage (the category → warning mapping mirrors the
+    # reference's per-stage counters exactly)
+    ep = ep.localCheckpoint(eager=True)
+    el = el.localCheckpoint(eager=True)
+    epc = {r["error"]: r["count"] for r in ep.groupBy("error").count().collect()}
+    elc = {r["error"]: r["count"] for r in el.groupBy("error").count().collect()}
+    res.stats["overlaps"] = elc.get("overlap", 0)
+    res.stats["intersections"] = epc.get("intersection", 0)
+    res.stats["rings_turned_around"] = elc.get("direction", 0)
+    res.stats["questionable"] = elc.get("questionable", 0)
+    res.warnings += (
+        elc.get("overlap", 0)
+        + epc.get("intersection", 0)
+        + elc.get("direction", 0)
+        + elc.get("questionable", 0)
+    )
+    if opt.output_rings:
+        res.warnings += (
+            epc.get("single_point_in_ring", 0)
+            + elc.get("not_a_ring", 0)
+            + elc.get("not_closed", 0)
+        )
     res.tables["error_points"] = ep
     res.tables["error_lines"] = el
     return res

