@@ -40,16 +40,16 @@ def apply_merge_plan(
         xs: list[float] = []
         ys: list[float] = []
         nways = 0
-        for _, row in pdf.iterrows():
-            ids = list(row["node_ids"])
-            rxs = list(row["xs"])
-            rys = list(row["ys"])
-            if row["skip_first"] and node_ids:
+        for row in pdf.itertuples(index=False):
+            ids = list(row.node_ids)
+            rxs = list(row.xs)
+            rys = list(row.ys)
+            if row.skip_first and node_ids:
                 ids, rxs, rys = ids[1:], rxs[1:], rys[1:]
             node_ids.extend(ids)
             xs.extend(rxs)
             ys.extend(rys)
-            nways += row["nways"]
+            nways += row.nways
         first = pdf.iloc[0]
         if first["append_first"]:
             node_ids.append(node_ids[0])

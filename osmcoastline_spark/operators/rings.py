@@ -172,9 +172,11 @@ def assemble_rings(
     for inputs whose way count itself is huge.
     """
     spark = ways_loc.sparkSession
-    chains = _init_chains(ways_loc)
+    # one materialization of the location join; closed/open/rotate all
+    # derive from this checkpoint instead of recomputing the explode+join
+    chains = _init_chains(ways_loc).localCheckpoint(eager=True)
     closed = chains.filter(_closed())
-    open_ = chains.filter(~_closed()).localCheckpoint(eager=True)
+    open_ = chains.filter(~_closed())
 
     cols = ["ring_id", "node_ids", "xs", "ys", "nways", "fixed", "lead"]
 

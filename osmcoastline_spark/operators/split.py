@@ -156,7 +156,7 @@ def split_polygons(
         def split_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in it:
                 rows = []
-                for _, row in pdf.iterrows():
+                for row in pdf.to_dict("records"):
                     rows.extend(_split_one(row, expand, extent))
                 if rows:
                     yield pd.DataFrame(rows)

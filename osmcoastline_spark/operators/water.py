@@ -104,9 +104,9 @@ def water_polygons(
         tile_area2 = 2.0 * (tmaxx - tminx) * (tmaxy - tminy)
         holes_x, holes_y = [], []
         covered_area2 = 0.0
-        for _, row in pdf.iterrows():
-            rings = [(np.asarray(row["shell_x"]), np.asarray(row["shell_y"]))]
-            for hx, hy in zip(_aslist(row["holes_x"]), _aslist(row["holes_y"])):
+        for row in pdf.itertuples(index=False):
+            rings = [(np.asarray(row.shell_x), np.asarray(row.shell_y))]
+            for hx, hy in zip(_aslist(row.holes_x), _aslist(row.holes_y)):
                 rings.append((np.asarray(hx), np.asarray(hy)))
             for i, (rx, ry) in enumerate(rings):
                 for px, py in geom.clip_ring_rect(rx, ry, tminx, tminy, tmaxx, tmaxy):
