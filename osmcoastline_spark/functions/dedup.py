@@ -143,29 +143,28 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
     ).filter(F.length("tok") > 0)
     hexes = toks.withColumn("h", F.substring(F.md5("tok"), 1, 16))
-    # per (doc, bit): sum of (2*bit - 1)
-    HEXD = "0123456789abcdef"
-    bit_cols = []
-    for nib in range(16):
-        ch = F.substring(F.col("h"), nib + 1, 1)
-        val = F.instr(F.lit(HEXD), ch) - 1  # 0..15
-        for b in range(4):
-            bit = F.shiftright(val, 3 - b).bitwiseAND(F.lit(1))
-            bit_cols.append((2 * bit - 1).alias(f"b{nib * 4 + b}"))
-    contrib = hexes.select("doc_id", *bit_cols)
-    agg = contrib.groupBy("doc_id").agg(
-        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(64)]
+    # rows-based plan (two shuffles, no 64-column aggregate): explode the 64
+    # bit positions, derive ±1 from the hex nibble, partial-aggregate per
+    # (doc, bit), then fold bit sums into the int64 sketch
+    contrib = hexes.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bitpos")
+    ).selectExpr(
+        "doc_id",
+        "bitpos",
+        "(shiftright(instr('0123456789abcdef', substring(h, CAST(bitpos / 4 AS INT) + 1, 1)) - 1, "
+        " CAST(3 - bitpos % 4 AS INT)) & 1) * 2 - 1 AS c",
     )
-    sim = F.lit(0).cast("long")
-    for i in range(63):
-        sim = sim + F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    # bit 63 would overflow a signed int64 literal; fold it in as the sign bit
-    sim = sim + F.when(F.col("s63") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(
-        F.lit(0).cast("long")
+    sums = contrib.groupBy("doc_id", "bitpos").agg(F.sum("c").alias("s"))
+    return sums.groupBy("doc_id").agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN s > 0 THEN "
+                "  CASE WHEN bitpos = 63 THEN CAST(-9223372036854775808 AS BIGINT) "
+                "       ELSE shiftleft(CAST(1 AS BIGINT), CAST(bitpos AS INT)) END "
+                "ELSE CAST(0 AS BIGINT) END"
+            )
+        ).alias("simhash")
     )
-    return agg.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_band_pairs(sims: DataFrame, band_bits: int = 16) -> DataFrame:
