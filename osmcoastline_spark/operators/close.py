@@ -81,26 +81,40 @@ def plan_close_rings(endpoints: list[dict], max_distance: float) -> CloseResult:
         start_nodes[r.first_id] = r
         end_nodes[r.last_id] = r
 
-    # candidate connections (std::map iteration order = ascending node id)
-    conns = []
-    for eid in sorted(end_nodes):
-        er = end_nodes[eid]
-        for sid in sorted(start_nodes):
-            sr = start_nodes[sid]
-            dx = er.last_loc[0] - sr.first_loc[0]
-            dy = er.last_loc[1] - sr.first_loc[1]
-            d = dx * dx + dy * dy
-            if d < max_distance:
-                conns.append((d, eid, sid))
+    # candidate connections — vectorized all-pairs distance (numpy block
+    # instead of the reference's O(n²) scalar loop); generation order kept
+    # identical (ascending end id outer, ascending start id inner = std::map
+    # iteration), so greedy tie behavior matches
+    import numpy as np
+
+    eids = sorted(end_nodes)
+    sids = sorted(start_nodes)
+    conns: list[tuple[float, int, int]] = []
+    if eids and sids:
+        ex = np.array([end_nodes[i].last_loc[0] for i in eids])
+        ey = np.array([end_nodes[i].last_loc[1] for i in eids])
+        sx = np.array([start_nodes[i].first_loc[0] for i in sids])
+        sy = np.array([start_nodes[i].first_loc[1] for i in sids])
+        d2 = (ex[:, None] - sx[None, :]) ** 2 + (ey[:, None] - sy[None, :]) ** 2
+        ii, jj = np.nonzero(d2 < max_distance)
+        conns = [(float(d2[i, j]), eids[i], sids[j]) for i, j in zip(ii, jj)]
     conns.sort(key=lambda c: -c[0])  # shortest at end (reference order)
 
     error_points: list = []
     error_lines: list = []
     fixed_rings = 0
 
+    # lazy invalidation — exactly the reference's remove_if semantics (every
+    # popped connection invalidates later ones sharing its end or start id,
+    # applied or not) without the O(k) scan per pop
+    used_ends: set[int] = set()
+    used_starts: set[int] = set()
     while conns:
         d, end_id, start_id = conns.pop()
-        conns = [c for c in conns if c[1] != end_id and c[2] != start_id]
+        if end_id in used_ends or start_id in used_starts:
+            continue
+        used_ends.add(end_id)
+        used_starts.add(start_id)
 
         e = end_nodes.get(end_id)
         s = start_nodes.get(start_id)

@@ -119,9 +119,7 @@ def intersection_errors(segments: DataFrame, cell_deg: float = DEFAULT_CELL_DEG)
             | (F.col("ax2") != F.col("bx2"))
             | (F.col("ay2") != F.col("by2"))
         )
-        # a segment pair may share several cover cells — count it once
-        .dropDuplicates(["a_id", "b_id"])
-        # cheap bbox reject before the exact kernel (reference y-range test)
+        # cheap bbox reject BEFORE any further work (reference y-range test)
         .filter(
             (F.least("ax1", "ax2") <= F.greatest("bx1", "bx2"))
             & (F.least("bx1", "bx2") <= F.greatest("ax1", "ax2"))
@@ -130,7 +128,13 @@ def intersection_errors(segments: DataFrame, cell_deg: float = DEFAULT_CELL_DEG)
         )
     )
 
+    # Owner-cell dedup: a pair sharing several cover cells is *evaluated*
+    # in each, but the intersection point is *emitted* only by the cell that
+    # contains it — no dropDuplicates shuffle (the classic spatial-join
+    # reporting trick; replaces the sweep's single-threaded total order).
     def exact(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from osmcoastline_spark.cells import cell_id_np
+
         for pdf in it:
             if len(pdf) == 0:
                 continue
@@ -140,7 +144,9 @@ def intersection_errors(segments: DataFrame, cell_deg: float = DEFAULT_CELL_DEG)
                 pdf["bx1"].to_numpy(), pdf["by1"].to_numpy(),
                 pdf["bx2"].to_numpy(), pdf["by2"].to_numpy(),
             )
-            yield pd.DataFrame({"x": ix[mask], "y": iy[mask]})
+            own = cell_id_np(ix, iy, cell_deg) == pdf["cell"].to_numpy()
+            keep = mask & own
+            yield pd.DataFrame({"x": ix[keep], "y": iy[keep]})
 
     pts = pairs.mapInPandas(exact, "x double, y double")
     return pts.select(
