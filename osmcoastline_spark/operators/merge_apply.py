@@ -26,60 +26,79 @@ def apply_merge_plan(
 ) -> DataFrame:
     """Concatenate ring parts per group, ordered by seq; rotate rings that
     closed so they start at the min-way chain's lead node."""
+    from pyspark.sql import functions as F
+
     plan_df = spark.createDataFrame(
         plan, "ring_id long, group_id long, seq int, skip_first boolean"
     )
     fin_df = spark.createDataFrame(
         finalize, "group_id long, append_first boolean, fake_close boolean, grp_fixed boolean"
     )
-    tagged = open_rings.join(plan_df, "ring_id").join(fin_df, "group_id")
+    # the plan is tiny — broadcast both joins; the single shuffle is the
+    # groupBy(group_id). Aggregate parts per group JVM-side, then run ONE
+    # Arrow batch over the aggregated rows (per-group applyInPandas pays a
+    # pandas-DataFrame construction per group, which dominates when groups
+    # are small and AQE has coalesced the shuffle to few partitions).
+    tagged = open_rings.join(F.broadcast(plan_df), "ring_id").join(
+        F.broadcast(fin_df), "group_id"
+    )
+    agg = tagged.groupBy("group_id", "append_first", "fake_close", "grp_fixed").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("seq", "skip_first", "node_ids", "xs", "ys", "nways", "fixed",
+                         "ring_id", "lead")
+            )
+        ).alias("parts")
+    )
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("seq")
-        node_ids: list[int] = []
-        xs: list[float] = []
-        ys: list[float] = []
-        nways = 0
-        for row in pdf.itertuples(index=False):
-            ids = list(row.node_ids)
-            rxs = list(row.xs)
-            rys = list(row.ys)
-            if row.skip_first and node_ids:
-                ids, rxs, rys = ids[1:], rxs[1:], rys[1:]
-            node_ids.extend(ids)
-            xs.extend(rxs)
-            ys.extend(rys)
-            nways += row.nways
-        first = pdf.iloc[0]
-        if first["append_first"]:
-            node_ids.append(node_ids[0])
-            xs.append(xs[0])
-            ys.append(ys[0])
-        if first["fake_close"]:
-            node_ids[-1] = node_ids[0]
-        fixed = bool(first["grp_fixed"]) or bool(pdf["fixed"].any())
-        min_row = pdf.loc[pdf["ring_id"].idxmin()]
-        lead = int(min_row["lead"])
-        if node_ids and node_ids[0] == node_ids[-1] and lead in node_ids:
-            p = node_ids.index(lead)
-            if p > 0:
-                core_i, core_x, core_y = node_ids[:-1], xs[:-1], ys[:-1]
-                node_ids = core_i[p:] + core_i[:p]
-                xs = core_x[p:] + core_x[:p]
-                ys = core_y[p:] + core_y[:p]
-                node_ids.append(node_ids[0])
-                xs.append(xs[0])
-                ys.append(ys[0])
-        return pd.DataFrame(
-            {
-                "ring_id": [int(pdf["ring_id"].min())],
-                "node_ids": [node_ids],
-                "xs": [xs],
-                "ys": [ys],
-                "nways": [int(nways)],
-                "fixed": [fixed],
-                "lead": [lead],
-            }
-        )
+    def merge_batch(it):
+        for pdf in it:
+            out = {k: [] for k in ("ring_id", "node_ids", "xs", "ys", "nways", "fixed", "lead")}
+            for row in pdf.itertuples(index=False):
+                node_ids: list[int] = []
+                xs: list[float] = []
+                ys: list[float] = []
+                nways = 0
+                fixed = bool(row.grp_fixed)
+                min_rid = None
+                lead = None
+                for part in row.parts:
+                    ids = list(part["node_ids"])
+                    rxs = list(part["xs"])
+                    rys = list(part["ys"])
+                    if part["skip_first"] and node_ids:
+                        ids, rxs, rys = ids[1:], rxs[1:], rys[1:]
+                    node_ids.extend(ids)
+                    xs.extend(rxs)
+                    ys.extend(rys)
+                    nways += part["nways"]
+                    fixed = fixed or bool(part["fixed"])
+                    if min_rid is None or part["ring_id"] < min_rid:
+                        min_rid = part["ring_id"]
+                        lead = part["lead"]
+                if row.append_first:
+                    node_ids.append(node_ids[0])
+                    xs.append(xs[0])
+                    ys.append(ys[0])
+                if row.fake_close:
+                    node_ids[-1] = node_ids[0]
+                if node_ids and node_ids[0] == node_ids[-1] and lead in node_ids:
+                    p = node_ids.index(lead)
+                    if p > 0:
+                        core_i, core_x, core_y = node_ids[:-1], xs[:-1], ys[:-1]
+                        node_ids = core_i[p:] + core_i[:p]
+                        xs = core_x[p:] + core_x[:p]
+                        ys = core_y[p:] + core_y[:p]
+                        node_ids.append(node_ids[0])
+                        xs.append(xs[0])
+                        ys.append(ys[0])
+                out["ring_id"].append(int(min_rid))
+                out["node_ids"].append(node_ids)
+                out["xs"].append(xs)
+                out["ys"].append(ys)
+                out["nways"].append(int(nways))
+                out["fixed"].append(fixed)
+                out["lead"].append(int(lead))
+            yield pd.DataFrame(out)
 
-    return tagged.groupBy("group_id").applyInPandas(merge, RING_SCHEMA)
+    return agg.mapInPandas(merge_batch, RING_SCHEMA)
