@@ -29,7 +29,9 @@ from osmcoastline_spark.synth import synth_nodes_ways
 
 cpus = int(sys.argv[1])
 n_islands = int(sys.argv[2])
-spark = get_spark("scaling", master=f"local[{cpus}]", shuffle_partitions=cpus * 2)
+# identical logical+physical plan at both levels: fixed partition count,
+# only executor parallelism differs (the "same job, two cluster sizes" rule)
+spark = get_spark("scaling", master=f"local[{cpus}]", shuffle_partitions=64)
 spark.sparkContext.setLogLevel("ERROR")
 nodes, ways = synth_nodes_ways(spark, n_islands, seed=42)
 nodes = nodes.localCheckpoint(eager=True)
@@ -59,7 +61,7 @@ def run_level(cpus: int, n_islands: int) -> dict:
 
 
 def main() -> None:
-    n_islands = int(os.environ.get("SPARK_GRAFT_SCALING_ISLANDS", "20000"))
+    n_islands = int(os.environ.get("SPARK_GRAFT_SCALING_ISLANDS", "400000"))
     lo = int(os.environ.get("SPARK_GRAFT_SCALING_LO", "8"))
     hi = int(os.environ.get("SPARK_GRAFT_SCALING_HI", "32"))
 
