@@ -41,12 +41,18 @@ def questionable_rings(rings: DataFrame, polygons: DataFrame) -> DataFrame:
         F.lit(0).alias("kind"),
         F.lit(None).cast("long").alias("ring_id"),
     )
+    # lower_bound = nearest ring event at-or-after the query in ascending
+    # order. Computed as a RUNNING last() over the DESCENDING order — an
+    # O(n) frame; an unboundedFollowing frame would be O(n²) per partition.
+    # (Global window: the event list is ring-count-sized; range-partitioned
+    # two-pass variant is the scale-up path.)
     w = (
-        Window.orderBy("x", "y", "kind", "ring_id")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        Window.orderBy(
+            F.desc("x"), F.desc("y"), F.desc("kind"), F.desc_nulls_last("ring_id")
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     events = ring_events.unionByName(query_events).withColumn(
-        "marked", F.first("ring_id", ignorenulls=True).over(w)
+        "marked", F.last("ring_id", ignorenulls=True).over(w)
     )
     outer_ids = (
         events.filter(F.col("kind") == 0)

@@ -78,22 +78,41 @@ def _island_frame(seed: int, islands: np.ndarray, n_islands: int) -> tuple[pd.Da
 
 
 def synth_nodes_ways(spark: SparkSession, n_islands: int, seed: int = 42) -> tuple[DataFrame, DataFrame]:
-    """Distributed generation of (nodes, ways) DataFrames."""
+    """Distributed generation of (nodes, ways) DataFrames.
+
+    Generated as ONE combined pass (a way row carries its island's nodes),
+    then projected twice — generating nodes and ways separately would run
+    the per-island RNG twice.
+    """
     base = spark.range(n_islands).repartition(max(spark.sparkContext.defaultParallelism, 4))
 
-    def gen_nodes(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gen_combined(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            yield _island_frame(seed, pdf["id"].to_numpy(), n_islands)[0]
+            nodes, ways = _island_frame(seed, pdf["id"].to_numpy(), n_islands)
+            nodes["kind"] = "n"
+            ways_out = pd.DataFrame(
+                {
+                    "node_id": ways["way_id"],
+                    "lon": 0.0,
+                    "lat": 0.0,
+                    "tags": ways["tags"],
+                    "kind": "w",
+                    "node_ids": ways["node_ids"],
+                }
+            )
+            nodes["node_ids"] = [None] * len(nodes)
+            yield pd.concat([nodes, ways_out], ignore_index=True)[
+                ["node_id", "lon", "lat", "tags", "kind", "node_ids"]
+            ]
 
-    def gen_ways(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            yield _island_frame(seed, pdf["id"].to_numpy(), n_islands)[1]
-
-    nodes = base.mapInPandas(
-        gen_nodes, "node_id long, lon double, lat double, tags map<string,string>"
-    )
-    ways = base.mapInPandas(
-        gen_ways, "way_id long, node_ids array<long>, tags map<string,string>"
+    combined = base.mapInPandas(
+        gen_combined,
+        "node_id long, lon double, lat double, tags map<string,string>, "
+        "kind string, node_ids array<long>",
+    ).localCheckpoint(eager=True)
+    nodes = combined.filter("kind = 'n'").select("node_id", "lon", "lat", "tags")
+    ways = combined.filter("kind = 'w'").select(
+        combined["node_id"].alias("way_id"), "node_ids", "tags"
     )
     return nodes, ways
 
