@@ -40,7 +40,39 @@ from osmcoastline_spark.streaming.events import windowed_counts_batch
 # ----------------------------------------------------------------- helpers
 
 
+_SHIPPED: set = set()
+
+
+def _ensure_pkg(spark: SparkSession) -> None:
+    """Ship osmcoastline_spark to executors regardless of how the session
+    was built (the driver creates its own SparkSession; python workers
+    can't rely on our PYTHONPATH). addPyFile of a package zip is the
+    session-agnostic equivalent of spark-submit --py-files."""
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED:
+        return
+    import zipfile
+
+    pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "osmcoastline_spark")
+    zip_path = os.path.join("/tmp", "osmcoastline_spark_pyfiles.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    try:
+        sc.addPyFile(zip_path)
+    except Exception:
+        pass  # already added or unsupported — PYTHONPATH fallback applies
+    _SHIPPED.add(key)
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_pkg(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
