@@ -183,22 +183,32 @@ def q_location_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list(F.struct("pos", "node_id", "lon", "lat"))).alias("p"))
         .select("way_id", F.col("p.lon").alias("xs"), F.col("p.lat").alias("ys"))
     )
-    # haversine in integer meters (order-independent exact sum)
+    # Haversine in integer meters, bit-stable across engines: JVM and DuckDB
+    # libm disagree at the ULP level on sin/cos/asin (amplified without
+    # bound near asin(1)), so every trig OUTPUT is quantized to a 1e-6 grid
+    # via exact floor(x*1e6+0.5); all downstream ops (+ − × ÷ sqrt floor)
+    # are IEEE-correctly-rounded and therefore bit-identical on both sides.
+    # The identical quantization appears in the DuckDB oracle SQL.
     def leg(i):
         lon1 = F.element_at(F.col("xs"), (i - 1).cast("int"))
         lat1 = F.element_at(F.col("ys"), (i - 1).cast("int"))
         lon2 = F.element_at(F.col("xs"), i.cast("int"))
         lat2 = F.element_at(F.col("ys"), i.cast("int"))
-        return F.round(
-            F.lit(2.0 * 6371000.0)
-            * F.asin(
-                F.sqrt(
-                    F.pow(F.sin(F.radians(lat2 - lat1) / 2), 2)
-                    + F.cos(F.radians(lat1))
-                    * F.cos(F.radians(lat2))
-                    * F.pow(F.sin(F.radians(lon2 - lon1) / 2), 2)
-                )
-            )
+
+        def q(c):  # quantized trig output, as double
+            return F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("double")
+
+        s1 = q(F.sin(F.radians(lat2 - lat1) / 2))
+        s2 = q(F.sin(F.radians(lon2 - lon1) / 2))
+        c1 = q(F.cos(F.radians(lat1)))
+        c2 = q(F.cos(F.radians(lat2)))
+        h = F.least(
+            (s1 * s1 + (((c1 * c2) * s2) * s2) / F.lit(1e12)) / F.lit(1e12),
+            F.lit(1.0),
+        )
+        aq = F.floor(F.asin(F.sqrt(h)) * F.lit(1000000.0) + F.lit(0.5)).cast("double")
+        return F.floor(
+            (F.lit(2.0 * 6371000.0) * aq) / F.lit(1000000.0) + F.lit(0.5)
         ).cast("long")
 
     hav = F.when(F.size("xs") < 2, F.lit(0).cast("long")).otherwise(
@@ -505,9 +515,18 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (rows-only check: hyperplanes aren't SQL)."""
+    """LSH-bucketed ANN (rows-only check: hyperplanes aren't SQL).
+    dim passed explicitly — no driver action in the plan."""
     emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
-    return S.lsh_topk(emb, k=3, bits=6, n_tables=2)
+    return S.lsh_topk(emb, k=3, bits=6, n_tables=2, dim=64)
+
+
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: inverted lists keyed by the dominant-dimension sign
+    cell, queries probe their top-2 cells. Deterministic quantizer ⇒ full
+    SQL oracle (unlike the random-hyperplane LSH)."""
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    return S.ivf_topk(emb, k=3, nprobe=2)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -539,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_guess": q_lang_guess,
         "q_embedding_topk": q_embedding_topk,
         "q_embedding_lsh_topk": q_embedding_lsh_topk,
+        "q_embedding_ivf_topk": q_embedding_ivf_topk,
     }
 
 
@@ -591,14 +611,25 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY way_id ORDER BY pos, node_id, lon, lat) AS rn
               FROM pts
             ),
-            segs AS (
+            -- trig outputs quantized to a 1e-6 grid (floor(x*1e6+0.5)),
+            -- mirroring the Spark side exactly: all ops after the quantize
+            -- are IEEE-exact, so the integer meters are bit-identical
+            quant AS (
               SELECT a.way_id,
-                     CAST(round(2.0 * 6371000.0 * asin(sqrt(
-                       pow(sin(radians(b.lat - a.lat) / 2), 2) +
-                       cos(radians(a.lat)) * cos(radians(b.lat)) *
-                       pow(sin(radians(b.lon - a.lon) / 2), 2)
-                     ))) AS BIGINT) AS m
+                     floor(sin(radians(b.lat - a.lat) / 2) * 1000000.0 + 0.5) AS s1,
+                     floor(sin(radians(b.lon - a.lon) / 2) * 1000000.0 + 0.5) AS s2,
+                     floor(cos(radians(a.lat)) * 1000000.0 + 0.5) AS c1,
+                     floor(cos(radians(b.lat)) * 1000000.0 + 0.5) AS c2
               FROM seq a JOIN seq b ON a.way_id = b.way_id AND b.rn = a.rn + 1
+            ),
+            segs AS (
+              SELECT way_id,
+                     CAST(floor((2.0 * 6371000.0 *
+                       floor(asin(sqrt(least(
+                         (s1 * s1 + (((c1 * c2) * s2) * s2) / 1e12) / 1e12,
+                         1.0))) * 1000000.0 + 0.5)
+                     ) / 1000000.0 + 0.5) AS BIGINT) AS m
+              FROM quant
             ),
             np AS (SELECT way_id, count(*) AS npoints FROM seq GROUP BY way_id)
             SELECT np.way_id, CAST(np.npoints AS INT) AS npoints,
@@ -816,6 +847,48 @@ def oracle_sql() -> dict[str, str]:
         """,
         # q_embedding_lsh_topk: intentionally no oracle (random hyperplanes
         # are not SQL-expressible) — rows-only check.
+        "q_embedding_ivf_topk": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v
+              FROM embeddings WHERE vec_id % 10 = 0
+            ),
+            idx AS (
+              SELECT vec_id, v,
+                     unnest(generate_series(1, len(v))) AS i
+              FROM e
+            ),
+            comp AS (
+              SELECT vec_id, v, i, abs(v[i]) AS a,
+                     CASE WHEN v[i] > 0 THEN i * 2 + 1 ELSE i * 2 END AS cell
+              FROM idx
+            ),
+            rd AS (
+              SELECT vec_id, v, cell,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, i DESC) AS r
+              FROM comp
+            ),
+            lists AS (SELECT vec_id AS nbr_id, cell FROM rd WHERE r = 1),
+            probes AS (SELECT vec_id AS query_id, cell FROM rd WHERE r <= 2),
+            cands AS (
+              SELECT DISTINCT query_id, nbr_id
+              FROM probes JOIN lists USING (cell)
+              WHERE query_id != nbr_id
+            ),
+            scored AS (
+              SELECT c.query_id, c.nbr_id,
+                     round(list_inner_product(q.v, n.v) /
+                           (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(n.v, n.v))), 6) AS cos
+              FROM cands c
+              JOIN e q ON q.vec_id = c.query_id
+              JOIN e n ON n.vec_id = c.nbr_id
+            ),
+            ranked AS (
+              SELECT query_id, nbr_id, cos,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, nbr_id, cos, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 3
+        """,
     }
 
 

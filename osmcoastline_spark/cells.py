@@ -70,13 +70,18 @@ def segment_cover_cells(x1, y1, x2, y2, cell_deg: float) -> list[np.ndarray]:
     return out
 
 
-def bbox_cover_cells_expr(minx: Column, miny: Column, maxx: Column, maxy: Column, cell_deg: float) -> Column:
+def bbox_cover_cells_expr(
+    minx: Column, miny: Column, maxx: Column, maxy: Column, cell_deg: float,
+    x0: float = -180.0, y0: float = -90.0,
+) -> Column:
     """Array of covered cell ids as a pure Catalyst expression (sequence ×
-    sequence cross-flatten) — keeps tile-cover joins JVM-side."""
-    ix_lo = F.floor((minx + F.lit(180.0)) / F.lit(cell_deg)).cast("long")
-    ix_hi = F.floor((maxx + F.lit(180.0)) / F.lit(cell_deg)).cast("long")
-    iy_lo = F.floor((miny + F.lit(90.0)) / F.lit(cell_deg)).cast("long")
-    iy_hi = F.floor((maxy + F.lit(90.0)) / F.lit(cell_deg)).cast("long")
+    sequence cross-flatten) — keeps tile-cover joins JVM-side. `x0`/`y0`
+    shift the grid origin so the same math serves any SRS extent (3857
+    passes -MERC with a metre-sized cell)."""
+    ix_lo = F.floor((minx - F.lit(x0)) / F.lit(cell_deg)).cast("long")
+    ix_hi = F.floor((maxx - F.lit(x0)) / F.lit(cell_deg)).cast("long")
+    iy_lo = F.floor((miny - F.lit(y0)) / F.lit(cell_deg)).cast("long")
+    iy_hi = F.floor((maxy - F.lit(y0)) / F.lit(cell_deg)).cast("long")
     xs = F.sequence(ix_lo, ix_hi)
     ys = F.sequence(iy_lo, iy_hi)
     return F.flatten(

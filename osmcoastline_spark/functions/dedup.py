@@ -98,10 +98,26 @@ def minhash_lsh_pairs(
 def ngram_jaccard_pairs(
     docs: DataFrame, k: int = 5, threshold: float = 0.8,
     text_col: str = "text", id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct k-shingle sets, restricted to pairs that
-    share at least one shingle (the equi-join bounds the candidates)."""
+    share at least one shingle (the equi-join bounds the candidates).
+
+    `max_doc_freq` drops shingles appearing in more than that many docs
+    BEFORE the self-join — a boilerplate 8-gram shared by k docs otherwise
+    contributes k² join rows (the 100 TB hot-key risk). The Jaccard is then
+    computed consistently over the capped shingle sets (both intersection
+    and sizes), so the metric stays well-defined; mirror the cap in any
+    SQL oracle."""
     sh = shingles(docs, k, text_col, id_col)
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
     a = sh.select(F.col("doc_id").alias("a"), "shingle")
     b = sh.select(F.col("doc_id").alias("b"), "shingle")
@@ -143,28 +159,27 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
     ).filter(F.length("tok") > 0)
     hexes = toks.withColumn("h", F.substring(F.md5("tok"), 1, 16))
-    # rows-based plan (two shuffles, no 64-column aggregate): explode the 64
-    # bit positions, derive ±1 from the hex nibble, partial-aggregate per
-    # (doc, bit), then fold bit sums into the int64 sketch
-    contrib = hexes.select(
-        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bitpos")
-    ).selectExpr(
-        "doc_id",
-        "bitpos",
-        "(shiftright(instr('0123456789abcdef', substring(h, CAST(bitpos / 4 AS INT) + 1, 1)) - 1, "
-        " CAST(3 - bitpos % 4 AS INT)) & 1) * 2 - 1 AS c",
-    )
-    sums = contrib.groupBy("doc_id", "bitpos").agg(F.sum("c").alias("s"))
-    return sums.groupBy("doc_id").agg(
-        F.sum(
-            F.expr(
-                "CASE WHEN s > 0 THEN "
-                "  CASE WHEN bitpos = 63 THEN CAST(-9223372036854775808 AS BIGINT) "
-                "       ELSE shiftleft(CAST(1 AS BIGINT), CAST(bitpos AS INT)) END "
-                "ELSE CAST(0 AS BIGINT) END"
-            )
-        ).alias("simhash")
-    )
+    # ONE shuffle, 64 partial-aggregating sum columns per doc — no row
+    # amplification (the round-1 plan exploded 64 rows per token, a 64×
+    # shuffle blow-up; 64 agg buffers per group are free by comparison and
+    # map-side combine still applies).
+    def bit_sum(b: int):
+        nib = F.expr(
+            f"instr('0123456789abcdef', substring(h, {b // 4 + 1}, 1)) - 1"
+        )
+        bit = F.shiftright(nib, 3 - b % 4).bitwiseAND(F.lit(1))
+        return F.sum(bit * 2 - 1).alias(f"s{b}")
+
+    sums = hexes.groupBy("doc_id").agg(*[bit_sum(b) for b in range(64)])
+    total = F.lit(0).cast("long")
+    for b in range(64):
+        weight = (
+            F.lit(-9223372036854775808).cast("long")
+            if b == 63
+            else F.lit(1 << b).cast("long")
+        )
+        total = total + F.when(F.col(f"s{b}") > 0, weight).otherwise(F.lit(0).cast("long"))
+    return sums.select("doc_id", total.alias("simhash"))
 
 
 def simhash_band_pairs(sims: DataFrame, band_bits: int = 16) -> DataFrame:

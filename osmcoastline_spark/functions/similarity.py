@@ -6,8 +6,9 @@
   (deterministic seeded planes) bound the candidate set; exact cosine only
   within a bucket. Recall grows with n_tables; the bucket join replaces the
   O(n²) cross join exactly like cell binning replaces the spatial sweep.
-* IVF-style variant — deterministic grid-coarse quantizer (no kmeans dep):
-  route each vector to its dominant-dimension sign cell.
+* IVF-style variant (ivf_topk) — deterministic coarse quantizer (no kmeans
+  dep): each vector joins the inverted list of its dominant-dimension sign
+  cell; queries probe their nprobe highest cells.
 """
 
 from __future__ import annotations
@@ -76,26 +77,93 @@ def lsh_bucket_expr(vec_col: str, planes: np.ndarray) -> Column:
 def lsh_topk(
     vectors: DataFrame, k: int = 5, bits: int = 8, n_tables: int = 2,
     vec_col: str = "embedding", id_col: str = "vec_id", seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: candidates share a sign-bucket in ≥1 table."""
-    dim = len(vectors.select(vec_col).first()[0])
-    tagged = vectors
-    bucket_cols = []
+    """Approximate top-k: candidates share a sign-bucket in ≥1 table.
+
+    Pass `dim` explicitly (it is schema metadata, not data) — inferring it
+    would put a driver action in the hot path. All (table, bucket) keys go
+    through ONE explode + ONE self-join rather than a per-table union of
+    joins."""
+    if dim is None:
+        # fallback only — callers on the hot path must pass dim
+        dim = len(vectors.select(vec_col).limit(1).collect()[0][0])
+    table_structs = []
     for t in range(n_tables):
         planes = hyperplanes(dim, bits, seed + t)
-        col = f"bucket_{t}"
-        tagged = tagged.withColumn(col, lsh_bucket_expr(vec_col, planes))
-        bucket_cols.append(col)
-    tagged = tagged.select(id_col, vec_col, *bucket_cols).cache()
+        table_structs.append(
+            F.struct(F.lit(t).alias("t"), lsh_bucket_expr(vec_col, planes).alias("bk"))
+        )
+    tagged = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.explode(F.array(*table_structs)).alias("tb"),
+    ).select("vid", "vec", F.col("tb.t").alias("t"), F.col("tb.bk").alias("bk"))
 
-    cands = None
-    for col in bucket_cols:
-        a = tagged.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), F.col(col).alias("bk"))
-        b = tagged.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec"), F.col(col).alias("bk"))
-        c = a.join(b, "bk").filter(F.col("query_id") != F.col("nbr_id")).drop("bk")
-        cands = c if cands is None else cands.unionByName(c)
-    cands = cands.dropDuplicates(["query_id", "nbr_id"])
+    a = tagged.select(F.col("vid").alias("query_id"), F.col("vec").alias("q_vec"), "t", "bk")
+    b = tagged.select(F.col("vid").alias("nbr_id"), F.col("vec").alias("nbr_vec"), "t", "bk")
+    cands = (
+        a.join(b, ["t", "bk"])
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .dropDuplicates(["query_id", "nbr_id"])
+    )
 
+    scored = cands.withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cos", "rank")
+    )
+
+
+def ivf_cells_expr(vec_col: str, nprobe: int) -> Column:
+    """IVF coarse cells without a trained quantizer: cell = (dominant
+    |component| dimension, its sign) → 2·dim inverted lists. Returns the
+    top-`nprobe` cells by |component| as an array (probe order)."""
+    vec = F.col(vec_col)
+    scores = F.transform(
+        F.sequence(F.lit(1), F.size(vec)),
+        lambda i: F.struct(
+            F.abs(F.element_at(vec, i)).cast("double").alias("a"), i.alias("i")
+        ),
+    )
+    top = F.slice(F.sort_array(scores, asc=False), 1, nprobe)
+    return F.transform(
+        top,
+        lambda s: s["i"].cast("long") * 2
+        + F.when(F.element_at(vec, s["i"]) > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame, k: int = 5, nprobe: int = 2,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: every vector is indexed under its top-1
+    coarse cell (the inverted list); each query probes its `nprobe` highest
+    cells. Exact cosine only within the probed lists — the list join
+    replaces the cross join, recall grows with nprobe."""
+    cells = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        ivf_cells_expr(vec_col, nprobe).alias("cells"),
+    )
+    lists = cells.select(
+        F.col("vid").alias("nbr_id"),
+        F.col("vec").alias("nbr_vec"),
+        F.element_at("cells", 1).alias("cell"),
+    )
+    probes = cells.select(
+        F.col("vid").alias("query_id"),
+        F.col("vec").alias("q_vec"),
+        F.explode("cells").alias("cell"),
+    )
+    cands = (
+        probes.join(lists, "cell")
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .dropDuplicates(["query_id", "nbr_id"])
+    )
     scored = cands.withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
     return (
@@ -108,9 +176,13 @@ def lsh_topk(
 def embedding_near_dup_pairs(
     vectors: DataFrame, threshold: float = 0.95, bits: int = 8,
     n_tables: int = 2, vec_col: str = "embedding", id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets + exact verify."""
-    top = lsh_topk(vectors, k=50, bits=bits, n_tables=n_tables, vec_col=vec_col, id_col=id_col)
+    top = lsh_topk(
+        vectors, k=50, bits=bits, n_tables=n_tables,
+        vec_col=vec_col, id_col=id_col, dim=dim,
+    )
     return (
         top.filter(F.col("cos") >= threshold)
         .filter(F.col("query_id") < F.col("nbr_id"))

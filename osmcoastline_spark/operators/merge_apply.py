@@ -1,10 +1,15 @@
 """Distributed application of a chain-merge plan.
 
-Both ring assembly's driver-finish phase and gap closing (R2) reduce to the
-same shape: a tiny plan — (ring_id → group, seq, skip_first) plus per-group
-finalize actions — computed from endpoints only, applied to the coordinate
-arrays distributed via groupBy(group).applyInPandas. The plan is
-O(open chains); the data never leaves the executors.
+Ring assembly's mating rounds, its driver-finish phase, and gap closing (R2)
+all reduce to the same shape: a merge plan — (ring_id → group, seq, seq2,
+skip_first) plus per-group finalize actions — computed from ENDPOINTS only,
+applied to the coordinate arrays in ONE groupBy(group).applyInPandas pass.
+The plan is O(open chains); the arrays never ride an iterative shuffle.
+
+`seq`/`seq2` order parts within a group lexicographically: `seq` is the
+outer position assigned by the planner (driver chain order), `seq2` the
+inner position for chains that were pre-merged during the distributed
+mating rounds (member order within the pre-merged chain).
 """
 
 from __future__ import annotations
@@ -17,6 +22,9 @@ RING_SCHEMA = (
     "nways int, fixed boolean, lead long"
 )
 
+PLAN_SCHEMA = "ring_id long, group_id long, seq int, seq2 int, skip_first boolean"
+FIN_SCHEMA = "group_id long, append_first boolean, fake_close boolean, grp_fixed boolean"
+
 
 def apply_merge_plan(
     spark: SparkSession,
@@ -24,29 +32,38 @@ def apply_merge_plan(
     plan: list[tuple],  # (ring_id, group_id, seq, skip_first)
     finalize: list[tuple],  # (group_id, append_first, fake_close, grp_fixed)
 ) -> DataFrame:
-    """Concatenate ring parts per group, ordered by seq; rotate rings that
-    closed so they start at the min-way chain's lead node."""
+    """List-based wrapper (driver-computed plans: gap closing, small-input
+    assembly finish). The plan is tiny — both joins broadcast."""
+    plan_df = spark.createDataFrame(
+        [(r, g, s, 0, sk) for r, g, s, sk in plan], PLAN_SCHEMA
+    )
+    fin_df = spark.createDataFrame(finalize, FIN_SCHEMA)
+    return apply_merge_plan_df(open_rings, plan_df, fin_df, broadcast_plan=True)
+
+
+def apply_merge_plan_df(
+    open_rings: DataFrame,
+    plan_df: DataFrame,  # PLAN_SCHEMA columns
+    fin_df: DataFrame,  # FIN_SCHEMA columns
+    broadcast_plan: bool = False,
+) -> DataFrame:
+    """Concatenate ring parts per group, ordered by (seq, seq2); rotate rings
+    that closed so they start at the min-way chain's lead node."""
     from pyspark.sql import functions as F
 
-    plan_df = spark.createDataFrame(
-        plan, "ring_id long, group_id long, seq int, skip_first boolean"
-    )
-    fin_df = spark.createDataFrame(
-        finalize, "group_id long, append_first boolean, fake_close boolean, grp_fixed boolean"
-    )
-    # the plan is tiny — broadcast both joins; the single shuffle is the
-    # groupBy(group_id). Aggregate parts per group JVM-side, then run ONE
-    # Arrow batch over the aggregated rows (per-group applyInPandas pays a
-    # pandas-DataFrame construction per group, which dominates when groups
-    # are small and AQE has coalesced the shuffle to few partitions).
-    tagged = open_rings.join(F.broadcast(plan_df), "ring_id").join(
-        F.broadcast(fin_df), "group_id"
-    )
+    if broadcast_plan:
+        plan_df = F.broadcast(plan_df)
+        fin_df = F.broadcast(fin_df)
+    # One shuffle: the groupBy(group_id). Aggregate parts per group JVM-side,
+    # then run ONE Arrow batch over the aggregated rows (per-group
+    # applyInPandas pays a pandas-DataFrame construction per group, which
+    # dominates when groups are small and AQE has coalesced the shuffle).
+    tagged = open_rings.join(plan_df, "ring_id").join(fin_df, "group_id")
     agg = tagged.groupBy("group_id", "append_first", "fake_close", "grp_fixed").agg(
         F.sort_array(
             F.collect_list(
-                F.struct("seq", "skip_first", "node_ids", "xs", "ys", "nways", "fixed",
-                         "ring_id", "lead")
+                F.struct("seq", "seq2", "skip_first", "node_ids", "xs", "ys",
+                         "nways", "fixed", "ring_id", "lead")
             )
         ).alias("parts")
     )
@@ -82,7 +99,19 @@ def apply_merge_plan(
                     ys.append(ys[0])
                 if row.fake_close:
                     node_ids[-1] = node_ids[0]
-                if node_ids and node_ids[0] == node_ids[-1] and lead in node_ids:
+                # Rotation is only safe when the ring is closed in
+                # COORDINATES too: fake_close aliases the last node id while
+                # its location stays distinct (reference fake_close,
+                # src/coastline_ring.cpp) — rotating such a ring would drop
+                # the real last vertex. Skip it; the gap geometry survives.
+                coord_closed = (
+                    node_ids
+                    and node_ids[0] == node_ids[-1]
+                    and not row.fake_close
+                    and xs[0] == xs[-1]
+                    and ys[0] == ys[-1]
+                )
+                if coord_closed and lead in node_ids:
                     p = node_ids.index(lead)
                     if p > 0:
                         core_i, core_x, core_y = node_ids[:-1], xs[:-1], ys[:-1]

@@ -11,10 +11,12 @@ NOT reversed (add_error_line(..., false)). 4326 only.
 
 Spark shape: the lower_bound over a global sort is a union of 'query' events
 (polygon starts) and 'ring' events ordered by (x, y, kind, ring_id) with a
-forward-looking window picking the next ring event. The window is global
-(matches the reference's single sorted vector); for planet-scale ring counts
-a range-partitioned variant would be substituted — ring cardinality is
-polygon-count-sized, far below row counts.
+forward-looking window picking the next ring event. Scale: the sort is
+RANGE-PARTITIONED by x-bucket — a per-bucket O(rows) running window plus a
+boundary fix-up over the bucket spine (≤ 360/width rows, a constant): a
+query with no ring event at-or-after it inside its own bucket takes the
+first ring event of the nearest later bucket. No global single-task sort
+over the (data-proportional) event list remains.
 """
 
 from __future__ import annotations
@@ -26,7 +28,9 @@ from pyspark.sql.window import Window
 from osmcoastline_spark.schemas import QUESTIONABLE_NPOINTS_CAP
 
 
-def questionable_rings(rings: DataFrame, polygons: DataFrame) -> DataFrame:
+def questionable_rings(
+    rings: DataFrame, polygons: DataFrame, bucket_width: float = 5.0
+) -> DataFrame:
     """rings: ALL assembled rings (closed and open, OSM orientation).
     polygons: output polygons (GIS orientation)."""
     ring_events = rings.select(
@@ -41,22 +45,37 @@ def questionable_rings(rings: DataFrame, polygons: DataFrame) -> DataFrame:
         F.lit(0).alias("kind"),
         F.lit(None).cast("long").alias("ring_id"),
     )
-    # lower_bound = nearest ring event at-or-after the query in ascending
-    # order. Computed as a RUNNING last() over the DESCENDING order — an
-    # O(n) frame; an unboundedFollowing frame would be O(n²) per partition.
-    # (Global window: the event list is ring-count-sized; range-partitioned
-    # two-pass variant is the scale-up path.)
-    w = (
-        Window.orderBy(
-            F.desc("x"), F.desc("y"), F.desc("kind"), F.desc_nulls_last("ring_id")
-        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucket = F.floor((F.col("x") + F.lit(180.0)) / F.lit(bucket_width))
+    events = ring_events.unionByName(query_events).withColumn("bucket", bucket)
+
+    # Pass 1 — per-bucket lower_bound: nearest ring event at-or-after the
+    # query in ascending (x, y, kind, ring_id) order, computed as a RUNNING
+    # last() over the DESCENDING order (an O(n) frame; unboundedFollowing
+    # would be O(n²) per partition).
+    w_in = Window.partitionBy("bucket").orderBy(
+        F.desc("x"), F.desc("y"), F.desc("kind"), F.desc_nulls_last("ring_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events = events.withColumn("marked", F.last("ring_id", ignorenulls=True).over(w_in))
+
+    # Pass 2 — boundary fix-up: per-bucket FIRST ring event (ascending),
+    # then, over the bucket spine only (constant-sized), the nearest later
+    # bucket's first ring event for queries whose own bucket ran dry.
+    firsts = (
+        ring_events.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(F.min(F.struct("x", "y", "ring_id")).alias("f"))
     )
-    events = ring_events.unionByName(query_events).withColumn(
-        "marked", F.last("ring_id", ignorenulls=True).over(w)
+    spine = events.select("bucket").distinct().join(firsts, "bucket", "left")
+    w_spine = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    nxt = spine.withColumn("nf", F.last("f", ignorenulls=True).over(w_spine)).select(
+        "bucket", F.col("nf.ring_id").alias("next_ring")
     )
     outer_ids = (
         events.filter(F.col("kind") == 0)
-        .select(F.col("marked").alias("ring_id"))
+        .join(F.broadcast(nxt), "bucket", "left")
+        .select(F.coalesce("marked", "next_ring").alias("ring_id"))
         .dropna()
         .distinct()
     )

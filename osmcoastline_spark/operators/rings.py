@@ -56,7 +56,12 @@ def _init_chains(ways_loc: DataFrame) -> DataFrame:
 
 
 def rotate_closed_to_lead(df: DataFrame) -> DataFrame:
-    """Rotate each CLOSED ring (first==last) so node_ids[0] == lead."""
+    """Rotate each CLOSED ring (first==last) so node_ids[0] == lead.
+
+    For ring [A,B,C,D,A] with lead C: slice(pos, n-pos) = [C,D] (drops the
+    duplicated last vertex), slice(1, pos-1) = [A,B] (the prefix, INCLUDING
+    the original first vertex), then re-append the lead → [C,D,A,B,C].
+    """
     pos = F.array_position("node_ids", F.col("lead"))
     n = F.size("node_ids")
 
@@ -65,7 +70,7 @@ def rotate_closed_to_lead(df: DataFrame) -> DataFrame:
         return F.when((pos <= 1) | (pos == 0), col).otherwise(
             F.concat(
                 F.slice(col, pos.cast("int"), (n - pos).cast("int")),
-                F.slice(col, 2, (pos - 1).cast("int")),
+                F.slice(col, 1, (pos - 1).cast("int")),
                 F.array(F.element_at(col, pos.cast("int"))),
             )
         )
@@ -163,47 +168,60 @@ def assemble_rings(
     """Returns (closed_rings, open_rings) with schema
     ring_id, node_ids, xs, ys, nways, fixed, lead.
 
-    Hybrid strategy: distributed mating rounds while the open-chain count is
-    large; once it drops below `driver_threshold` (endpoints only — a few MB
-    even for a full planet's coastline ways), the remaining chain graph is
-    solved sequentially on the driver and applied as ONE distributed
-    concatenation pass. Chain count ∝ coastline ways, never ∝ rows, so the
-    driver step is bounded at any data scale; the distributed rounds exist
-    for inputs whose way count itself is huge.
+    Endpoint-only fixpoint: the coordinate arrays NEVER ride an iterative
+    shuffle. The mating rounds operate on (ring_id, members, first_node,
+    last_node) rows — a few dozen bytes per open chain — and only the merge
+    PLAN accumulates. At fixpoint (or when the open-chain count drops below
+    `driver_threshold` and the remaining graph is solved sequentially on
+    the driver, exactly like the reference's endpoint-map chaining), the
+    plan is applied to the stationary arrays in ONE
+    groupBy(group).applyInPandas concatenation (merge_apply).
+
+    Chain count ∝ coastline ways, never ∝ rows, so the driver step is
+    bounded at any data scale; the distributed rounds exist for inputs
+    whose way count itself is huge — and they now shuffle O(chains × 32B)
+    per round instead of O(total coordinates).
     """
     spark = ways_loc.sparkSession
-    # one materialization of the location join; closed/open/rotate all
-    # derive from this checkpoint instead of recomputing the explode+join
+    # one materialization of the location join; everything derives from
+    # this checkpoint instead of recomputing the explode+join
     chains = _init_chains(ways_loc).localCheckpoint(eager=True)
     closed = chains.filter(_closed())
     open_ = chains.filter(~_closed())
 
-    cols = ["ring_id", "node_ids", "xs", "ys", "nways", "fixed", "lead"]
+    # endpoint state: members = original chain ids in concatenation order
+    ep = (
+        _with_endpoints(open_)
+        .select(
+            "ring_id",
+            F.array("ring_id").alias("members"),
+            "first_node",
+            "last_node",
+        )
+        .localCheckpoint(eager=True)
+    )
+    ep_cols = ["ring_id", "members", "first_node", "last_node"]
+    closed_groups: list[DataFrame] = []  # (ring_id, members) closed mid-rounds
+    driver_plan = None
 
     for rnd in range(max_rounds):
-        n_open = open_.count()
+        n_open = ep.count()
         if n_open == 0:
             break
         if n_open <= driver_threshold:
             eps = [
                 (r["ring_id"], r["first_node"], r["last_node"])
-                for r in _with_endpoints(open_).select("ring_id", "first_node", "last_node").collect()
+                for r in ep.select("ring_id", "first_node", "last_node").collect()
             ]
-            plan, finalize = _driver_finish_plan(eps)
-            from osmcoastline_spark.operators.merge_apply import apply_merge_plan
-
-            open_ = apply_merge_plan(spark, open_, plan, finalize).localCheckpoint(eager=True)
-            closed = closed.unionByName(open_.filter(_closed()))
-            open_ = open_.filter(~_closed())
+            driver_plan = _driver_finish_plan(eps)
             break
-        a = _with_endpoints(open_).select(*cols, "first_node", "last_node")
         # Endpoint OWNERSHIP: the reference's endpoint maps are assignments
         # (m_start_nodes[id] = ring, coastline_ring_collection.cpp:59-62),
         # so when bad data makes several chains share an endpoint node id,
         # only the last-inserted (max way id) chain is reachable through it.
         # We replicate that with a per-round max-ring_id window per endpoint
         # — which also makes every (endpoint → chain) match unique.
-        a = a.withColumn(
+        a = ep.withColumn(
             "own_start",
             F.col("ring_id") == F.max("ring_id").over(Window.partitionBy("first_node")),
         ).withColumn(
@@ -212,18 +230,16 @@ def assemble_rings(
         )
         coin = F.pmod(F.xxhash64(F.col("ring_id"), F.lit(rnd)), F.lit(2))
         heads_all = a.filter(F.col("own_end")).select(
-            *[F.col(c).alias(f"a_{c}") for c in cols],
-            F.col("last_node").alias("a_last"),
+            *[F.col(c).alias(f"a_{c}") for c in ep_cols],
             (coin == 0).alias("a_coin"),
         )
         tails_all = a.filter(F.col("own_start")).select(
-            *[F.col(c).alias(f"b_{c}") for c in cols],
-            F.col("first_node").alias("b_first"),
+            *[F.col(c).alias(f"b_{c}") for c in ep_cols],
             (coin == 1).alias("b_coin"),
         )
-        pairs_all = heads_all.join(tails_all, heads_all.a_last == tails_all.b_first).filter(
-            F.col("a_ring_id") != F.col("b_ring_id")
-        ).localCheckpoint(eager=True)
+        pairs_all = heads_all.join(
+            tails_all, heads_all.a_last_node == tails_all.b_first_node
+        ).filter(F.col("a_ring_id") != F.col("b_ring_id")).localCheckpoint(eager=True)
         if pairs_all.isEmpty():
             break
         pairs = pairs_all.filter(F.col("a_coin") & F.col("b_coin"))
@@ -232,36 +248,102 @@ def assemble_rings(
 
         merged = pairs.select(
             F.least("a_ring_id", "b_ring_id").alias("ring_id"),
-            F.concat(
-                F.col("a_node_ids"),
-                F.slice(F.col("b_node_ids"), 2, F.greatest(F.size("b_node_ids") - 1, F.lit(0))),
-            ).alias("node_ids"),
-            F.concat(
-                F.col("a_xs"), F.slice(F.col("b_xs"), 2, F.greatest(F.size("b_xs") - 1, F.lit(0)))
-            ).alias("xs"),
-            F.concat(
-                F.col("a_ys"), F.slice(F.col("b_ys"), 2, F.greatest(F.size("b_ys") - 1, F.lit(0)))
-            ).alias("ys"),
-            (F.col("a_nways") + F.col("b_nways")).alias("nways"),
-            (F.col("a_fixed") | F.col("b_fixed")).alias("fixed"),
-            F.when(F.col("a_ring_id") < F.col("b_ring_id"), F.col("a_lead"))
-            .otherwise(F.col("b_lead"))
-            .alias("lead"),
+            F.concat("a_members", "b_members").alias("members"),
+            F.col("a_first_node").alias("first_node"),
+            F.col("b_last_node").alias("last_node"),
         )
         consumed = pairs.select(F.col("a_ring_id").alias("ring_id")).unionAll(
             pairs.select(F.col("b_ring_id").alias("ring_id"))
         )
-        open_ = (
-            open_.join(consumed, "ring_id", "left_anti").select(*cols).unionByName(merged)
-        )
+        ep = ep.join(consumed, "ring_id", "left_anti").select(*ep_cols).unionByName(merged)
         if (rnd + 1) % checkpoint_every == 0:
-            open_ = open_.localCheckpoint(eager=True)
-        newly_closed = open_.filter(_closed())
-        closed = closed.unionByName(newly_closed)
-        open_ = open_.filter(~_closed())
+            ep = ep.localCheckpoint(eager=True)
+        closed_groups.append(ep.filter(F.col("first_node") == F.col("last_node")))
+        ep = ep.filter(F.col("first_node") != F.col("last_node"))
 
-    closed = rotate_closed_to_lead(closed).localCheckpoint(eager=True)
-    open_ = open_.localCheckpoint(eager=True)
+    from osmcoastline_spark.operators.merge_apply import (
+        FIN_SCHEMA,
+        PLAN_SCHEMA,
+        apply_merge_plan_df,
+    )
+
+    def groups_to_plan(groups: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Pre-merged chain → plan rows: one group per chain, members in
+        order, every part after the first drops its shared first node."""
+        plan = groups.select(
+            F.col("ring_id").alias("group_id"),
+            F.posexplode("members").alias("seq2", "member"),
+        ).select(
+            F.col("member").alias("ring_id"),
+            "group_id",
+            F.lit(0).alias("seq"),
+            "seq2",
+            (F.col("seq2") > 0).alias("skip_first"),
+        )
+        fin = groups.select(
+            F.col("ring_id").alias("group_id"),
+            F.lit(False).alias("append_first"),
+            F.lit(False).alias("fake_close"),
+            F.lit(False).alias("grp_fixed"),
+        )
+        return plan, fin
+
+    plan_parts: list[DataFrame] = []
+    fin_parts: list[DataFrame] = []
+    for g in closed_groups:
+        p, f = groups_to_plan(g)
+        plan_parts.append(p)
+        fin_parts.append(f)
+
+    if driver_plan is not None:
+        # expand the driver plan (over chain representatives) through each
+        # chain's member list: outer seq = driver position, inner seq2 =
+        # member position; only the very first part keeps its first node
+        plan_rows, fin_rows = driver_plan
+        repr_plan = F.broadcast(
+            spark.createDataFrame(
+                [(r, g, s, bool(sk)) for r, g, s, sk in plan_rows],
+                "repr long, group_id long, seq int, rskip boolean",
+            )
+        )
+        plan_parts.append(
+            ep.select(F.col("ring_id").alias("repr"), "members")
+            .join(repr_plan, "repr")
+            .select(
+                "group_id",
+                "seq",
+                "rskip",
+                F.posexplode("members").alias("seq2", "member"),
+            )
+            .select(
+                F.col("member").alias("ring_id"),
+                "group_id",
+                "seq",
+                "seq2",
+                F.when(F.col("seq2") == 0, F.col("rskip")).otherwise(F.lit(True)).alias(
+                    "skip_first"
+                ),
+            )
+        )
+        fin_parts.append(spark.createDataFrame(fin_rows, FIN_SCHEMA))
+    else:
+        # rounds exhausted or no adjacency left: remaining chains
+        # materialize as their own groups (possibly still open)
+        p, f = groups_to_plan(ep)
+        plan_parts.append(p)
+        fin_parts.append(f)
+
+    plan_df = spark.createDataFrame([], PLAN_SCHEMA)
+    for p in plan_parts:
+        plan_df = plan_df.unionByName(p)
+    fin_df = spark.createDataFrame([], FIN_SCHEMA)
+    for f in fin_parts:
+        fin_df = fin_df.unionByName(f)
+
+    # ONE distributed concatenation: arrays move through exactly one shuffle
+    merged = apply_merge_plan_df(open_, plan_df, fin_df).localCheckpoint(eager=True)
+    closed = closed.unionByName(merged.filter(_closed())).localCheckpoint(eager=True)
+    open_ = merged.filter(~_closed()).localCheckpoint(eager=True)
     return closed, open_
 
 

@@ -55,6 +55,18 @@ _SPLIT_SCHEMA = (
 )
 
 
+_MASK64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _child_id(parent: int, child_no: int) -> int:
+    """Deterministic 63-bit child id from (parent id, child ordinal)."""
+    z = (int(parent) * 0x9E3779B97F4A7C15 + child_no) & _MASK64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _MASK64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _MASK64
+    z ^= z >> 31
+    return z & 0x7FFFFFFFFFFFFFFF
+
+
 def _split_one(
     row, expand: float, extent: tuple[float, float, float, float]
 ) -> list[dict]:
@@ -100,9 +112,13 @@ def _split_one(
             e = geom.envelope(px, py)
             out.append(
                 {
-                    # collision-free child id lineage: 5 bits per level
-                    # (≤31 children per split is ample; ids stay traceable)
-                    "poly_id": (row["poly_id"] << 5) | (child_no & 0x1F),
+                    # Child ids via a splitmix64-style mix of (parent, child)
+                    # rather than bit-shift lineage: shifting 5 bits/level
+                    # overflows int64 after ~7 levels for way-derived ids
+                    # (~2^30) while a continent shell needs ~12 levels. The
+                    # mix is deterministic and collision-resistant (~n²/2^63
+                    # birthday bound); identity only, never joined back.
+                    "poly_id": _child_id(row["poly_id"], child_no),
                     "shell_x": px.tolist(),
                     "shell_y": py.tolist(),
                     "holes_x": hxs,
@@ -146,7 +162,12 @@ def split_polygons(
         "npoints", "env_minx", "env_miny", "env_maxx", "env_maxy",
     ]
     work = polygons.select(*base_cols).withColumn("depth", F.lit(0))
-    done = work.filter(F.col("npoints") <= max_points).withColumn("final", F.lit(True))
+    # `done` accumulates as a LIST of per-round DataFrames, unioned once at
+    # the end: each round's children are checkpointed (truncating lineage of
+    # the shrinking frontier), but finished polygons are NEVER rewritten —
+    # re-checkpointing the accumulated set each round would be
+    # O(rounds × data) snapshot I/O, the round-1 scaling killer.
+    done_parts = [work.filter(F.col("npoints") <= max_points).withColumn("final", F.lit(True))]
     todo = work.filter(F.col("npoints") > max_points)
 
     for _ in range(max_rounds):
@@ -164,12 +185,15 @@ def split_polygons(
         children = todo.withColumn("final", F.lit(False)).mapInPandas(
             split_batch, _SPLIT_SCHEMA
         ).localCheckpoint(eager=True)
-        done = done.unionByName(
+        done_parts.append(
             children.filter(F.col("final") | (F.col("npoints") <= max_points))
-        ).localCheckpoint(eager=True)
+        )
         todo = children.filter(~F.col("final") & (F.col("npoints") > max_points))
 
     # anything still oversized after max_rounds is kept as-is (refuse to loop
     # forever — mirrors the reference's give-up paths)
-    done = done.unionByName(todo.withColumn("final", F.lit(True)))
+    done_parts.append(todo.withColumn("final", F.lit(True)))
+    done = done_parts[0]
+    for part in done_parts[1:]:
+        done = done.unionByName(part)
     return done.drop("final", "depth")

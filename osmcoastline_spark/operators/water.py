@@ -70,32 +70,38 @@ def tile_grid(spark, zoom: int, extent=(-180.0, -90.0, 180.0, 90.0)) -> DataFram
 
 def water_polygons(
     land: DataFrame, cell_deg: float, extent=(-180.0, -90.0, 180.0, 90.0),
-    include_empty_tiles: bool = False,
+    include_empty_tiles: bool = False, unit_per_deg: float = 1.0,
 ) -> DataFrame:
     """Water = tile − land for every tile the land touches (and optionally
     full-water tiles for the rest of the world).
 
     `land`: POLYGONS_SCHEMA columns. Tiles are the cell grid of size
-    cell_deg. Output: tile cell id + water polygon (shell=tile, holes=land
-    pieces), env bounds.
+    `cell_deg × unit_per_deg` anchored at the extent origin: pass
+    unit_per_deg = MERC/180 for 3857 so `water_cell_deg=1.0` means "one
+    degree worth of tile" in any SRS (degree-space constants would
+    generate ~4e7 cells per mercator polygon). Output: tile cell id +
+    water polygon (shell=tile, holes=land pieces), env bounds.
     """
     spark = land.sparkSession
+    x0, y0 = extent[0], extent[1]
+    cell = cell_deg * unit_per_deg
     covered = land.withColumn(
         "cell",
         F.explode(
             bbox_cover_cells_expr(
-                F.col("env_minx"), F.col("env_miny"), F.col("env_maxx"), F.col("env_maxy"), cell_deg
+                F.col("env_minx"), F.col("env_miny"), F.col("env_maxx"), F.col("env_maxy"),
+                cell, x0=x0, y0=y0,
             )
         ),
     )
 
-    def tile_bounds(cell: int) -> tuple[float, float, float, float]:
-        ix, iy = divmod(int(cell), CELL_STRIDE)
+    def tile_bounds(c: int) -> tuple[float, float, float, float]:
+        ix, iy = divmod(int(c), CELL_STRIDE)
         return (
-            ix * cell_deg - 180.0,
-            iy * cell_deg - 90.0,
-            (ix + 1) * cell_deg - 180.0,
-            (iy + 1) * cell_deg - 90.0,
+            ix * cell + x0,
+            iy * cell + y0,
+            (ix + 1) * cell + x0,
+            (iy + 1) * cell + y0,
         )
 
     def diff(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -145,14 +151,10 @@ def water_polygons(
     water = covered.groupBy("cell").applyInPandas(diff, schema)
 
     if include_empty_tiles:
-        nx = int(round((extent[2] - extent[0]) / cell_deg))
-        ny = int(round((extent[3] - extent[1]) / cell_deg))
-        x0 = int((extent[0] + 180.0) / cell_deg)
-        y0 = int((extent[1] + 90.0) / cell_deg)
+        nx = int(round((extent[2] - extent[0]) / cell))
+        ny = int(round((extent[3] - extent[1]) / cell))
         all_tiles = spark.range(nx * ny).select(
-            ((F.col("id") % nx + x0) * CELL_STRIDE + (F.col("id") / nx).cast("long") + y0).alias(
-                "cell"
-            )
+            ((F.col("id") % nx) * CELL_STRIDE + (F.col("id") / nx).cast("long")).alias("cell")
         )
         # J15: tiles with no land at all ⇒ whole-tile water
         empty = all_tiles.join(covered.select("cell").distinct(), "cell", "left_anti")

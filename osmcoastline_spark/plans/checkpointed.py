@@ -57,7 +57,7 @@ def run_checkpointed(
     res = PipelineResult()
     run = PipelineRun(result=res)
 
-    wanted = ["error_points", "error_lines"]
+    wanted = ["error_points", "error_lines", "segments"]
     if opt.output_polygons in ("land", "both"):
         wanted.append("land_polygons")
     if opt.output_polygons in ("water", "both"):

@@ -51,6 +51,8 @@ from osmcoastline_spark.schemas import (
     DEFAULT_MAX_POINTS_IN_POLYGON,
     ERROR_LINES_SCHEMA,
     ERROR_POINTS_SCHEMA,
+    EXTENT_3857,
+    EXTENT_4326,
     MAX_WARNINGS,
 )
 
@@ -322,8 +324,20 @@ def run_pipeline(
                 if opt.output_polygons in ("land", "both"):
                     res.tables["land_polygons"] = polys
                 if opt.output_polygons in ("water", "both"):
-                    water = water_polygons(polys, opt.water_cell_deg)
-                    res.tables["water_polygons"] = drop_antimeridian_slivers(water)
+                    # tile math runs in the OUTPUT SRS: the grid origin,
+                    # cell size, and sliver threshold all scale with the
+                    # extent (degree-space constants would generate ~4e7
+                    # cells per mercator polygon)
+                    extent = EXTENT_4326 if opt.epsg == 4326 else EXTENT_3857
+                    water = water_polygons(
+                        polys,
+                        opt.water_cell_deg,
+                        extent=extent,
+                        unit_per_deg=1.0 if opt.epsg == 4326 else extent[2] / 180.0,
+                    )
+                    res.tables["water_polygons"] = drop_antimeridian_slivers(
+                        water, max_x=extent[2] * (179.9999 / 180.0)
+                    )
 
     ep = error_points[0]
     for df in error_points[1:]:

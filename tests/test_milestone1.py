@@ -96,3 +96,43 @@ def test_bogus_coastline_excluded(spark):
         ],
     )
     assert coastline_ways(ways).count() == 0
+
+
+def test_rotate_closed_to_lead_catalyst_path(spark):
+    """Regression (round-2 advice): rotating [A,B,C,D,A] to lead C through
+    the Catalyst expressions must yield [C,D,A,B,C] — the original first
+    vertex must survive and the lead must not duplicate."""
+    from osmcoastline_spark.operators.rings import rotate_closed_to_lead
+
+    df = spark.createDataFrame(
+        [(7, [10, 20, 30, 40, 10], [1.0, 2.0, 3.0, 4.0, 1.0],
+          [9.0, 8.0, 7.0, 6.0, 9.0], 1, False, 30)],
+        "ring_id long, node_ids array<long>, xs array<double>, "
+        "ys array<double>, nways int, fixed boolean, lead long",
+    )
+    r = rotate_closed_to_lead(df).collect()[0]
+    assert r.node_ids == [30, 40, 10, 20, 30]
+    assert r.xs == [3.0, 4.0, 1.0, 2.0, 3.0]
+    assert r.ys == [7.0, 6.0, 9.0, 8.0, 7.0]
+
+
+def test_fake_close_preserves_gap_vertex(spark):
+    """A fake-closed ring aliases only the last node ID; its distinct last
+    COORDINATE is real gap geometry and must survive the merge (no lead
+    rotation on coordinate-open rings)."""
+    from osmcoastline_spark.operators.merge_apply import apply_merge_plan
+
+    open_rings = spark.createDataFrame(
+        [(5, [50, 60, 70], [0.0, 1.0, 2.0], [0.0, 0.5, 0.9], 1, False, 50)],
+        "ring_id long, node_ids array<long>, xs array<double>, "
+        "ys array<double>, nways int, fixed boolean, lead long",
+    )
+    merged = apply_merge_plan(
+        spark.sparkSession if hasattr(spark, "sparkSession") else spark,
+        open_rings,
+        [(5, 5, 0, False)],
+        [(5, False, True, True)],  # fake_close
+    ).collect()[0]
+    assert merged.node_ids == [50, 60, 50]  # last id aliased
+    assert merged.xs == [0.0, 1.0, 2.0]  # last coordinate NOT touched
+    assert merged.ys == [0.0, 0.5, 0.9]

@@ -133,3 +133,29 @@ def test_checkpoint_sink_resume(spark, tmp_path):
     assert back.count() == 100
     m = sink.manifest("stage1")
     assert m["rows"] == 100 and m["lineage"]["input"] == "range"
+
+
+def test_water_3857_extent(spark):
+    """Water tile math in mercator: a ~1°-sized island transformed to 3857
+    must cover a handful of metre-space tiles, not millions of degree-space
+    cells (round-2 advice: the grid origin/cell/sliver thresholds scale
+    with the SRS extent)."""
+    from osmcoastline_spark.schemas import EXTENT_3857
+
+    xs4326 = [10.0, 10.0, 11.0, 11.0]
+    ys4326 = [50.0, 51.0, 51.0, 50.0]
+    mx, my = geom.merc_forward(xs4326, ys4326)
+    df = _poly_df(spark, mx.tolist(), my.tolist())
+    upd = EXTENT_3857[2] / 180.0
+    water = water_polygons(df, 1.0, extent=EXTENT_3857, unit_per_deg=upd).collect()
+    assert 1 <= len(water) <= 16
+    for r in water:
+        # tiles live in mercator space and are ~1° worth of metres wide
+        assert abs(r.env_maxx - r.env_minx) > 10000.0
+        assert r.env_minx >= 1.0e6 and r.env_maxy <= 1.2e7
+    # sliver filter in mercator units keeps these mid-map tiles
+    kept = drop_antimeridian_slivers(
+        water_polygons(df, 1.0, extent=EXTENT_3857, unit_per_deg=upd),
+        max_x=EXTENT_3857[2] * (179.9999 / 180.0),
+    ).count()
+    assert kept == len(water)
