@@ -67,39 +67,57 @@ def classify_container_cells(rings: DataFrame, cell_deg: float = DEFAULT_CELL_DE
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out_ring, out_cell, out_kind = [], [], []
+            rids, cells, kinds = [], [], []
             for rid, xs, ys in zip(pdf["ring_id"], pdf["xs"], pdf["ys"]):
                 xs = np.asarray(xs, dtype=np.float64)
                 ys = np.asarray(ys, dtype=np.float64)
                 ix = np.floor((xs + 180.0) / cell_deg).astype(np.int64)
                 iy = np.floor((ys + 90.0) / cell_deg).astype(np.int64)
-                bnd = set()
-                for k in range(len(xs) - 1):
-                    for gx in range(min(ix[k], ix[k + 1]), max(ix[k], ix[k + 1]) + 1):
-                        for gy in range(min(iy[k], iy[k + 1]), max(iy[k], iy[k + 1]) + 1):
-                            bnd.add(gx * CELL_STRIDE + gy)
-                exlo, exhi = int(ix.min()), int(ix.max())
-                eylo, eyhi = int(iy.min()), int(iy.max())
-                cand = [
-                    (gx, gy)
-                    for gx in range(exlo, exhi + 1)
-                    for gy in range(eylo, eyhi + 1)
-                    if gx * CELL_STRIDE + gy not in bnd
-                ]
-                if cand:
-                    cx = np.array([(gx + 0.5) * cell_deg - 180.0 for gx, _ in cand])
-                    cy = np.array([(gy + 0.5) * cell_deg - 90.0 for _, gy in cand])
+                # boundary cells: vectorized edge-bbox rasterization — for
+                # edge e spanning nx[e]×ny[e] cells, enumerate t∈[0,cnt[e])
+                # with gx = x_lo + t//ny, gy = y_lo + t%ny (a 10^6-vertex
+                # shell is ~10^6 numpy ops, not millions of Python loops)
+                x_lo = np.minimum(ix[:-1], ix[1:])
+                x_hi = np.maximum(ix[:-1], ix[1:])
+                y_lo = np.minimum(iy[:-1], iy[1:])
+                y_hi = np.maximum(iy[:-1], iy[1:])
+                ny = y_hi - y_lo + 1
+                cnt = (x_hi - x_lo + 1) * ny
+                e_idx = np.repeat(np.arange(len(cnt)), cnt)
+                t = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(
+                    np.cumsum(cnt) - cnt, cnt
+                )
+                gx = x_lo[e_idx] + t // ny[e_idx]
+                gy = y_lo[e_idx] + t % ny[e_idx]
+                bnd = np.unique(gx * CELL_STRIDE + gy)
+                # interior candidates: envelope grid minus boundary cells,
+                # batched center-in-ring test
+                cgx, cgy = np.meshgrid(
+                    np.arange(ix.min(), ix.max() + 1, dtype=np.int64),
+                    np.arange(iy.min(), iy.max() + 1, dtype=np.int64),
+                    indexing="ij",
+                )
+                cgx, cgy = cgx.ravel(), cgy.ravel()
+                env_cells = cgx * CELL_STRIDE + cgy
+                free = ~np.isin(env_cells, bnd)
+                if free.any():
+                    cx = (cgx[free] + 0.5) * cell_deg - 180.0
+                    cy = (cgy[free] + 0.5) * cell_deg - 90.0
                     inside = geom.points_in_ring(cx, cy, xs, ys)
-                    for (gx, gy), flag in zip(cand, inside):
-                        if flag:
-                            out_ring.append(rid)
-                            out_cell.append(gx * CELL_STRIDE + gy)
-                            out_kind.append("in")
-                for c in bnd:
-                    out_ring.append(rid)
-                    out_cell.append(c)
-                    out_kind.append("bnd")
-            yield pd.DataFrame({"ring_id": out_ring, "cell": out_cell, "kind": out_kind})
+                    in_cells = env_cells[free][inside]
+                else:
+                    in_cells = np.empty(0, dtype=np.int64)
+                n_in, n_bnd = len(in_cells), len(bnd)
+                rids.append(np.full(n_in + n_bnd, rid, dtype=np.int64))
+                cells.append(np.concatenate([in_cells, bnd]))
+                kinds.append(np.array(["in"] * n_in + ["bnd"] * n_bnd, dtype=object))
+            yield pd.DataFrame(
+                {
+                    "ring_id": np.concatenate(rids) if rids else np.empty(0, np.int64),
+                    "cell": np.concatenate(cells) if cells else np.empty(0, np.int64),
+                    "kind": np.concatenate(kinds) if kinds else np.empty(0, object),
+                }
+            )
 
     return rings.select("ring_id", "xs", "ys").mapInPandas(
         run, "ring_id long, cell long, kind string"

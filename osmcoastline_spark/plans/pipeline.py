@@ -137,9 +137,51 @@ def _transform_polygons_3857(polys: DataFrame) -> DataFrame:
     return polys.mapInPandas(tx, polys.schema)
 
 
+def _meta_tables(spark: SparkSession, opt: Options, res: PipelineResult, t0: float) -> None:
+    """S8 — the reference's `options` + 11-column `meta` SQLite tables
+    (src/output_database.cpp:66-80,113-136) as one-row DataFrames."""
+    import datetime
+    import resource
+    import time
+
+    res.tables["options"] = spark.createDataFrame(
+        [(
+            float(opt.effective_overlap()),
+            float(opt.close_distance),
+            int(opt.max_points_in_polygon),
+            int(bool(opt.split_large_polygons)),
+        )],
+        "overlap double, close_distance double, max_points_in_polygons int, "
+        "split_large_polygons int",
+    )
+    s = res.stats
+    res.tables["meta"] = spark.createDataFrame(
+        [(
+            datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%d %H:%M:%S"),
+            int(time.time() - t0),
+            int(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024),
+            int(s.get("ways", 0)),
+            int(s.get("unconnected_nodes", 0)),
+            int(s.get("rings", 0)),
+            int(s.get("rings_from_single_way", 0)),
+            int(s.get("rings_fixed", 0)),
+            int(s.get("rings_turned_around", 0)),
+            int(s.get("land_polygons_before_split", 0)),
+            int(s.get("land_polygons_after_split", 0)),
+        )],
+        "timestamp string, runtime int, memory_usage int, num_ways int, "
+        "num_unconnected_nodes int, num_rings int, num_rings_from_single_way int, "
+        "num_rings_fixed int, num_rings_turned_around int, "
+        "num_land_polygons_before_split int, num_land_polygons_after_split int",
+    )
+
+
 def run_pipeline(
     spark: SparkSession, nodes: DataFrame, ways: DataFrame, options: Options | None = None
 ) -> PipelineResult:
+    import time as _time
+
+    t0 = _time.time()
     opt = options or Options()
     res = PipelineResult()
 
@@ -154,6 +196,7 @@ def run_pipeline(
     if missing:
         res.stats["missing_locations"] = missing
         res.errors += 1
+        _meta_tables(spark, opt, res, t0)
         return res
     ways_loc = ways_with_locations(cways, nodes)
 
@@ -270,14 +313,44 @@ def run_pipeline(
                 )
             )
         )
-        res.tables["rings"] = routed["polygonizable"].select(
-            F.col("ring_id").alias("osm_id"),
-            "nways",
-            "npoints",
-            F.col("fixed").cast("int").alias("fixed"),
-            "node_ids",
-            "xs",
-            "ys",
+        # G13 + rings land/valid (reference src/output_database.cpp:59-64,
+        # 165-221): `land` = exterior CW after the OSM→GIS reversal (i.e.
+        # OSM orientation CCW ⇒ shoelace > 0); `valid` = the single-ring
+        # polygon has no self-intersection — detected with the same exact
+        # kernel as J5, restricted to same-ring pairs, standing in for
+        # GEOS IsValid; one 'self_intersection' error point per invalid
+        # ring at its first (min x,y) crossing, rings-output mode only.
+        from osmcoastline_spark.operators.intersections import ring_self_intersections
+        from osmcoastline_spark.operators.polygonize import _area2_expr
+
+        pring = routed["polygonizable"]
+        si_first = (
+            ring_self_intersections(ring_segments(pring), opt.cell_deg)
+            .groupBy("ring_id")
+            .agg(F.min(F.struct("x", "y")).alias("p"))
+            .localCheckpoint(eager=True)
+        )
+        error_points.append(
+            si_first.select(
+                F.col("ring_id").alias("osm_id"),
+                F.lit("self_intersection").alias("error"),
+                F.col("p.x").alias("x"),
+                F.col("p.y").alias("y"),
+            )
+        )
+        res.tables["rings"] = (
+            pring.join(si_first.select("ring_id", F.lit(1).alias("_inv")), "ring_id", "left")
+            .select(
+                F.col("ring_id").alias("osm_id"),
+                "nways",
+                "npoints",
+                F.col("fixed").cast("int").alias("fixed"),
+                (_area2_expr("xs", "ys") > 0).cast("int").alias("land"),
+                F.when(F.col("_inv").isNotNull(), 0).otherwise(1).alias("valid"),
+                "node_ids",
+                "xs",
+                "ys",
+            )
         )
 
     if opt.output_polygons != "none" or opt.output_lines:
@@ -370,4 +443,5 @@ def run_pipeline(
         )
     res.tables["error_points"] = ep
     res.tables["error_lines"] = el
+    _meta_tables(spark, opt, res, t0)
     return res
