@@ -471,6 +471,88 @@ def q_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- training-data operators
 
 
+def q_gap_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7+J8+R2: greedy gap closing vs an arithmetic oracle.
+
+    Ring r has two open chains A (3 points east-ward) and B (2 points);
+    A.end→B.start is always closable (gap 0.04); B.end→A.start is closable
+    (gap ~0.028) except when r%3==0 (gap ~0.28). Greedy therefore closes
+    rings r%3!=0 into 6-point rings (append_first) and leaves r%3==0 as a
+    5-point open merged chain. ring_id = min way id = 1000+2r; nways = 2;
+    fixed = true either way. Rings are 3° apart so no cross-ring pair is
+    within max_distance=0.01 (squared degrees).
+    """
+    from osmcoastline_spark.operators.close import close_rings
+
+    n_part = _read(spark, sf_dir, "part").count()
+    R = max(min(n_part, 5000) // 2, 8)
+    base = spark.range(R).select(F.col("id").alias("r"))
+    x0 = (F.col("r") % 50).cast("double") * 3.0 - 75.0
+    y0 = (F.col("r") / 50).cast("long").cast("double") * 3.0 - 60.0
+    far = F.col("r") % 3 == 0
+    a = base.select(
+        (F.lit(1000) + F.col("r") * 2).alias("ring_id"),
+        F.array(F.col("r") * 10, F.col("r") * 10 + 1, F.col("r") * 10 + 2).alias("node_ids"),
+        F.array(x0, x0 + 0.1, x0 + 0.2).alias("xs"),
+        F.array(y0, y0, y0).alias("ys"),
+        F.lit(1).alias("nways"),
+        F.lit(False).alias("fixed"),
+        (F.col("r") * 10).alias("lead"),
+    )
+    b = base.select(
+        (F.lit(1000) + F.col("r") * 2 + 1).alias("ring_id"),
+        F.array(F.col("r") * 10 + 3, F.col("r") * 10 + 4).alias("node_ids"),
+        F.array(
+            x0 + 0.24, F.when(far, x0 + 0.2).otherwise(x0 + 0.02)
+        ).alias("xs"),
+        F.array(
+            y0, F.when(far, y0 + 0.2).otherwise(y0 + 0.02)
+        ).alias("ys"),
+        F.lit(1).alias("nways"),
+        F.lit(False).alias("fixed"),
+        (F.col("r") * 10 + 3).alias("lead"),
+    )
+    merged, _cres = close_rings(a.unionByName(b), 0.01)
+    return merged.select(
+        "ring_id",
+        "nways",
+        F.size("node_ids").cast("int").alias("npoints"),
+        (F.element_at("node_ids", 1) == F.element_at("node_ids", -1)).cast("int").alias(
+            "closed"
+        ),
+        F.col("fixed").cast("int").alias("fixed"),
+    )
+
+
+def q_questionable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9+J10: lower_bound outer marking vs an arithmetic oracle.
+
+    Ring i is a closed 5-point square starting at a strictly increasing
+    (x, y); a polygon starts exactly at ring i's first vertex for EVEN i,
+    marking it outer — so exactly the odd rings are questionable."""
+    from osmcoastline_spark.operators.questionable import questionable_rings
+
+    n_part = _read(spark, sf_dir, "part").count()
+    R = max(min(n_part, 20000) // 2, 8)
+    base = spark.range(R).select(F.col("id").alias("i"))
+    xi = (F.col("i") % 600).cast("double") * 0.5 - 150.0
+    yi = (F.col("i") / 600).cast("long").cast("double") * 0.5 - 60.0
+    rings = base.select(
+        F.col("i").alias("ring_id"),
+        F.array(
+            F.col("i") * 10, F.col("i") * 10 + 1, F.col("i") * 10 + 2,
+            F.col("i") * 10 + 3, F.col("i") * 10,
+        ).alias("node_ids"),
+        F.array(xi, xi + 0.01, xi + 0.01, xi, xi).alias("xs"),
+        F.array(yi, yi, yi + 0.01, yi + 0.01, yi).alias("ys"),
+    )
+    polys = base.filter(F.col("i") % 2 == 0).select(
+        F.array(xi, xi, xi + 0.01, xi + 0.01, xi).alias("shell_x"),
+        F.array(yi, yi + 0.01, yi + 0.01, yi, yi).alias("shell_y"),
+    )
+    return questionable_rings(rings, polys).select("osm_id", "error")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return D.dedup_exact(docs)
@@ -549,6 +631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_distinct_ids": q_distinct_ids,
         "q_stats_counters": q_stats_counters,
         "q_window_agg": q_window_agg,
+        "q_gap_close": q_gap_close,
+        "q_questionable": q_questionable,
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_signatures": q_minhash_signatures,
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -847,6 +931,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         # q_embedding_lsh_topk: intentionally no oracle (random hyperplanes
         # are not SQL-expressible) — rows-only check.
+        "q_gap_close": """
+            WITH r AS (
+              SELECT p_partkey AS r FROM part
+              WHERE p_partkey < greatest(least((SELECT count(*) FROM part), 5000) // 2, 8)
+            )
+            SELECT CAST(1000 + r * 2 AS BIGINT) AS ring_id,
+                   2 AS nways,
+                   CAST(CASE WHEN r % 3 = 0 THEN 5 ELSE 6 END AS INT) AS npoints,
+                   CAST(CASE WHEN r % 3 = 0 THEN 0 ELSE 1 END AS INT) AS closed,
+                   1 AS fixed
+            FROM r
+        """,
+        "q_questionable": """
+            WITH i AS (
+              SELECT p_partkey AS i FROM part
+              WHERE p_partkey < greatest(least((SELECT count(*) FROM part), 20000) // 2, 8)
+            )
+            SELECT CAST(i AS BIGINT) AS osm_id, 'questionable' AS error
+            FROM i WHERE i % 2 = 1
+        """,
         "q_embedding_ivf_topk": """
             WITH e AS (
               SELECT vec_id, embedding::DOUBLE[] AS v

@@ -38,7 +38,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    try:
+        args = build_parser().parse_args(argv)
+    except SystemExit as e:
+        if e.code not in (0, None):
+            # reference return_code_cmdline (src/return_codes.hpp): bad or
+            # missing arguments exit 4, not argparse's default 2
+            return 4
+        raise
 
     from pyspark.sql import SparkSession
 

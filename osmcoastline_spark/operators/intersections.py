@@ -86,6 +86,18 @@ def intersection_errors(segments: DataFrame, cell_deg: float = DEFAULT_CELL_DEG)
 
     segments must carry (ring_id, idx) for a stable per-instance id.
     """
+    return intersection_pairs(segments, cell_deg).select(
+        F.lit(0).cast("long").alias("osm_id"),
+        F.lit("intersection").alias("error"),
+        "x",
+        "y",
+    )
+
+
+def intersection_pairs(segments: DataFrame, cell_deg: float = DEFAULT_CELL_DEG) -> DataFrame:
+    """All crossing segment pairs as (a_ring, b_ring, x, y) — ONE cell-binned
+    join serving both the 'intersection' error points and the ring-validity
+    triage (same-ring rows = self-intersections, G5/G13)."""
     with_id = segments.withColumn("seg_id", F.xxhash64("ring_id", "idx"))
     covered = with_id.withColumn(
         "cell",
@@ -99,12 +111,14 @@ def intersection_errors(segments: DataFrame, cell_deg: float = DEFAULT_CELL_DEG)
     )
     a = covered.select(
         "cell",
+        F.col("ring_id").alias("a_ring"),
         F.col("seg_id").alias("a_id"),
         F.col("x1").alias("ax1"), F.col("y1").alias("ay1"),
         F.col("x2").alias("ax2"), F.col("y2").alias("ay2"),
     )
     b = covered.select(
         "cell",
+        F.col("ring_id").alias("b_ring"),
         F.col("seg_id").alias("b_id"),
         F.col("x1").alias("bx1"), F.col("y1").alias("by1"),
         F.col("x2").alias("bx2"), F.col("y2").alias("by2"),
@@ -146,75 +160,26 @@ def intersection_errors(segments: DataFrame, cell_deg: float = DEFAULT_CELL_DEG)
             )
             own = cell_id_np(ix, iy, cell_deg) == pdf["cell"].to_numpy()
             keep = mask & own
-            yield pd.DataFrame({"x": ix[keep], "y": iy[keep]})
+            yield pd.DataFrame(
+                {
+                    "a_ring": pdf["a_ring"].to_numpy()[keep],
+                    "b_ring": pdf["b_ring"].to_numpy()[keep],
+                    "x": ix[keep],
+                    "y": iy[keep],
+                }
+            )
 
-    pts = pairs.mapInPandas(exact, "x double, y double")
-    return pts.select(
-        F.lit(0).cast("long").alias("osm_id"),
-        F.lit("intersection").alias("error"),
-        "x",
-        "y",
-    )
+    return pairs.mapInPandas(exact, "a_ring long, b_ring long, x double, y double")
 
 
 def ring_self_intersections(segments: DataFrame, cell_deg: float = DEFAULT_CELL_DEG) -> DataFrame:
     """G13 backbone: (ring_id, x, y) for every SAME-RING crossing pair —
     the numpy stand-in for GEOS IsValid + GEOSisValidReason's
     'Self-intersection[x y]' parse (reference src/output_database.cpp:170-211).
-    Same cell-binned join as intersection_errors, restricted to pairs from
-    one ring (a ring polygon's validity only cares about itself)."""
-    with_id = segments.withColumn("seg_id", F.xxhash64("ring_id", "idx"))
-    covered = with_id.withColumn(
-        "cell",
-        F.explode(
-            bbox_cover_cells_expr(
-                F.least("x1", "x2"), F.least("y1", "y2"),
-                F.greatest("x1", "x2"), F.greatest("y1", "y2"),
-                cell_deg,
-            )
-        ),
+    A projection of intersection_pairs (a ring polygon's validity only
+    cares about itself)."""
+    return (
+        intersection_pairs(segments, cell_deg)
+        .filter(F.col("a_ring") == F.col("b_ring"))
+        .select(F.col("a_ring").alias("ring_id"), "x", "y")
     )
-    a = covered.select(
-        "cell",
-        F.col("ring_id"),
-        F.col("seg_id").alias("a_id"),
-        F.col("x1").alias("ax1"), F.col("y1").alias("ay1"),
-        F.col("x2").alias("ax2"), F.col("y2").alias("ay2"),
-    )
-    b = covered.select(
-        "cell",
-        F.col("ring_id"),
-        F.col("seg_id").alias("b_id"),
-        F.col("x1").alias("bx1"), F.col("y1").alias("by1"),
-        F.col("x2").alias("bx2"), F.col("y2").alias("by2"),
-    )
-    pairs = (
-        a.join(b, ["cell", "ring_id"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .filter(
-            (F.least("ax1", "ax2") <= F.greatest("bx1", "bx2"))
-            & (F.least("bx1", "bx2") <= F.greatest("ax1", "ax2"))
-            & (F.least("ay1", "ay2") <= F.greatest("by1", "by2"))
-            & (F.least("by1", "by2") <= F.greatest("ay1", "ay2"))
-        )
-    )
-
-    def exact(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from osmcoastline_spark.cells import cell_id_np
-
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            mask, ix, iy = geom.segment_intersections(
-                pdf["ax1"].to_numpy(), pdf["ay1"].to_numpy(),
-                pdf["ax2"].to_numpy(), pdf["ay2"].to_numpy(),
-                pdf["bx1"].to_numpy(), pdf["by1"].to_numpy(),
-                pdf["bx2"].to_numpy(), pdf["by2"].to_numpy(),
-            )
-            own = cell_id_np(ix, iy, cell_deg) == pdf["cell"].to_numpy()
-            keep = mask & own
-            yield pd.DataFrame(
-                {"ring_id": pdf["ring_id"].to_numpy()[keep], "x": ix[keep], "y": iy[keep]}
-            )
-
-    return pairs.mapInPandas(exact, "ring_id long, x double, y double")

@@ -34,9 +34,10 @@ from osmcoastline_spark.operators.close import close_rings
 from osmcoastline_spark.operators.filter import coastline_ways, tagged_node_errors
 from osmcoastline_spark.operators.intersections import (
     duplicate_segments,
-    intersection_errors,
+    intersection_pairs,
     ring_segments,
 )
+from osmcoastline_spark.operators.repair import buffer0_triage
 from osmcoastline_spark.operators.lines import rings_to_lines
 from osmcoastline_spark.operators.locations import missing_location_count, ways_with_locations
 from osmcoastline_spark.operators.polygonize import fix_direction, polygonize
@@ -114,25 +115,57 @@ def _empty(spark: SparkSession, schema):
 
 
 def _transform_polygons_3857(polys: DataFrame) -> DataFrame:
-    """G11: closed-form WebMercator, vectorized over Arrow batches."""
+    """G11: closed-form WebMercator. The whole Arrow batch transforms in
+    ONE numpy call per coordinate axis: ragged shell/hole arrays are
+    flattened with np.concatenate, transformed, and split back by the
+    recorded lengths — no per-row Python in the kernel."""
+    import numpy as np
 
     def tx(it):
         for pdf in it:
-            rows = []
-            for _, row in pdf.iterrows():
-                sx, sy = geom.merc_forward(row["shell_x"], row["shell_y"])
-                hx = [geom.merc_forward(a, b)[0].tolist() for a, b in zip(_aslist(row["holes_x"]), _aslist(row["holes_y"]))]
-                hy = [geom.merc_forward(a, b)[1].tolist() for a, b in zip(_aslist(row["holes_x"]), _aslist(row["holes_y"]))]
-                r = dict(row)
-                r["shell_x"], r["shell_y"] = sx.tolist(), sy.tolist()
-                r["holes_x"], r["holes_y"] = hx, hy
-                ex, ey = geom.merc_forward(
-                    [row["env_minx"], row["env_maxx"]], [row["env_miny"], row["env_maxy"]]
-                )
-                r["env_minx"], r["env_maxx"] = float(ex[0]), float(ex[1])
-                r["env_miny"], r["env_maxy"] = float(ey[0]), float(ey[1])
-                rows.append(r)
-            yield pd.DataFrame(rows, columns=list(pdf.columns))
+            n = len(pdf)
+            if n == 0:
+                yield pdf
+                continue
+            shell_lens = pdf["shell_x"].map(len).to_numpy()
+            flat_sx = np.concatenate([np.asarray(v, dtype=np.float64) for v in pdf["shell_x"]])
+            flat_sy = np.concatenate([np.asarray(v, dtype=np.float64) for v in pdf["shell_y"]])
+            hole_rows = [list(map(list, _aslist(v))) for v in pdf["holes_x"]]
+            hole_rows_y = [list(map(list, _aslist(v))) for v in pdf["holes_y"]]
+            hole_lens = [[len(h) for h in hr] for hr in hole_rows]
+            flat_hx = np.concatenate(
+                [np.asarray(h, dtype=np.float64) for hr in hole_rows for h in hr]
+                or [np.empty(0)]
+            )
+            flat_hy = np.concatenate(
+                [np.asarray(h, dtype=np.float64) for hr in hole_rows_y for h in hr]
+                or [np.empty(0)]
+            )
+            env_x = np.concatenate([pdf["env_minx"].to_numpy(), pdf["env_maxx"].to_numpy()])
+            env_y = np.concatenate([pdf["env_miny"].to_numpy(), pdf["env_maxy"].to_numpy()])
+
+            tsx, tsy = geom.merc_forward(flat_sx, flat_sy)
+            thx, thy = geom.merc_forward(flat_hx, flat_hy)
+            tex, tey = geom.merc_forward(env_x, env_y)
+
+            out = pdf.copy()
+            cuts = np.cumsum(shell_lens)[:-1]
+            out["shell_x"] = [a.tolist() for a in np.split(tsx, cuts)]
+            out["shell_y"] = [a.tolist() for a in np.split(tsy, cuts)]
+            hx_out, hy_out, pos = [], [], 0
+            for lens in hole_lens:
+                row_hx, row_hy = [], []
+                for ln in lens:
+                    row_hx.append(thx[pos : pos + ln].tolist())
+                    row_hy.append(thy[pos : pos + ln].tolist())
+                    pos += ln
+                hx_out.append(row_hx)
+                hy_out.append(row_hy)
+            out["holes_x"] = hx_out
+            out["holes_y"] = hy_out
+            out["env_minx"], out["env_maxx"] = tex[:n], tex[n:]
+            out["env_miny"], out["env_maxy"] = tey[:n], tey[n:]
+            yield out
 
     return polys.mapInPandas(tx, polys.schema)
 
@@ -211,7 +244,20 @@ def run_pipeline(
     # and the output table — without it the explode re-executes 4×
     segs = ring_segments(closed.unionByName(open_)).localCheckpoint(eager=True)
     overlaps = duplicate_segments(segs)
-    isects = intersection_errors(segs, opt.cell_deg)
+    # ONE intersection join serves both the error points and the G5 ring
+    # validity triage (same-ring rows = self-crossings)
+    ipairs = intersection_pairs(segs, opt.cell_deg).localCheckpoint(eager=True)
+    isects = ipairs.select(
+        F.lit(0).cast("long").alias("osm_id"),
+        F.lit("intersection").alias("error"),
+        "x",
+        "y",
+    )
+    self_crossing_ids = (
+        ipairs.filter(F.col("a_ring") == F.col("b_ring"))
+        .select(F.col("a_ring").alias("ring_id"))
+        .distinct()
+    )
     error_lines.append(overlaps)
     error_points.append(isects)
     res.tables["segments"] = segs
@@ -354,7 +400,16 @@ def run_pipeline(
         )
 
     if opt.output_polygons != "none" or opt.output_lines:
-        polygonizable = routed["polygonizable"]
+        # G5: each closed ring must form a valid polygon; invalid rings get
+        # a Buffer(0)-equivalent repair attempt and drop SILENTLY otherwise
+        # (reference add_polygons_to_vector,
+        # src/coastline_ring_collection.cpp:148-168). When every ring drops,
+        # "No polygons created!" becomes one error and the whole polygon
+        # branch (lines/questionable/split/water) is skipped, matching the
+        # reference's thrown runtime_error (osmcoastline.cpp:355-417).
+        polygonizable = buffer0_triage(
+            routed["polygonizable"], opt.cell_deg, crossing_ids=self_crossing_ids
+        ).localCheckpoint(eager=True)
         if polygonizable.isEmpty():
             res.errors += 1  # "No polygons created!" (osmcoastline.cpp:119,414-417)
             res.stats["no_polygons"] = True

@@ -193,7 +193,12 @@ def nodegrid(ascii_art: str) -> list[tuple[int, float, float]]:
         for c in line:
             if c.isdigit() or ("a" <= c <= "z"):
                 nid = 100 + (ord(c) - ord("0") if c.isdigit() else ord(c) - ord("a") + 10)
-                nodes.append((nid, 1 + x * 0.01, 1 + y * 0.01))
+                # the reference prints %f with 6 decimals and re-parses, so
+                # the effective coordinate is the decimal-rounded double
+                # (1 + 14*0.01 != parse("1.140000") at the ULP level)
+                nodes.append(
+                    (nid, float(f"{1 + x * 0.01:.6f}"), float(f"{1 + y * 0.01:.6f}"))
+                )
             x += 1
         y -= 1
     return nodes

@@ -293,3 +293,57 @@ def test_inland_sea_with_island_reference_fixture(spark):
     res2 = run_pipeline(spark, ndf, wdf, Options(epsg=3857))
     assert res2.warnings == 0 and res2.errors == 1
     assert res2.tables["error_lines"].count() == 0
+
+
+# ------------------------------------------------- 3857 twins (CMakeLists 9-21)
+# The reference runs every scenario at SRID 4326 AND 3857. The 4326 legs
+# above carry the exact goldens; these twins re-run each fixture in 3857
+# and assert the SRS-invariant contract: same error/land/point counts with
+# the questionable check skipped (osmcoastline.cpp:381-389) and all output
+# coordinates in mercator metres.
+
+import pytest as _pytest
+
+_TWIN_CASES = [
+    # (name, nodes, ways, options-kwargs, expected dict)
+    ("ring_not_closed", F2_NODES, F2_WAYS, {},
+     {"errors": 1, "land": 1, "fixed_end_points": 2}),
+    ("wrong_direction",
+     [(100, 1.01, 1.01), (101, 1.01, 1.04), (102, 1.04, 1.04), (103, 1.04, 1.01)],
+     [(200, [100, 101, 102, 103, 100])],
+     {}, {"errors": 0, "land": 1, "warnings": 1}),
+    ("bowtie",
+     [(100, 1.0, 1.0), (101, 1.1, 1.1), (102, 1.1, 1.0), (103, 1.0, 1.1)],
+     [(200, [100, 101, 102, 103, 100])],
+     {}, {"errors": 0, "land": 1, "intersections": 1}),
+    ("overlapping_islands",
+     [
+         (100, 1.00, 1.00), (101, 1.06, 1.00), (102, 1.06, 1.06), (103, 1.00, 1.06),
+         (110, 1.04, 1.04), (111, 1.10, 1.04), (112, 1.10, 1.10), (113, 1.04, 1.10),
+     ],
+     [(200, [100, 101, 102, 103, 100]), (201, [110, 111, 112, 113, 110])],
+     {}, {"errors": 0, "land": 2, "intersections": 2}),
+]
+
+
+@_pytest.mark.parametrize(
+    "name,nodes,ways,opts,exp", _TWIN_CASES, ids=[c[0] for c in _TWIN_CASES]
+)
+def test_3857_twin(spark, name, nodes, ways, opts, exp):
+    ndf, wdf = fixture_df(spark, nodes, ways)
+    res = run_pipeline(spark, ndf, wdf, Options(epsg=3857, **opts))
+    assert res.errors == exp["errors"]
+    if "warnings" in exp:
+        assert res.warnings == exp["warnings"]
+    land = res.tables.get("land_polygons")
+    assert (land.count() if land is not None else 0) == exp["land"]
+    if "fixed_end_points" in exp:
+        assert len(errs(res, "error_points", "fixed_end_point")) == exp["fixed_end_points"]
+    if "intersections" in exp:
+        # error points stay in input (4326) space: intersections are found
+        # BEFORE the transform, exactly like the reference
+        assert len(errs(res, "error_points", "intersection")) == exp["intersections"]
+    # land coordinates must be mercator metres, not degrees
+    if exp["land"]:
+        p = land.collect()[0]
+        assert max(abs(v) for v in p.shell_x) > 1000.0

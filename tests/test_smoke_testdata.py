@@ -39,8 +39,10 @@ def test_smoke_runtest_equivalent(spark):
     on a 0.5°-wide map with close_distance=1.0 (squared degrees), so the
     greedy matcher necessarily closes ~9 rings — each one an error. The
     README figure predates that accounting; the enforced goldens are
-    test/t/*.sh (all ported and green). This test pins OUR counters as a
-    regression golden with the per-category breakdown."""
+    test/t/*.sh — ported across test_pipeline_fixtures.py and
+    test_reference_scenarios.py (the two GDAL-driver scripts have no
+    Spark analog). This test pins OUR counters as a regression golden
+    with the per-category breakdown."""
     nodes, ways = load_testdata(spark)
     res = run_pipeline(
         spark,
