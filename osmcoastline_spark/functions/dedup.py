@@ -161,16 +161,25 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     hexes = toks.withColumn("h", F.substring(F.md5("tok"), 1, 16))
     # ONE shuffle, 64 partial-aggregating sum columns per doc — no row
     # amplification (the round-1 plan exploded 64 rows per token, a 64×
-    # shuffle blow-up; 64 agg buffers per group are free by comparison and
-    # map-side combine still applies).
+    # shuffle blow-up). The 16 nibble values are projected ONCE per row so
+    # each aggregate is a trivial shift/mask — inlining the string ops into
+    # all 64 aggregates blows the codegen method size and falls back to
+    # interpreted evaluation (measured 4× slower).
+    nibs = hexes.select(
+        "doc_id",
+        *[
+            (F.expr(f"instr('0123456789abcdef', substring(h, {k + 1}, 1))") - 1).alias(
+                f"n{k}"
+            )
+            for k in range(16)
+        ],
+    )
+
     def bit_sum(b: int):
-        nib = F.expr(
-            f"instr('0123456789abcdef', substring(h, {b // 4 + 1}, 1)) - 1"
-        )
-        bit = F.shiftright(nib, 3 - b % 4).bitwiseAND(F.lit(1))
+        bit = F.shiftright(F.col(f"n{b // 4}"), 3 - b % 4).bitwiseAND(F.lit(1))
         return F.sum(bit * 2 - 1).alias(f"s{b}")
 
-    sums = hexes.groupBy("doc_id").agg(*[bit_sum(b) for b in range(64)])
+    sums = nibs.groupBy("doc_id").agg(*[bit_sum(b) for b in range(64)])
     total = F.lit(0).cast("long")
     for b in range(64):
         weight = (

@@ -48,37 +48,37 @@ def rings_to_lines(
     min_y, max_x, min_x = edges["min_y"], edges["max_x"], edges["min_x"]
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        step = max(max_points - 1, 1)  # segments per chunk (points share ends)
         for pdf in it:
             out_x, out_y = [], []
-            for _, row in pdf.iterrows():
-                rings = [(row["shell_x"], row["shell_y"])]
-                for hx, hy in zip(_aslist(row["holes_x"]), _aslist(row["holes_y"])):
+            for row in pdf.itertuples(index=False):
+                rings = [(row.shell_x, row.shell_y)]
+                for hx, hy in zip(_aslist(row.holes_x), _aslist(row.holes_y)):
                     rings.append((hx, hy))
                 for rx, ry in rings:
-                    xs = np.asarray(list(rx) + [rx[0]] if rx[0] != rx[-1] or ry[0] != ry[-1] else rx, dtype=np.float64)
-                    ys = np.asarray(list(ry) + [ry[0]] if rx[0] != rx[-1] or ry[0] != ry[-1] else ry, dtype=np.float64)
-                    cur_x: list[float] = []
-                    cur_y: list[float] = []
-                    for i in range(1, len(xs)):
-                        x1, y1, x2, y2 = xs[i - 1], ys[i - 1], xs[i], ys[i]
-                        suppressed = (
-                            (y1 < min_y and y2 < min_y)
-                            or (x1 > max_x and x2 > max_x)
-                            or (x1 < min_x and x2 < min_x)
-                        )
-                        if not suppressed:
-                            if not cur_x:
-                                cur_x, cur_y = [x1], [y1]
-                            cur_x.append(x2)
-                            cur_y.append(y2)
-                        if len(cur_x) >= max_points or suppressed:
-                            if len(cur_x) >= 2:
-                                out_x.append(cur_x)
-                                out_y.append(cur_y)
-                            cur_x, cur_y = [], []
-                    if len(cur_x) >= 2:
-                        out_x.append(cur_x)
-                        out_y.append(cur_y)
+                    xs = np.asarray(rx, dtype=np.float64)
+                    ys = np.asarray(ry, dtype=np.float64)
+                    if xs[0] != xs[-1] or ys[0] != ys[-1]:
+                        xs = np.append(xs, xs[0])
+                        ys = np.append(ys, ys[0])
+                    # vectorized suppression mask over segments, then each
+                    # kept run chunks into fixed-size slices — no per-vertex
+                    # Python loop
+                    x1, y1 = xs[:-1], ys[:-1]
+                    x2, y2 = xs[1:], ys[1:]
+                    sup = (
+                        ((y1 < min_y) & (y2 < min_y))
+                        | ((x1 > max_x) & (x2 > max_x))
+                        | ((x1 < min_x) & (x2 < min_x))
+                    )
+                    kept = np.nonzero(~sup)[0]
+                    if len(kept) == 0:
+                        continue
+                    for run_segs in np.split(kept, np.nonzero(np.diff(kept) != 1)[0] + 1):
+                        for k in range(0, len(run_segs), step):
+                            chunk = run_segs[k : k + step]
+                            out_x.append(xs[chunk[0] : chunk[-1] + 2].tolist())
+                            out_y.append(ys[chunk[0] : chunk[-1] + 2].tolist())
             yield pd.DataFrame({"xs": out_x, "ys": out_y})
 
     return polygons.select("shell_x", "shell_y", "holes_x", "holes_y").mapInPandas(

@@ -236,10 +236,11 @@ def polygonize(rings: DataFrame, cell_deg: float = DEFAULT_CELL_DEG) -> Polygoni
                     invalid = True
         return pd.DataFrame({"shell_id": [key[0]], "bad": [invalid]})
 
-    shell_valid = (
-        hole_geo.groupBy("shell_id").applyInPandas(check_group, "shell_id long, bad boolean")
-        if not hole_geo.isEmpty()
-        else spark.createDataFrame([], "shell_id long, bad boolean")
+    # applyInPandas never invokes the UDF for zero groups — no isEmpty
+    # guard needed (that guard was one extra evaluation of the containment
+    # join per pipeline run)
+    shell_valid = hole_geo.groupBy("shell_id").applyInPandas(
+        check_group, "shell_id long, bad boolean"
     )
     bad_shells = shell_valid.filter("bad").select("shell_id")
 
@@ -267,7 +268,14 @@ def polygonize(rings: DataFrame, cell_deg: float = DEFAULT_CELL_DEG) -> Polygoni
         "bad", F.lit(False)
     )
 
-    all_polys = shell_polys.select(*orphan_polys.columns).unionByName(orphan_polys)
+    # ONE materialization point: everything above (containment join, hole
+    # aggregation, validity check) executes exactly once; the bad/good
+    # counts and all downstream consumers read the checkpoint
+    all_polys = (
+        shell_polys.select(*orphan_polys.columns)
+        .unionByName(orphan_polys)
+        .localCheckpoint(eager=True)
+    )
 
     good = all_polys.filter(~F.col("bad"))
     bad = all_polys.filter(F.col("bad"))

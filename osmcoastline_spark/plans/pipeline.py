@@ -284,10 +284,15 @@ def run_pipeline(
             .groupBy("ring_id")
             .agg(F.count("*").alias("ndup"))
         )
+        # tiny id set, but its lineage (global duplicate-segment groupBy +
+        # two joins) would otherwise re-execute for every consumer: the
+        # close count, the endpoint collect, the orphan semi-join and the
+        # merged checkpoint — four evaluations without this pin
         orphan_ids = (
             per_ring.join(dup_per_ring, "ring_id")
             .filter(F.col("ndup") == F.col("ntot"))
             .select("ring_id")
+            .localCheckpoint(eager=True)
         )
         orphans = open_.join(orphan_ids, "ring_id", "left_semi")
         active = open_.join(orphan_ids, "ring_id", "left_anti")
@@ -415,7 +420,8 @@ def run_pipeline(
             res.stats["no_polygons"] = True
         else:
             pres = polygonize(polygonizable)
-            polys = pres.polygons.localCheckpoint(eager=True)
+            polys = pres.polygons  # already a filter over polygonize's
+            # internal checkpoint — re-checkpointing doubles the write
             res.errors += pres.invalid_count
             res.stats["invalid_polygons"] = pres.invalid_count
             error_lines.append(pres.invalid_error_lines)

@@ -38,6 +38,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing floors partitions at minPartitionSize (1 MB
+        # default) — a few-MB shuffle feeding an applyInPandas stage then
+        # collapses to ONE task and serializes the Python work, even with
+        # parallelismFirst. Geometry kernels cost per ROW, not per byte:
+        # keep tiny shuffles spread across the cores.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
         # All custom kernels are Arrow-batched pandas UDFs.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -58,24 +58,33 @@ def test_smoke_runtest_equivalent(spark):
     assert res.stats["intersections"] == 5
     assert res.stats["rings_fixed"] == 9
     assert res.stats["unconnected_nodes"] == 1
-    assert res.stats["rings_turned_around"] == 3
-    assert res.stats["questionable"] == 9
+    # round-2: the G5 Buffer(0) triage repairs the 3 self-crossing rings
+    # (keeping the dominant lobe, pre-oriented) instead of letting them
+    # through polygonize — one fewer direction flip, shifted questionable
+    # marks, and 3 G13 self_intersection error points in rings mode
+    assert res.stats["rings_turned_around"] == 2
+    assert res.stats["questionable"] == 11
     assert res.stats["invalid_polygons"] == 1
-    assert res.warnings == 30
+    assert res.warnings == 31
     assert res.errors == 11
     assert res.exit_code == 2
     from collections import Counter
 
     el = Counter(r.error for r in res.tables["error_lines"].collect())
     assert el == {
-        "questionable": 9, "added_line": 8, "overlap": 7,
-        "not_a_ring": 3, "not_closed": 3, "direction": 3, "invalid": 1,
+        "questionable": 11, "added_line": 8, "overlap": 7,
+        "not_a_ring": 3, "not_closed": 3, "direction": 2, "invalid": 1,
     }
     ep = Counter(r.error for r in res.tables["error_points"].collect())
     assert ep == {
         "fixed_end_point": 18, "not_a_ring": 6, "end_point": 6,
         "intersection": 5, "tagged_node": 1, "double_node": 1,
+        "self_intersection": 3,
     }
+    rt = res.tables["rings"].collect()
+    assert len(rt) == 28
+    assert sum(r.land for r in rt) == 20
+    assert sum(1 for r in rt if r.valid == 0) == 3
     # note: the README's "Self-intersection at or near point 7.48488
     # 53.8169" is a GDAL/GEOS IsValid() warning from the polygon validity
     # path (Buffer(0) repair), not a segment-intersection error point —
