@@ -140,3 +140,57 @@ def test_image_roundtrip_and_psnr(spark):
 def test_image_stub_codec(spark):
     with pytest.raises(NotImplementedError):
         I.decode_image(b"xx", 1, 1, "jpeg")
+
+
+def test_ivf_topk_recall(spark):
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 16)).astype(float)
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    rows.append((99, (base[3] + 0.01 * rng.standard_normal(16)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = S.ivf_topk(df, k=3, nprobe=3)
+    r3 = [r.nbr_id for r in top.filter(F.col("query_id") == 3).collect()]
+    # the near-duplicate shares vector 3's dominant dimension -> same list
+    assert 99 in r3
+
+
+def test_ngram_jaccard_doc_freq_cap(spark):
+    import osmcoastline_spark.functions.dedup as D
+
+    docs = spark.createDataFrame(
+        [(0, "aaaaa hello"), (1, "aaaaa hello"), (2, "aaaaa world"), (3, "zzzzz")],
+        "doc_id long, text string",
+    )
+    full = {(r.a, r.b) for r in D.ngram_jaccard_pairs(docs, k=5, threshold=0.1).collect()}
+    # capping at df<=1 removes every shared shingle -> no candidate pairs
+    capped = D.ngram_jaccard_pairs(docs, k=5, threshold=0.1, max_doc_freq=1)
+    assert (0, 1) in full
+    assert capped.count() == 0
+
+
+def test_questionable_bucket_boundary_fixup(spark):
+    """A polygon whose bucket has no ring event at-or-after it must take
+    the FIRST ring event of the next bucket (two-pass lower_bound)."""
+    from osmcoastline_spark.operators.questionable import questionable_rings
+
+    def ring(rid, x):
+        return (
+            rid,
+            [rid * 10, rid * 10 + 1, rid * 10 + 2, rid * 10 + 3, rid * 10],
+            [x, x + 0.01, x + 0.01, x, x],
+            [0.0, 0.0, 0.01, 0.01, 0.0],
+        )
+
+    # ring 1 at x=20 (bucket 40 with width 5), ring 2 at x=31 (bucket 42)
+    rings = spark.createDataFrame(
+        [ring(1, 20.0), ring(2, 31.0)],
+        "ring_id long, node_ids array<long>, xs array<double>, ys array<double>",
+    )
+    # polygon starts at x=24 — bucket 40, AFTER ring 1: lower_bound must
+    # cross the bucket boundary and mark ring 2 as outer
+    polys = spark.createDataFrame(
+        [([24.0, 24.0, 24.01], [0.0, 0.01, 0.0])],
+        "shell_x array<double>, shell_y array<double>",
+    )
+    q = questionable_rings(rings, polys, bucket_width=5.0).collect()
+    assert [r.osm_id for r in q] == [1]  # ring 2 marked outer, ring 1 questionable
