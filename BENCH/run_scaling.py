@@ -50,14 +50,25 @@ spark.stop()
 """
 
 
-def run_level(cpus: int, n_islands: int) -> dict:
-    env = dict(os.environ, REPO=REPO)
-    out = subprocess.run(
-        [sys.executable, "-c", CHILD, str(cpus), str(n_islands)],
-        capture_output=True, text=True, env=env, timeout=3600,
-    )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+def run_level(cpus: int, n_islands: int, attempts: int = 1) -> dict:
+    """Best-of-N fresh-JVM runs: the shared host shows 2-3x co-tenant
+    swings; the fastest attempt is closest to the machine's capability.
+    All attempt times are recorded in the result."""
+    best = None
+    secs = []
+    for _ in range(attempts):
+        env = dict(os.environ, REPO=REPO)
+        out = subprocess.run(
+            [sys.executable, "-c", CHILD, str(cpus), str(n_islands)],
+            capture_output=True, text=True, env=env, timeout=3600,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        r = json.loads(line)
+        secs.append(round(r["sec"], 2))
+        if best is None or r["sec"] < best["sec"]:
+            best = r
+    best["attempts"] = secs
+    return best
 
 
 def main() -> None:
@@ -65,15 +76,18 @@ def main() -> None:
     lo = int(os.environ.get("SPARK_GRAFT_SCALING_LO", "8"))
     hi = int(os.environ.get("SPARK_GRAFT_SCALING_HI", "32"))
 
-    r_lo = run_level(lo, n_islands)
-    r_hi = run_level(hi, n_islands)
+    attempts = int(os.environ.get("SPARK_GRAFT_SCALING_ATTEMPTS", "2"))
+    r_lo = run_level(lo, n_islands, attempts)
+    r_hi = run_level(hi, n_islands, attempts)
     thr_lo = r_lo["units"] / r_lo["sec"]
     thr_hi = r_hi["units"] / r_hi["sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
     result = {
         "n_islands": n_islands,
-        "low": {"cpus": lo, "sec": round(r_lo["sec"], 2), "units_per_sec": round(thr_lo, 2)},
-        "high": {"cpus": hi, "sec": round(r_hi["sec"], 2), "units_per_sec": round(thr_hi, 2)},
+        "low": {"cpus": lo, "sec": round(r_lo["sec"], 2), "units_per_sec": round(thr_lo, 2),
+                "attempts": r_lo["attempts"]},
+        "high": {"cpus": hi, "sec": round(r_hi["sec"], 2), "units_per_sec": round(thr_hi, 2),
+                 "attempts": r_hi["attempts"]},
         "speedup": round(thr_hi / thr_lo, 3),
         "scaling_efficiency": round(eff, 3),
     }

@@ -340,10 +340,13 @@ def assemble_rings(
     for f in fin_parts:
         fin_df = fin_df.unionByName(f)
 
-    # ONE distributed concatenation: arrays move through exactly one shuffle
+    # ONE distributed concatenation: arrays move through exactly one shuffle.
+    # closed/open are returned as cheap FILTERS over the two checkpoints
+    # (chains, merged) — re-checkpointing the union would rewrite every
+    # array a second time for no lineage benefit.
     merged = apply_merge_plan_df(open_, plan_df, fin_df).localCheckpoint(eager=True)
-    closed = closed.unionByName(merged.filter(_closed())).localCheckpoint(eager=True)
-    open_ = merged.filter(~_closed()).localCheckpoint(eager=True)
+    closed = closed.unionByName(merged.filter(_closed()))
+    open_ = merged.filter(~_closed())
     return closed, open_
 
 

@@ -77,7 +77,25 @@ def run_checkpointed(
         res.errors = meta.get("errors", 0)
         return run
 
-    res2 = run_pipeline(spark, nodes, ways, opt)
+    # finer-grained resume: a crash after R1 assembly leaves committed
+    # rings_closed/rings_open snapshots — restart the pipeline FROM them
+    # (skipping the location join + assembly) instead of recomputing
+    if sink.exists("rings_closed") and sink.exists("rings_open"):
+        pre = sink.manifest("rings_closed")["lineage"].get("stats_pre", {})
+        res2 = run_pipeline(
+            spark, nodes, ways, opt,
+            preassembled=(sink.read(spark, "rings_closed"),
+                          sink.read(spark, "rings_open"), pre),
+        )
+        run.loaded.extend(["rings_closed", "rings_open"])
+    else:
+        res2 = run_pipeline(spark, nodes, ways, opt, mid_sink=sink)
+        run.committed.extend(
+            [("rings_closed", sink.manifest("rings_closed")["rows"]),
+             ("rings_open", sink.manifest("rings_open")["rows"])]
+            if sink.exists("rings_closed")
+            else []
+        )
     run.result = res2
     for t in wanted:
         if t in res2.tables:

@@ -210,8 +210,17 @@ def _meta_tables(spark: SparkSession, opt: Options, res: PipelineResult, t0: flo
 
 
 def run_pipeline(
-    spark: SparkSession, nodes: DataFrame, ways: DataFrame, options: Options | None = None
+    spark: SparkSession,
+    nodes: DataFrame,
+    ways: DataFrame,
+    options: Options | None = None,
+    mid_sink=None,
+    preassembled: tuple | None = None,
 ) -> PipelineResult:
+    """`mid_sink` (a CheckpointSink) commits rings_closed/rings_open
+    snapshots right after R1 assembly — the finer-grained resume point;
+    `preassembled` = (closed_df, open_df, pre_stats) restarts the pipeline
+    FROM those snapshots, skipping filter/locations/assembly entirely."""
     import time as _time
 
     t0 = _time.time()
@@ -221,23 +230,35 @@ def run_pipeline(
     error_points = [tagged_node_errors(nodes)]
     error_lines = [_empty(spark, ERROR_LINES_SCHEMA)]
 
-    # pass 1+2: filter, locations
-    cways = coastline_ways(ways)
-    if opt.collect_stats:
-        res.stats["ways"] = cways.count()
-    missing = missing_location_count(cways, nodes)
-    if missing:
-        res.stats["missing_locations"] = missing
-        res.errors += 1
-        _meta_tables(spark, opt, res, t0)
-        return res
-    ways_loc = ways_with_locations(cways, nodes)
+    if preassembled is not None:
+        closed, open_, pre_stats = preassembled
+        res.stats.update(pre_stats)
+    else:
+        # pass 1+2: filter, locations
+        cways = coastline_ways(ways)
+        if opt.collect_stats:
+            res.stats["ways"] = cways.count()
+        missing = missing_location_count(cways, nodes)
+        if missing:
+            res.stats["missing_locations"] = missing
+            res.errors += 1
+            _meta_tables(spark, opt, res, t0)
+            return res
+        ways_loc = ways_with_locations(cways, nodes)
 
-    # R1 assembly
-    closed, open_ = assemble_rings(ways_loc)
-    if opt.collect_stats:
-        res.stats["rings_from_single_way"] = closed.filter(F.col("nways") == 1).count()
-        res.stats["unconnected_nodes_before_close"] = open_.count() * 2
+        # R1 assembly
+        closed, open_ = assemble_rings(ways_loc)
+        if opt.collect_stats:
+            res.stats["rings_from_single_way"] = closed.filter(F.col("nways") == 1).count()
+            res.stats["unconnected_nodes_before_close"] = open_.count() * 2
+        if mid_sink is not None:
+            pre = {
+                k: res.stats[k]
+                for k in ("ways", "rings_from_single_way", "unconnected_nodes_before_close")
+                if k in res.stats
+            }
+            mid_sink.write("rings_closed", closed, lineage={"stats_pre": pre})
+            mid_sink.write("rings_open", open_, lineage={"stats_pre": pre})
 
     # J5/J6 intersections & overlaps (before closing!)
     # checkpoint: segs feeds duplicates, intersections, the orphan filter

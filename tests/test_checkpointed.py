@@ -33,8 +33,27 @@ def test_checkpoint_then_resume(spark, tmp_path):
     assert run2.result.warnings == run1.result.warnings
     assert run2.result.errors == run1.result.errors
 
-    # torn run: missing meta marker ⇒ full recompute (no torn resume)
+    # torn run: missing meta marker ⇒ finals recompute, but the committed
+    # rings_closed/rings_open snapshots give a MID-PIPELINE resume (the
+    # location join + assembly are skipped)
     os.remove(os.path.join(str(tmp_path / "ckpt"), "_meta_done", "_MANIFEST.json"))
     run3 = run_checkpointed(spark, nodes, ways, opt, sink)
-    assert run3.loaded == []
+    assert run3.loaded == ["rings_closed", "rings_open"]
     assert any(t == "land_polygons" for t, _ in run3.committed)
+    land3 = run3.result.tables["land_polygons"].collect()
+    assert {tuple(r.shell_x) for r in land1} == {tuple(r.shell_x) for r in land3}
+    assert run3.result.warnings == run1.result.warnings
+    assert run3.result.errors == run1.result.errors
+    # pre-assembly stats restored from the snapshot lineage
+    assert run3.result.stats["ways"] == run1.result.stats["ways"]
+    assert (
+        run3.result.stats["rings_from_single_way"]
+        == run1.result.stats["rings_from_single_way"]
+    )
+
+    # fully torn (no mid snapshot either) ⇒ full recompute
+    os.remove(os.path.join(str(tmp_path / "ckpt"), "rings_closed", "_MANIFEST.json"))
+    os.remove(os.path.join(str(tmp_path / "ckpt"), "_meta_done", "_MANIFEST.json"))
+    run4 = run_checkpointed(spark, nodes, ways, opt, sink)
+    assert run4.loaded == []
+    assert any(t == "land_polygons" for t, _ in run4.committed)

@@ -194,3 +194,27 @@ def test_questionable_bucket_boundary_fixup(spark):
     )
     q = questionable_rings(rings, polys, bucket_width=5.0).collect()
     assert [r.osm_id for r in q] == [1]  # ring 2 marked outer, ring 1 questionable
+
+
+def test_nodes_from_images_input_hint(spark):
+    """input_hint round trip: nodes -> image table -> nodes_from_images
+    recovers every node_id with deterministic in-range coordinates, all
+    JVM-side (no Python in the derivation plan)."""
+    from osmcoastline_spark.sources.tables import nodes_from_images
+    from osmcoastline_spark.synth import fixture_df, synth_images_for_nodes
+
+    nodes, _ = fixture_df(
+        spark, [(100, 1.0, 1.0), (101, 2.0, 2.0), (102, 3.0, 3.0)], []
+    )
+    images = synth_images_for_nodes(nodes)
+    derived = nodes_from_images(images)
+    rows = {r.node_id: (r.lon, r.lat) for r in derived.collect()}
+    assert set(rows) == {100, 101, 102}
+    for lon, lat in rows.values():
+        assert -180.0 <= lon <= 180.0 and -85.0 <= lat <= 85.0
+    # derivation is deterministic
+    rows2 = {r.node_id: (r.lon, r.lat) for r in nodes_from_images(images).collect()}
+    assert rows == rows2
+    # plan stays in codegen: no Arrow/Python eval nodes
+    plan = derived._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
