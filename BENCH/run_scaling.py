@@ -7,7 +7,7 @@ N vs 4N executors) and reports throughput at both plus the scaling
 efficiency  eff = (T_N / T_4N) / 4 … i.e. speedup/4.
 
 Each level runs in a fresh subprocess so the JVMs don't share anything.
-Writes BENCH/BASELINE.md and prints one JSON line.
+Writes BENCH/SCALING_LAST.md (BASELINE.md is hand-maintained) and prints one JSON line.
 """
 
 from __future__ import annotations
@@ -31,7 +31,8 @@ cpus = int(sys.argv[1])
 n_islands = int(sys.argv[2])
 # identical logical+physical plan at both levels: fixed partition count,
 # only executor parallelism differs (the "same job, two cluster sizes" rule)
-spark = get_spark("scaling", master=f"local[{cpus}]", shuffle_partitions=64)
+spark = get_spark("scaling", master=f"local[{cpus}]",
+                  shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SCALING_SHUFFLE", "64")))
 spark.sparkContext.setLogLevel("ERROR")
 nodes, ways = synth_nodes_ways(spark, n_islands, seed=42)
 nodes = nodes.localCheckpoint(eager=True)
@@ -112,7 +113,7 @@ isolation, GIL-adjacent Arrow serialization on one box). The partitioning
 strategy (hash on endpoint/cell ids, 2×cpus shuffle partitions, AQE skew
 splitting) is the piece that transfers to a real cluster.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "SCALING_LAST.md"), "w") as f:
         f.write(md)
     print(json.dumps(result))
 

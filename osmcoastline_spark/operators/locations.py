@@ -19,12 +19,45 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def ways_with_locations(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+def ways_with_locations(
+    ways: DataFrame, nodes: DataFrame, count_missing: bool = False
+) -> DataFrame:
     """Attach ordered coordinate arrays to each way.
 
-    Output: way_id, node_ids, xs, ys, nways=1, fixed=false.
+    Output: way_id, node_ids, xs, ys (+ `nmiss` when `count_missing`).
+
+    With `count_missing` the node join runs LEFT and each way carries its
+    missing-location count — the J3 check then reads a tiny aggregate off
+    the materialized result instead of paying a second explode+join pass
+    (refs with missing locations are excluded from the arrays, matching
+    the inner-join behavior).
     """
     refs = ways.select("way_id", F.posexplode("node_ids").alias("pos", "node_id"))
+    if count_missing:
+        joined = refs.join(nodes.select("node_id", "lon", "lat"), "node_id", "left")
+        return (
+            joined.groupBy("way_id")
+            .agg(
+                # collect_list skips nulls ⇒ refs with missing locations
+                # stay out of the arrays, like the inner join
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("lon").isNotNull(),
+                            F.struct("pos", "node_id", "lon", "lat"),
+                        )
+                    )
+                ).alias("pts"),
+                F.sum(F.col("lon").isNull().cast("int")).alias("nmiss"),
+            )
+            .select(
+                "way_id",
+                F.col("pts.node_id").alias("node_ids"),
+                F.col("pts.lon").alias("xs"),
+                F.col("pts.lat").alias("ys"),
+                "nmiss",
+            )
+        )
     joined = refs.join(nodes.select("node_id", "lon", "lat"), "node_id", "inner")
     collected = (
         joined.groupBy("way_id")

@@ -54,6 +54,13 @@ def apply_merge_plan_df(
     if broadcast_plan:
         plan_df = F.broadcast(plan_df)
         fin_df = F.broadcast(fin_df)
+    else:
+        # plan rows ∝ open chains — usually broadcastable, but NEVER risk
+        # the planner flipping the join and broadcasting the coordinate-
+        # array side (its post-checkpoint size statistics are unreliable;
+        # observed driver OOM at 1.6M islands). Force a shuffle hash join.
+        plan_df = plan_df.hint("shuffle_hash")
+        fin_df = fin_df.hint("shuffle_hash")
     # One shuffle: the groupBy(group_id). Aggregate parts per group JVM-side,
     # then run ONE Arrow batch over the aggregated rows (per-group
     # applyInPandas pays a pandas-DataFrame construction per group, which

@@ -164,6 +164,7 @@ def assemble_rings(
     max_rounds: int = 64,
     checkpoint_every: int = 1,
     driver_threshold: int = 200_000,
+    assume_materialized: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (closed_rings, open_rings) with schema
     ring_id, node_ids, xs, ys, nways, fixed, lead.
@@ -184,8 +185,12 @@ def assemble_rings(
     """
     spark = ways_loc.sparkSession
     # one materialization of the location join; everything derives from
-    # this checkpoint instead of recomputing the explode+join
-    chains = _init_chains(ways_loc).localCheckpoint(eager=True)
+    # this checkpoint instead of recomputing the explode+join (skipped when
+    # the caller already checkpointed ways_loc — _init_chains is then a
+    # cheap projection and a second array write would buy nothing)
+    chains = _init_chains(ways_loc)
+    if not assume_materialized:
+        chains = chains.localCheckpoint(eager=True)
     closed = chains.filter(_closed())
     open_ = chains.filter(~_closed())
 

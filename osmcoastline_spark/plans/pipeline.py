@@ -39,7 +39,7 @@ from osmcoastline_spark.operators.intersections import (
 )
 from osmcoastline_spark.operators.repair import buffer0_triage
 from osmcoastline_spark.operators.lines import rings_to_lines
-from osmcoastline_spark.operators.locations import missing_location_count, ways_with_locations
+from osmcoastline_spark.operators.locations import ways_with_locations
 from osmcoastline_spark.operators.polygonize import fix_direction, polygonize
 from osmcoastline_spark.operators.questionable import questionable_rings
 from osmcoastline_spark.operators.rings import assemble_rings, route_rings
@@ -234,20 +234,25 @@ def run_pipeline(
         closed, open_, pre_stats = preassembled
         res.stats.update(pre_stats)
     else:
-        # pass 1+2: filter, locations
+        # pass 1+2: filter, locations — the location join materializes ONCE
+        # here; the J3 missing-location check is a tiny aggregate over the
+        # materialized result (round 1 paid a second full explode+join)
         cways = coastline_ways(ways)
         if opt.collect_stats:
             res.stats["ways"] = cways.count()
-        missing = missing_location_count(cways, nodes)
+        ways_loc = ways_with_locations(cways, nodes, count_missing=True).localCheckpoint(
+            eager=True
+        )
+        missing = ways_loc.agg(F.sum("nmiss")).first()[0] or 0
         if missing:
-            res.stats["missing_locations"] = missing
+            res.stats["missing_locations"] = int(missing)
             res.errors += 1
             _meta_tables(spark, opt, res, t0)
             return res
-        ways_loc = ways_with_locations(cways, nodes)
+        ways_loc = ways_loc.drop("nmiss")
 
-        # R1 assembly
-        closed, open_ = assemble_rings(ways_loc)
+        # R1 assembly (input already materialized — no second checkpoint)
+        closed, open_ = assemble_rings(ways_loc, assume_materialized=True)
         if opt.collect_stats:
             res.stats["rings_from_single_way"] = closed.filter(F.col("nways") == 1).count()
             res.stats["unconnected_nodes_before_close"] = open_.count() * 2

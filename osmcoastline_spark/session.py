@@ -55,6 +55,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Shuffle files + block-manager spill go to tmpfs when available: on a
+    # shared-disk host, co-tenant I/O makes identical runs swing 2-4x; a
+    # real cluster has per-executor local disks. Override with
+    # SPARK_GRAFT_LOCAL_DIR; falls back to the default /tmp quietly.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-graft-local"
+    if local_dir:
+        try:
+            os.makedirs(local_dir, exist_ok=True)
+            b = b.config("spark.local.dir", local_dir)
+        except OSError:
+            pass
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -48,3 +48,43 @@ def segment_stream_diff(stream: DataFrame, baseline: DataFrame) -> DataFrame:
     baseline snapshot (stream-static anti-join — Spark keeps the static side
     broadcast/fresh per micro-batch)."""
     return stream.join(baseline, ["x1", "y1", "x2", "y2"], "left_anti")
+
+
+def stream_dedup_first_seen(stream: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Custom stateful operator (north-rule applyInPandasWithState surface):
+    exact-dedup over an unbounded document stream — for each content hash,
+    emit exactly ONE row (the first-seen doc id); duplicates arriving in
+    any later micro-batch are swallowed by the keyed state.
+
+    State per key is a single boolean-sized row, so state size is
+    O(distinct hashes) — the streaming twin of dedup_exact's groupBy.
+    """
+    import pandas as pd
+
+    hashed = stream.select(
+        F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col).alias("doc_id")
+    )
+
+    def first_seen(key, pdfs, state):
+        if state.exists:
+            # hash already emitted in an earlier batch — swallow
+            for _ in pdfs:
+                pass
+            return iter(())
+        best = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf["doc_id"].min())
+                best = m if best is None else min(best, m)
+        if best is None:
+            return iter(())
+        state.update((1,))
+        return iter([pd.DataFrame({"content_hash": [key[0]], "keep_id": [best]})])
+
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        first_seen,
+        outputStructType="content_hash string, keep_id long",
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -81,3 +81,57 @@ def test_segment_stream_diff_plan(spark):
     # batch semantics of the stream-static anti-join
     out = segment_stream_diff(incoming, baseline).collect()
     assert len(out) == 1 and out[0].x1 == 2.0
+
+
+def test_stream_dedup_first_seen(spark, tmp_path):
+    """applyInPandasWithState dedup: duplicates split across MICRO-BATCHES
+    still produce exactly one row per content hash (keyed state survives
+    between batches); agrees with the batch dedup_exact twin."""
+    import json
+    import os
+
+    from osmcoastline_spark.functions.dedup import dedup_exact
+    from osmcoastline_spark.streaming.events import stream_dedup_first_seen
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    # batch 1: two docs, one duplicate pair within the batch
+    with open(src / "b1.json", "w") as f:
+        for doc_id, text in [(3, "alpha"), (7, "alpha"), (5, "beta")]:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        stream_dedup_first_seen(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2 arrives later: a cross-batch duplicate + a new doc
+        with open(src / "b2.json", "w") as f:
+            for doc_id, text in [(9, "alpha"), (2, "gamma")]:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        q.processAllAvailable()
+        got = {
+            r.content_hash: r.keep_id for r in spark.sql("select * from dedup_out").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = spark.createDataFrame(
+        [(3, "alpha"), (7, "alpha"), (5, "beta"), (9, "alpha"), (2, "gamma")],
+        "doc_id long, text string",
+    )
+    expected = {r.content_hash: r.keep_id for r in dedup_exact(batch).collect()}
+    # stream keeps FIRST-SEEN min id; 'alpha' was first seen in batch 1 via
+    # ids {3,7} -> 3 (the batch twin also picks 3 since 3 < 9)
+    assert got == expected
+    assert len(got) == 3
