@@ -160,9 +160,14 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3: missing-location anti-join analog."""
+    """J3: missing-location anti-join analog.
+
+    Customers with no large order (>300k): every custkey has SOME order in
+    the TPC-H-ish generator, so the unfiltered anti-join is vacuously
+    empty — the totalprice filter makes the check non-trivial (3 rows at
+    sf0.001, 30 at sf0.01)."""
     c = _read(spark, sf_dir, "customer")
-    o = _read(spark, sf_dir, "orders")
+    o = _read(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     missing = c.join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_anti")
     return missing.select("c_custkey", "c_name")
 
@@ -178,47 +183,39 @@ def q_location_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") % 200).alias("node_id"),
     )
     j = refs.join(nodes, "node_id")
-    pts = (
-        j.groupBy("way_id")
-        .agg(F.sort_array(F.collect_list(F.struct("pos", "node_id", "lon", "lat"))).alias("p"))
-        .select("way_id", F.col("p.lon").alias("xs"), F.col("p.lat").alias("ys"))
-    )
-    # Haversine in integer meters, bit-stable across engines: JVM and DuckDB
-    # libm disagree at the ULP level on sin/cos/asin (amplified without
-    # bound near asin(1)), so every trig OUTPUT is quantized to a 1e-6 grid
-    # via exact floor(x*1e6+0.5); all downstream ops (+ − × ÷ sqrt floor)
-    # are IEEE-correctly-rounded and therefore bit-identical on both sides.
-    # The identical quantization appears in the DuckDB oracle SQL.
+    # the production J2 re-collect kernel (repartition + sortWithinPartitions
+    # + primitive-column Arrow regroup — operators/locations.py), so the
+    # DuckDB oracle verifies the same code path the pipeline runs
+    from osmcoastline_spark.operators.locations import regroup_locations
+
+    pts = regroup_locations(j)
+    # Per-way length checksum with ZERO libm: the reference's own G3
+    # squared-degree distance (reference/src/coastline_ring.cpp
+    # distance() uses plain dx/dy arithmetic; mirrored at geom.py
+    # sq_distance). Each leg is floor((dx*dx + dy*dy) * 1e6 + 0.5) as
+    # BIGINT — subtraction, multiply, add and floor are IEEE
+    # correctly-rounded on every engine, and the BIGINT sum is exact and
+    # order-independent, so the checksum is bit-identical between Spark
+    # and DuckDB by construction (no sin/cos/asin ULP drift, which round-1
+    # and round-2 showed cannot be fully quantized away). The real
+    # haversine (A4) stays under pytest: test_ways_debug_and_length.
     def leg(i):
-        lon1 = F.element_at(F.col("xs"), (i - 1).cast("int"))
-        lat1 = F.element_at(F.col("ys"), (i - 1).cast("int"))
-        lon2 = F.element_at(F.col("xs"), i.cast("int"))
-        lat2 = F.element_at(F.col("ys"), i.cast("int"))
-
-        def q(c):  # quantized trig output, as double
-            return F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("double")
-
-        s1 = q(F.sin(F.radians(lat2 - lat1) / 2))
-        s2 = q(F.sin(F.radians(lon2 - lon1) / 2))
-        c1 = q(F.cos(F.radians(lat1)))
-        c2 = q(F.cos(F.radians(lat2)))
-        h = F.least(
-            (s1 * s1 + (((c1 * c2) * s2) * s2) / F.lit(1e12)) / F.lit(1e12),
-            F.lit(1.0),
+        dx = F.element_at(F.col("xs"), i.cast("int")) - F.element_at(
+            F.col("xs"), (i - 1).cast("int")
         )
-        aq = F.floor(F.asin(F.sqrt(h)) * F.lit(1000000.0) + F.lit(0.5)).cast("double")
-        return F.floor(
-            (F.lit(2.0 * 6371000.0) * aq) / F.lit(1000000.0) + F.lit(0.5)
-        ).cast("long")
+        dy = F.element_at(F.col("ys"), i.cast("int")) - F.element_at(
+            F.col("ys"), (i - 1).cast("int")
+        )
+        return F.floor((dx * dx + dy * dy) * F.lit(1000000.0) + F.lit(0.5)).cast("long")
 
-    hav = F.when(F.size("xs") < 2, F.lit(0).cast("long")).otherwise(
+    sqlen = F.when(F.size("xs") < 2, F.lit(0).cast("long")).otherwise(
         F.aggregate(
             F.sequence(F.lit(2), F.greatest(F.size("xs"), F.lit(2))),
             F.lit(0).cast("long"),
             lambda acc, i: acc + leg(i),
         )
     )
-    return pts.select("way_id", F.size("xs").cast("int").alias("npoints"), hav.alias("length_m"))
+    return pts.select("way_id", F.size("xs").cast("int").alias("npoints"), sqlen.alias("length_q"))
 
 
 def q_ring_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -569,8 +566,24 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
-    return D.ngram_jaccard_pairs(docs, k=8, threshold=0.2)
+    """n-gram Jaccard near-dup pairs over docs + deterministic truncated
+    clones (doc_id+1e6, first len-40 chars): the generator's docs share no
+    8-grams with each other, so without injected near-dups this check was
+    vacuous (0 rows on both engines, round-2 VERDICT). The clones
+    guarantee one high-Jaccard pair per base doc. The hot-shingle DF cap
+    (default 1000) is active and mirrored in the oracle."""
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id", "text")
+    )
+    clones = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.substring(
+            "text", F.lit(1), F.greatest(F.length("text") - 40, F.lit(16))
+        ).alias("text"),
+    )
+    return D.ngram_jaccard_pairs(docs.unionByName(clones), k=8, threshold=0.2)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -677,7 +690,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_anti_join": """
             SELECT c_custkey, c_name FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
         """,
         "q_location_join": f"""
             WITH nodes AS ({_nodes_sql()}),
@@ -695,29 +709,19 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY way_id ORDER BY pos, node_id, lon, lat) AS rn
               FROM pts
             ),
-            -- trig outputs quantized to a 1e-6 grid (floor(x*1e6+0.5)),
-            -- mirroring the Spark side exactly: all ops after the quantize
-            -- are IEEE-exact, so the integer meters are bit-identical
-            quant AS (
-              SELECT a.way_id,
-                     floor(sin(radians(b.lat - a.lat) / 2) * 1000000.0 + 0.5) AS s1,
-                     floor(sin(radians(b.lon - a.lon) / 2) * 1000000.0 + 0.5) AS s2,
-                     floor(cos(radians(a.lat)) * 1000000.0 + 0.5) AS c1,
-                     floor(cos(radians(b.lat)) * 1000000.0 + 0.5) AS c2
-              FROM seq a JOIN seq b ON a.way_id = b.way_id AND b.rn = a.rn + 1
-            ),
+            -- libm-free G3 squared-degree length: dx/dy subtraction,
+            -- multiply, add, floor are all IEEE correctly-rounded, and the
+            -- BIGINT sum is exact in any order -> bit-identical to Spark
             segs AS (
-              SELECT way_id,
-                     CAST(floor((2.0 * 6371000.0 *
-                       floor(asin(sqrt(least(
-                         (s1 * s1 + (((c1 * c2) * s2) * s2) / 1e12) / 1e12,
-                         1.0))) * 1000000.0 + 0.5)
-                     ) / 1000000.0 + 0.5) AS BIGINT) AS m
-              FROM quant
+              SELECT a.way_id,
+                     CAST(floor(((b.lon - a.lon) * (b.lon - a.lon)
+                               + (b.lat - a.lat) * (b.lat - a.lat))
+                               * 1000000.0 + 0.5) AS BIGINT) AS m
+              FROM seq a JOIN seq b ON a.way_id = b.way_id AND b.rn = a.rn + 1
             ),
             np AS (SELECT way_id, count(*) AS npoints FROM seq GROUP BY way_id)
             SELECT np.way_id, CAST(np.npoints AS INT) AS npoints,
-                   coalesce(s.len, 0) AS length_m
+                   coalesce(s.len, 0) AS length_q
             FROM np LEFT JOIN (SELECT way_id, sum(m) AS len FROM segs GROUP BY way_id) s
             USING (way_id)
         """,
@@ -863,12 +867,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
         """,
         "q_ngram_jaccard": """
-            WITH sh AS (
+            WITH base AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0
+            ),
+            alldocs AS (
+              SELECT doc_id, text FROM base
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id,
+                     substring(text, 1, greatest(length(text) - 40, 16)) AS text
+              FROM base
+            ),
+            sh AS (
               SELECT doc_id, text,
                      unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
-              FROM documents WHERE doc_id % 25 = 0
+              FROM alldocs
             ),
-            shingle AS (SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 8) AS s FROM sh),
+            shingle0 AS (SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 8) AS s FROM sh),
+            df AS (SELECT s FROM shingle0 GROUP BY s HAVING count(*) <= 1000),
+            shingle AS (SELECT doc_id, s FROM shingle0 JOIN df USING (s)),
             sizes AS (SELECT doc_id, count(*) AS nsh FROM shingle GROUP BY doc_id),
             inter AS (
               SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
@@ -876,7 +892,7 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2
             )
             SELECT a, b,
-                   round(CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i), 6) AS jaccard
+                   CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i) AS jaccard
             FROM inter
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b

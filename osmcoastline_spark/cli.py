@@ -38,6 +38,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
+    raw = sys.argv[1:] if argv is None else argv
+    if raw and raw[0] == "readmeta":
+        # `osmcoastline_readmeta` parity subcommand — metadata peek over a
+        # finished output dir, no Spark session
+        from osmcoastline_spark.readmeta import main as readmeta_main
+
+        return readmeta_main(raw[1:])
     try:
         args = build_parser().parse_args(argv)
     except SystemExit as e:

@@ -98,17 +98,22 @@ def minhash_lsh_pairs(
 def ngram_jaccard_pairs(
     docs: DataFrame, k: int = 5, threshold: float = 0.8,
     text_col: str = "text", id_col: str = "doc_id",
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact Jaccard over distinct k-shingle sets, restricted to pairs that
     share at least one shingle (the equi-join bounds the candidates).
 
     `max_doc_freq` drops shingles appearing in more than that many docs
     BEFORE the self-join — a boilerplate 8-gram shared by k docs otherwise
-    contributes k² join rows (the 100 TB hot-key risk). The Jaccard is then
-    computed consistently over the capped shingle sets (both intersection
-    and sizes), so the metric stays well-defined; mirror the cap in any
-    SQL oracle."""
+    contributes k² join rows (the 100 TB hot-key risk). The cap is ON by
+    default (1000): at web scale the hot-shingle blow-up is the expected
+    failure mode, so uncapped is the opt-in (`max_doc_freq=None`). The
+    Jaccard is then computed consistently over the capped shingle sets
+    (both intersection and sizes), so the metric stays well-defined;
+    mirror the cap in any SQL oracle.
+
+    The jaccard column is the raw IEEE division inter/(na+nb-inter) of
+    exact integers — bit-identical on any engine, no rounding step."""
     sh = shingles(docs, k, text_col, id_col)
     if max_doc_freq is not None:
         hot = (
@@ -132,11 +137,8 @@ def ngram_jaccard_pairs(
         .join(sizes.select(F.col("doc_id").alias("b"), F.col("nsh").alias("nb")), "b")
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
-                6,
-            ),
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")

@@ -3,28 +3,136 @@
 Per BASELINE.json input_hint the payload rides as an opaque binary column
 with typed metadata (w, h, fmt). All operators are `mapInPandas` over Arrow
 batches — the Spark-side plumbing (schema, partitioning, batch shape) is
-real and tested; only non-'raw' codecs are stubbed (no PIL/libjpeg in this
-container — decode_image raises NotImplementedError for them).
+real and tested. Codecs: 'raw' (C-order RGB bytes) and 'png' (RGB8, a
+from-scratch stdlib-zlib + numpy implementation — no PIL/libjpeg in this
+container) are REAL; jpeg/webp remain stubbed (lossy DCT/VP8 without a
+codec lib is out of scope — decode_image raises NotImplementedError).
 
 The per-row invariant vs the reference (decoded-pixel PSNR ≥ 40 dB for
 lossy formats + caption equality) is implemented in verify_payloads and run
-at the pipeline sink.
+at the pipeline sink; with the png codec it is exercised end-to-end on a
+genuinely compressed byte stream.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """RGB8 HxWx3 → PNG bytes (filter 0 scanlines, one zlib IDAT)."""
+    h, w = pixels.shape[:2]
+    px = np.ascontiguousarray(pixels.astype(np.uint8))
+    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 0] = 0  # filter type None per scanline
+    raw[:, 1:] = px.reshape(h, w * 3)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG → HxWx3 uint8. Supports 8-bit RGB (color type 2), all five
+    scanline filters, non-interlaced. Sub/Average/Paeth unfilter runs a
+    per-scanline x-loop (inherently sequential recurrences); the encoder
+    above emits filter 0, which unfilters vectorized."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG byte stream")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", payload)
+            if depth != 8 or ctype != 2 or interlace != 0:
+                raise NotImplementedError(
+                    f"png variant unsupported (depth={depth} color={ctype} interlace={interlace})"
+                )
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("png without IHDR")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = 1 + w * 3
+    raw = raw.reshape(h, stride)
+    filters = raw[:, 0]
+    out = np.zeros((h, w * 3), dtype=np.uint8)
+    bpp = 3
+    for y in range(h):
+        line = raw[y, 1:].astype(np.int32)
+        f = int(filters[y])
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(w * 3, dtype=np.int32)
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up — fully vectorized
+            rec = (line + prev) & 0xFF
+        elif f == 1:  # Sub — per-channel cumulative recurrence
+            rec = line.copy()
+            for x in range(bpp, w * 3):
+                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
+        elif f == 3:  # Average
+            rec = line.copy()
+            for x in range(w * 3):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = line.copy()
+            for x in range(w * 3):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                rec[x] = (rec[x] + _paeth(left, int(prev[x]), ul)) & 0xFF
+        else:
+            raise ValueError(f"bad png filter {f}")
+        out[y] = rec.astype(np.uint8)
+    return out.reshape(h, w, 3)
+
 
 def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
-    """Decode to HxWx3 uint8. Only the deterministic 'raw' codec is real;
-    jpeg/png/webp decoding is stubbed pending codec libs."""
+    """Decode to HxWx3 uint8. 'raw' and 'png' are real codecs; jpeg/webp
+    are stubbed pending codec libs (lossy decoders out of scope here)."""
     if fmt == "raw":
         return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+    if fmt == "png":
+        px = decode_png(bytes(data))
+        if px.shape[:2] != (h, w):
+            raise ValueError(f"png dims {px.shape[:2]} != metadata ({h}, {w})")
+        return px
     raise NotImplementedError(
         f"codec {fmt!r} requires an image library not present in this environment"
     )
@@ -64,16 +172,18 @@ def with_image_features(images: DataFrame, thumb: int = 4) -> DataFrame:
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            for _, r in pdf.iterrows():
+            # itertuples: ~5× faster row access than iterrows (round-3
+            # ADVICE); columns are fixed by the select below
+            for r in pdf.itertuples(index=False):
                 try:
-                    px = decode_image(r["bytes"], r["w"], r["h"], r["fmt"])
+                    px = decode_image(r.bytes, r.w, r.h, r.fmt)
                 except NotImplementedError:
-                    rows.append((r["image_id"], None, None, None))
+                    rows.append((r.image_id, None, None, None))
                     continue
                 small = resize_nn(px, thumb, thumb)
                 rows.append(
                     (
-                        r["image_id"],
+                        r.image_id,
                         average_hash(px),
                         float(px.astype(np.float64).mean()),
                         small.tobytes(),
@@ -106,14 +216,14 @@ def verify_payloads(images: DataFrame, reference: DataFrame, min_psnr: float = 4
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             bad = []
-            for _, r in pdf.iterrows():
+            for r in pdf.itertuples(index=False):
                 reason = None
-                if r["caption"] != r["ref_caption"]:
+                if r.caption != r.ref_caption:
                     reason = "caption_mismatch"
                 else:
                     try:
-                        pa = decode_image(r["bytes"], r["w"], r["h"], r["fmt"])
-                        pb = decode_image(r["ref_bytes"], r["ref_w"], r["ref_h"], r["ref_fmt"])
+                        pa = decode_image(r.bytes, r.w, r.h, r.fmt)
+                        pb = decode_image(r.ref_bytes, r.ref_w, r.ref_h, r.ref_fmt)
                         if pa.shape != pb.shape:
                             reason = "shape_mismatch"
                         elif psnr(pa, pb) < min_psnr:
@@ -121,7 +231,7 @@ def verify_payloads(images: DataFrame, reference: DataFrame, min_psnr: float = 4
                     except NotImplementedError:
                         reason = None  # stubbed codec: caption check only
                 if reason:
-                    bad.append((r["image_id"], reason))
+                    bad.append((r.image_id, reason))
             yield pd.DataFrame(bad, columns=["image_id", "reason"])
 
     return joined.mapInPandas(run, "image_id string, reason string")

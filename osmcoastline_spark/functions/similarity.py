@@ -65,13 +65,49 @@ def hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
 
 
 def lsh_bucket_expr(vec_col: str, planes: np.ndarray) -> Column:
-    """Sign-bucket id as pure column math: bit b = (vec · plane_b) > 0."""
+    """Sign-bucket id as pure column math: bit b = (vec · plane_b) > 0.
+
+    CAUTION — codegen trap: this inlines bits × dim literals into one
+    projection; beyond a few hundred literals the generated method blows
+    the JVM's 64 KB bytecode limit and Spark silently falls back to
+    interpreted eval (the same trap measured on simhash in round 2). The
+    hot path uses `lsh_codes_udf` (one numpy matmul per Arrow batch)
+    instead; this expression form is kept for small-bits uses and as the
+    independent check in test_lsh_codes_udf_matches_expr."""
     code = F.lit(0).cast("long")
     for b, plane in enumerate(planes):
         arr = F.array(*[F.lit(float(x)) for x in plane])
         d = _dot(F.col(vec_col), arr)
         code = code + F.when(d > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
     return code
+
+
+def lsh_codes_udf(dim: int, bits: int, n_tables: int, seed: int = 42):
+    """Vectorized all-tables bucket codes: ONE (batch × dim) @ (dim ×
+    tables·bits) matmul per Arrow batch, bit-packed per table → array<long>
+    of length n_tables. Scales to any bits/dim without touching codegen
+    (the literal-expression form falls off whole-stage codegen past a few
+    hundred inlined literals)."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.concatenate(
+        [hyperplanes(dim, bits, seed + t) for t in range(n_tables)], axis=0
+    )  # (n_tables*bits, dim)
+    weights = (1 << np.arange(bits, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def codes(vecs):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        v = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+        signs = (v @ planes.T) > 0  # (n, n_tables*bits)
+        per_table = signs.reshape(len(v), n_tables, bits)
+        packed = per_table @ weights  # (n, n_tables) int64
+        return pd.Series(list(packed))
+
+    return codes
 
 
 def lsh_topk(
@@ -88,17 +124,12 @@ def lsh_topk(
     if dim is None:
         # fallback only — callers on the hot path must pass dim
         dim = len(vectors.select(vec_col).limit(1).collect()[0][0])
-    table_structs = []
-    for t in range(n_tables):
-        planes = hyperplanes(dim, bits, seed + t)
-        table_structs.append(
-            F.struct(F.lit(t).alias("t"), lsh_bucket_expr(vec_col, planes).alias("bk"))
-        )
+    codes = lsh_codes_udf(dim, bits, n_tables, seed)
     tagged = vectors.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
-        F.explode(F.array(*table_structs)).alias("tb"),
-    ).select("vid", "vec", F.col("tb.t").alias("t"), F.col("tb.bk").alias("bk"))
+        F.posexplode(codes(F.col(vec_col))).alias("t", "bk"),
+    )
 
     a = tagged.select(F.col("vid").alias("query_id"), F.col("vec").alias("q_vec"), "t", "bk")
     b = tagged.select(F.col("vid").alias("nbr_id"), F.col("vec").alias("nbr_vec"), "t", "bk")

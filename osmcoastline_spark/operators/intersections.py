@@ -140,6 +140,20 @@ def intersection_pairs(segments: DataFrame, cell_deg: float = DEFAULT_CELL_DEG) 
             & (F.least("ay1", "ay2") <= F.greatest("by1", "by2"))
             & (F.least("by1", "by2") <= F.greatest("ay1", "ay2"))
         )
+        # shared-endpoint reject in codegen (round-3 Arrow diet): the exact
+        # kernel defines endpoint-sharing pairs as non-intersecting
+        # (geom.segment_intersections, reference crc:202-230), and chain
+        # neighbors — which always share an endpoint and always pass the
+        # bbox test — are the BULK of in-cell candidates. Dropping them
+        # here keeps them out of the Arrow batch transfer entirely.
+        .filter(
+            ~(
+                ((F.col("ax1") == F.col("bx1")) & (F.col("ay1") == F.col("by1")))
+                | ((F.col("ax1") == F.col("bx2")) & (F.col("ay1") == F.col("by2")))
+                | ((F.col("ax2") == F.col("bx1")) & (F.col("ay2") == F.col("by1")))
+                | ((F.col("ax2") == F.col("bx2")) & (F.col("ay2") == F.col("by2")))
+            )
+        )
     )
 
     # Owner-cell dedup: a pair sharing several cover cells is *evaluated*

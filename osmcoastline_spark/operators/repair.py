@@ -129,13 +129,21 @@ def buffer0_repair(xs: list, ys: list) -> tuple[list, list] | None:
     cands = [p for p in pieces if np.sign(p[2]) == s]
     # union absorb: a candidate strictly inside another candidate merges away
     kept = []
+    # one O(total-vertices) set per candidate instead of a nested
+    # all()-generator scan (round-3 ADVICE: the nested form was ~n² tuple
+    # comparisons per candidate — quadratic in MAX_REPAIR_POINTS)
+    all_pts = [
+        {(ox[m], oy[m]) for m in range(len(ox) - 1)} for ox, oy, _oa in cands
+    ]
     for idx, (rx, ry, _a) in enumerate(cands):
         inside_other = False
+        others: set = set()
+        for oi, pts in enumerate(all_pts):
+            if oi != idx:
+                others |= pts
         probe_x, probe_y = None, None
         for k in range(len(rx) - 1):
-            if all((rx[k], ry[k]) != (ox[m], oy[m])
-                   for oi, (ox, oy, _oa) in enumerate(cands) if oi != idx
-                   for m in range(len(ox) - 1)):
+            if (rx[k], ry[k]) not in others:
                 probe_x, probe_y = rx[k], ry[k]
                 break
         if probe_x is None:
@@ -230,3 +238,75 @@ def buffer0_triage(
 
     repaired = flagged.select(*cols).mapInPandas(repair_batch, out_schema)
     return clean.select(*cols).unionByName(repaired)
+
+
+def check_polygons(
+    polys: DataFrame, cell_deg: float = 0.5
+) -> tuple[DataFrame, int]:
+    """Post-split validity pass (reference src/coastline_polygons.cpp:444-467
+    check_polygons, called from src/osmcoastline.cpp:398-399 AFTER the
+    optional split): every invalid polygon counts ONE warning and gets a
+    Buffer(0) repair attempt; if the repair does not yield a single
+    polygon it is dropped silently (stderr-only in the reference).
+
+    Validity here is shell-level (self-crossing via the distributed
+    cell-binned kernel, repeated vertex, zero area) — the axis-parallel
+    split cuts can only introduce invalidity on the cut shell, never new
+    hole-vs-shell conflicts, and hole validity was already established
+    before polygonization (buffer0_triage). Clean polygons stream through
+    a pure-Catalyst anti-join; only flagged polygons pay the Arrow batch.
+
+    Returns (checked_polys, warning_count); all input columns preserved.
+    """
+    from osmcoastline_spark.operators.polygonize import _area2_expr
+
+    shells = polys.select(
+        F.col("poly_id").alias("ring_id"),
+        F.col("shell_x").alias("xs"),
+        F.col("shell_y").alias("ys"),
+    )
+    crossing_ids = (
+        ring_self_intersections(ring_segments(shells), cell_deg)
+        .select(F.col("ring_id").alias("poly_id"))
+        .distinct()
+    )
+    pts = F.arrays_zip("shell_x", "shell_y")
+    degenerate = F.size("shell_x") != F.size(F.array_distinct(pts)) + 1
+    zero_area = _area2_expr("shell_x", "shell_y") == 0.0
+    flagged_ids = (
+        polys.filter(degenerate | zero_area)
+        .select("poly_id")
+        .unionByName(crossing_ids)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    warnings = flagged_ids.count()
+    if warnings == 0:
+        return polys, 0
+
+    clean = polys.join(flagged_ids, "poly_id", "left_anti")
+    flagged = polys.join(flagged_ids, "poly_id", "left_semi")
+    schema = flagged.schema
+    colnames = [f.name for f in schema.fields]
+
+    def repair_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.to_dict("records"):
+                rep = buffer0_repair(list(r["shell_x"]), list(r["shell_y"]))
+                if rep is None:
+                    continue  # silent drop, reference parity
+                rx, ry = rep
+                # post-fix_direction shells are CW (GIS frame);
+                # buffer0_repair normalizes to CCW — flip back
+                rx, ry = rx[::-1], ry[::-1]
+                r["shell_x"], r["shell_y"] = list(rx), list(ry)
+                r["npoints"] = len(rx)
+                r["env_minx"], r["env_maxx"] = min(rx), max(rx)
+                r["env_miny"], r["env_maxy"] = min(ry), max(ry)
+                rows.append(r)
+            if rows:
+                yield pd.DataFrame(rows, columns=colnames)
+
+    repaired = flagged.mapInPandas(repair_batch, schema)
+    return clean.unionByName(repaired), warnings

@@ -47,7 +47,9 @@ def simplify_polygons(polygons: DataFrame, tolerance: float) -> DataFrame:
 
         for pdf in it:
             rows = []
-            for _, row in pdf.iterrows():
+            # to_dict('records'): dict rows without iterrows's per-row
+            # Series construction (round-3 ADVICE)
+            for row in pdf.to_dict("records"):
                 sx, sy = geom.douglas_peucker(
                     np.asarray(row["shell_x"], dtype=np.float64),
                     np.asarray(row["shell_y"], dtype=np.float64),

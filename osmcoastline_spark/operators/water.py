@@ -21,6 +21,8 @@ multi-shell decomposition is deferred to the sink.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -65,6 +67,41 @@ def tile_grid(spark, zoom: int, extent=(-180.0, -90.0, 180.0, 90.0)) -> DataFram
             (F.lit(extent[0]) + (F.col("tx") + 1) * w).alias("tile_maxx"),
             (F.lit(extent[1]) + (F.col("ty") + 1) * h).alias("tile_maxy"),
         )
+    )
+
+
+def tile_grid_overlap_4326(
+    spark,
+    cell_deg: float = 1.0,
+    overlap: float = 0.0005,
+    extent=(-180.0, -90.0, 179.99999999, 89.99999999),
+) -> DataFrame:
+    """Spatialite grid variant (reference
+    simplify_and_split_spatialite/create_grid_4326.sql:21-41): a 1°-cell
+    grid whose per-cell overlap is LATITUDE-DEPENDENT in x — the overlap
+    holds a constant ground distance, so it widens by 1/cos(mid-latitude)
+    toward the poles — constant (0.0005°) in y, both clamped to the
+    extent so cells never spill over the antimeridian/poles. Pure column
+    math over spark.range, like tile_grid (the postgis-style uniform
+    variant)."""
+    nx = int(math.ceil((extent[2] - extent[0]) / cell_deg))
+    ny = int(math.ceil((extent[3] - extent[1]) / cell_deg))
+    base = spark.range(nx * ny).select(
+        (F.col("id") % nx).alias("tx"),
+        (F.col("id") / nx).cast("long").alias("ty"),
+    )
+    minx = F.lit(extent[0]) + F.col("tx") * cell_deg
+    miny = F.lit(extent[1]) + F.col("ty") * cell_deg
+    maxx = F.least(minx + cell_deg, F.lit(extent[2]))
+    maxy = F.least(miny + cell_deg, F.lit(extent[3]))
+    ox = F.lit(overlap) / F.cos(F.radians((miny + maxy) * 0.5))
+    return base.select(
+        "tx",
+        "ty",
+        F.greatest(minx - ox, F.lit(extent[0])).alias("tile_minx"),
+        F.greatest(miny - F.lit(overlap), F.lit(extent[1])).alias("tile_miny"),
+        F.least(maxx + ox, F.lit(extent[2])).alias("tile_maxx"),
+        F.least(maxy + F.lit(overlap), F.lit(extent[3])).alias("tile_maxy"),
     )
 
 

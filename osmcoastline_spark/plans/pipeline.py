@@ -14,10 +14,14 @@ Warning/error accounting matches the reference:
   exit:     2 if errors or warnings > 500; 1 if warnings; else 0
             (src/osmcoastline.cpp:70,428-439)
 
-Known deviations (no GEOS in this container, all geometry pure numpy):
-  * Buffer(0) self-repair of invalid rings is not performed; such rings are
-    kept (they were already reported via intersection errors).
-  * check_polygons post-split validity warnings are not emitted.
+GEOS-free geometry (all pure numpy): IsValid/Buffer(0) are implemented as
+the cell-binned self-intersection kernel + the numpy Buffer(0) equivalent
+in operators/repair.py, applied BOTH pre-polygonize (buffer0_triage,
+reference add_polygons_to_vector) and post-split (check_polygons,
+reference coastline_polygons.cpp:444-467). Known deviations:
+  * check_polygons validity is shell-level (the axis-parallel split cuts
+    cannot introduce new hole-vs-shell conflicts); GEOS IsValid also
+    re-checks hole nesting.
 """
 
 from __future__ import annotations
@@ -36,8 +40,9 @@ from osmcoastline_spark.operators.intersections import (
     duplicate_segments,
     intersection_pairs,
     ring_segments,
+    ring_self_intersections,
 )
-from osmcoastline_spark.operators.repair import buffer0_triage
+from osmcoastline_spark.operators.repair import buffer0_triage, check_polygons
 from osmcoastline_spark.operators.lines import rings_to_lines
 from osmcoastline_spark.operators.locations import ways_with_locations
 from osmcoastline_spark.operators.polygonize import fix_direction, polygonize
@@ -233,6 +238,22 @@ def run_pipeline(
     if preassembled is not None:
         closed, open_, pre_stats = preassembled
         res.stats.update(pre_stats)
+        if opt.collect_stats:
+            # a snapshot written with collect_stats=False has no stats_pre
+            # (round-3 ADVICE): recompute the missing counts from the
+            # loaded rings instead of silently reporting 0 in `meta`.
+            # `ways` = distinct ways across both ring sets (cheap explode
+            # over the snapshot, no node join).
+            if "rings_from_single_way" not in res.stats:
+                res.stats["rings_from_single_way"] = closed.filter(
+                    F.col("nways") == 1
+                ).count()
+            if "unconnected_nodes_before_close" not in res.stats:
+                res.stats["unconnected_nodes_before_close"] = open_.count() * 2
+            if "ways" not in res.stats:
+                res.stats["ways"] = int(
+                    closed.select(F.sum("nways")).first()[0] or 0
+                ) + int(open_.select(F.sum("nways")).first()[0] or 0)
     else:
         # pass 1+2: filter, locations — the location join materializes ONCE
         # here; the J3 missing-location check is a tiny aggregate over the
@@ -270,19 +291,19 @@ def run_pipeline(
     # and the output table — without it the explode re-executes 4×
     segs = ring_segments(closed.unionByName(open_)).localCheckpoint(eager=True)
     overlaps = duplicate_segments(segs)
-    # ONE intersection join serves both the error points and the G5 ring
-    # validity triage (same-ring rows = self-crossings)
+    # This pre-close intersection join feeds ONLY the 'intersection' error
+    # points (reference parity: those are reported on the raw segment set,
+    # src/osmcoastline.cpp:340-352). The G5 validity triage ids are
+    # computed POST-close below — gap closing merges rings (new ring_id =
+    # min member) and adds closure segments, so pre-close ids would both
+    # miss new self-crossings and name rings that no longer exist
+    # (round-3 ADVICE fix).
     ipairs = intersection_pairs(segs, opt.cell_deg).localCheckpoint(eager=True)
     isects = ipairs.select(
         F.lit(0).cast("long").alias("osm_id"),
         F.lit("intersection").alias("error"),
         "x",
         "y",
-    )
-    self_crossing_ids = (
-        ipairs.filter(F.col("a_ring") == F.col("b_ring"))
-        .select(F.col("a_ring").alias("ring_id"))
-        .distinct()
     )
     error_lines.append(overlaps)
     error_points.append(isects)
@@ -338,6 +359,20 @@ def run_pipeline(
         res.stats["rings"] = closed.count()
 
     routed = route_rings(closed)
+
+    # G5 self-intersection detection on the FINAL (post-close) rings: one
+    # cell-binned kernel run shared by the rings-output error points, the
+    # rings.valid column and the Buffer(0) triage — matching the reference,
+    # which runs IsValid on the rings as they are polygonized
+    # (src/coastline_ring_collection.cpp:148-168), i.e. after closing.
+    si_first = None
+    if opt.output_rings or opt.output_polygons != "none" or opt.output_lines:
+        si_first = (
+            ring_self_intersections(ring_segments(routed["polygonizable"]), opt.cell_deg)
+            .groupBy("ring_id")
+            .agg(F.min(F.struct("x", "y")).alias("p"))
+            .localCheckpoint(eager=True)
+        )
 
     if opt.output_rings:
         # routing: single_point / not_a_ring / not_closed (+end_point);
@@ -397,16 +432,9 @@ def run_pipeline(
         # kernel as J5, restricted to same-ring pairs, standing in for
         # GEOS IsValid; one 'self_intersection' error point per invalid
         # ring at its first (min x,y) crossing, rings-output mode only.
-        from osmcoastline_spark.operators.intersections import ring_self_intersections
         from osmcoastline_spark.operators.polygonize import _area2_expr
 
         pring = routed["polygonizable"]
-        si_first = (
-            ring_self_intersections(ring_segments(pring), opt.cell_deg)
-            .groupBy("ring_id")
-            .agg(F.min(F.struct("x", "y")).alias("p"))
-            .localCheckpoint(eager=True)
-        )
         error_points.append(
             si_first.select(
                 F.col("ring_id").alias("osm_id"),
@@ -439,7 +467,7 @@ def run_pipeline(
         # branch (lines/questionable/split/water) is skipped, matching the
         # reference's thrown runtime_error (osmcoastline.cpp:355-417).
         polygonizable = buffer0_triage(
-            routed["polygonizable"], opt.cell_deg, crossing_ids=self_crossing_ids
+            routed["polygonizable"], opt.cell_deg, crossing_ids=si_first.select("ring_id")
         ).localCheckpoint(eager=True)
         if polygonizable.isEmpty():
             res.errors += 1  # "No polygons created!" (osmcoastline.cpp:119,414-417)
@@ -480,6 +508,23 @@ def run_pipeline(
                     )
                     if opt.collect_stats:
                         res.stats["land_polygons_after_split"] = polys.count()
+
+                # reference check_polygons (src/osmcoastline.cpp:398-399 →
+                # src/coastline_polygons.cpp:444-467): validity re-check on
+                # the final (possibly split) polygons — one warning per
+                # invalid polygon, Buffer(0) repair attempt, silent drop if
+                # unrepairable. Runs AFTER the SRS transform, so the cell
+                # size for the self-intersection binning must be in OUTPUT
+                # units (meters for 3857 — degree-sized cells over mercator
+                # coordinates would explode the bbox cover).
+                cp_cell = opt.cell_deg * (
+                    1.0 if opt.epsg == 4326 else EXTENT_3857[2] / 180.0
+                )
+                polys, cp_warnings = check_polygons(polys, cp_cell)
+                res.stats["invalid_polygons_after_split"] = cp_warnings
+                res.warnings += cp_warnings
+                if cp_warnings:
+                    polys = polys.localCheckpoint(eager=True)
 
                 if opt.output_polygons in ("land", "both"):
                     res.tables["land_polygons"] = polys

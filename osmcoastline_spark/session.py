@@ -57,11 +57,23 @@ def get_spark(
     )
     # Shuffle files + block-manager spill go to tmpfs when available: on a
     # shared-disk host, co-tenant I/O makes identical runs swing 2-4x; a
-    # real cluster has per-executor local disks. Override with
-    # SPARK_GRAFT_LOCAL_DIR; falls back to the default /tmp quietly.
+    # real cluster has per-executor local disks. BUT spill happens exactly
+    # when memory is scarce, so RAM-backed tmpfs is only safe when /dev/shm
+    # actually has headroom (round-3 ADVICE): require ≥8 GiB free, else
+    # degrade to the disk default. SPARK_GRAFT_LOCAL_DIR always wins;
+    # SPARK_GRAFT_NO_TMPFS=1 disables the tmpfs redirect outright.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-    if local_dir is None and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/spark-graft-local"
+    if (
+        local_dir is None
+        and not os.environ.get("SPARK_GRAFT_NO_TMPFS")
+        and os.path.isdir("/dev/shm")
+    ):
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 8 << 30:
+                local_dir = "/dev/shm/spark-graft-local"
+        except OSError:
+            pass
     if local_dir:
         try:
             os.makedirs(local_dir, exist_ok=True)

@@ -148,19 +148,25 @@ def average_phash(pixels: np.ndarray) -> int:
 def synth_images_for_nodes(nodes: DataFrame, seed: int = 42) -> DataFrame:
     """One image row per node; pixels/caption deterministic in node_id."""
 
+    from osmcoastline_spark.functions.image import encode_png
+
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for nid in pdf["node_id"].to_numpy():
                 rng = np.random.default_rng(np.random.SeedSequence([seed, int(nid)]))
                 px = rng.integers(0, 256, size=(IMG_H, IMG_W, 3), dtype=np.uint8)
+                # every 3rd image rides as real PNG (from-scratch codec) —
+                # the input-hint decode path must handle a genuinely
+                # compressed format, not just C-order bytes
+                as_png = int(nid) % 3 == 0
                 rows.append(
                     {
                         "image_id": f"img-{int(nid):016x}",
-                        "bytes": encode_raw(px),
+                        "bytes": encode_png(px) if as_png else encode_raw(px),
                         "w": IMG_W,
                         "h": IMG_H,
-                        "fmt": "raw",
+                        "fmt": "png" if as_png else "raw",
                         "caption": f"synthetic coastline tile for node {int(nid)}",
                         "phash": average_phash(px),
                         "node_id": int(nid),

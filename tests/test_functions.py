@@ -218,3 +218,122 @@ def test_nodes_from_images_input_hint(spark):
     # plan stays in codegen: no Arrow/Python eval nodes
     plan = derived._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_lsh_codes_udf_matches_expr(spark):
+    """The Arrow-batched bucket codes must equal the literal-expression
+    form at a size (bits=16, dim=512) where the expression would blow the
+    codegen method limit — proving the hot path computes the same buckets
+    without the literal inlining."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(512)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    bits, dim, n_tables, seed = 16, 512, 2, 42
+    got = {
+        (r.vec_id, r.t): r.bk
+        for r in df.select(
+            "vec_id",
+            F.posexplode(
+                S.lsh_codes_udf(dim, bits, n_tables, seed)(F.col("embedding"))
+            ).alias("t", "bk"),
+        ).collect()
+    }
+    for t in range(n_tables):
+        planes = S.hyperplanes(dim, bits, seed + t)
+        want = {
+            r.vec_id: r.bk
+            for r in df.select(
+                "vec_id", S.lsh_bucket_expr("embedding", planes).alias("bk")
+            ).collect()
+        }
+        for vid, bk in want.items():
+            assert got[(vid, t)] == bk
+
+
+def test_png_codec_roundtrip_all_filters():
+    """From-scratch PNG codec: encode→decode is bit-exact, and the decoder
+    unfilters all five scanline filter types (synthetic filtered stream)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(13, 7, 3), dtype=np.uint8)
+    data = I.encode_png(px)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    out = I.decode_png(data)
+    assert np.array_equal(out, px)
+
+    # hand-build an IDAT whose 5 scanlines use filters 0..4, then check the
+    # decoder reconstructs the same pixels an independent reference filter
+    # implementation started from
+    h, w = 5, 6
+    ref = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8).astype(np.int32)
+    flat = ref.reshape(h, w * 3)
+    raw = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    for y in range(h):
+        f = y % 5
+        raw[y, 0] = f
+        prev = flat[y - 1] if y else np.zeros(w * 3, dtype=np.int32)
+        for x in range(w * 3):
+            cur = int(flat[y, x])
+            left = int(flat[y, x - 3]) if x >= 3 else 0
+            up = int(prev[x])
+            ul = int(prev[x - 3]) if x >= 3 else 0
+            if f == 0:
+                v = cur
+            elif f == 1:
+                v = cur - left
+            elif f == 2:
+                v = cur - up
+            elif f == 3:
+                v = cur - ((left + up) >> 1)
+            else:
+                v = cur - I._paeth(left, up, ul)
+            raw[y, x + 1] = v & 0xFF
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data2 = (
+        b"\x89PNG\r\n\x1a\n"
+        + I._png_chunk(b"IHDR", ihdr)
+        + I._png_chunk(b"IDAT", zlib.compress(raw.tobytes()))
+        + I._png_chunk(b"IEND", b"")
+    )
+    out2 = I.decode_png(data2)
+    assert np.array_equal(out2, ref.astype(np.uint8))
+
+
+def test_image_png_end_to_end(spark):
+    """input_hint invariant on a genuinely compressed format: png bytes
+    through with_image_features and verify_payloads (PSNR=inf, lossless)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    png = I.encode_png(px)
+    raw = px.tobytes()
+    rows = [("a", bytearray(png), 16, 16, "png", "cap", 0)]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+    )
+    feats = I.with_image_features(df).collect()[0]
+    assert feats.computed_phash is not None  # real decode, not the stub path
+    ref = spark.createDataFrame(
+        [("a", bytearray(raw), 16, 16, "raw", "cap", 0)],
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+    assert I.verify_payloads(df, ref).count() == 0  # png decode == raw pixels
+
+    # corrupt a pixel region in the reference -> psnr drops below 40
+    px2 = px.copy()
+    px2[:8] = 255 - px2[:8]
+    ref_bad = spark.createDataFrame(
+        [("a", bytearray(px2.tobytes()), 16, 16, "raw", "cap", 0)],
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+    bad = I.verify_payloads(df, ref_bad).collect()
+    assert len(bad) == 1 and bad[0].reason == "psnr_below_threshold"

@@ -111,3 +111,60 @@ def test_cli_end_to_end(spark, tmp_path):
     assert os.path.exists(os.path.join(out, "land_polygons", "_MANIFEST.json"))
     meta = json.load(open(os.path.join(out, "meta.json")))
     assert meta["stats"]["rings"] == 1
+
+
+def test_check_polygons_post_split(spark):
+    """Reference check_polygons (src/coastline_polygons.cpp:444-467): one
+    warning per invalid polygon; Buffer(0)-repairable kept (CW shell),
+    unrepairable dropped silently."""
+    from osmcoastline_spark.operators.repair import check_polygons
+
+    def poly(pid, xs, ys):
+        return (
+            pid, xs, ys, [], [], len(xs),
+            min(xs), min(ys), max(xs), max(ys),
+        )
+
+    schema = (
+        "poly_id long, shell_x array<double>, shell_y array<double>, "
+        "holes_x array<array<double>>, holes_y array<array<double>>, "
+        "npoints int, env_minx double, env_miny double, "
+        "env_maxx double, env_maxy double"
+    )
+    valid_cw = poly(1, [0.0, 0.0, 1.0, 1.0, 0.0], [0.0, 1.0, 1.0, 0.0, 0.0])
+    bowtie = poly(2, [10.0, 12.0, 12.0, 10.0, 10.0], [10.0, 12.0, 10.0, 12.0, 10.0])
+    collinear = poly(3, [20.0, 21.0, 22.0, 20.0], [20.0, 21.0, 22.0, 20.0])
+    polys = spark.createDataFrame([valid_cw, bowtie, collinear], schema)
+
+    out, warnings = check_polygons(polys)
+    assert warnings == 2  # bowtie (self-crossing) + collinear (zero area)
+    rows = {r.poly_id: r for r in out.collect()}
+    assert set(rows) == {1, 2}  # collinear dropped silently
+    # untouched valid polygon passes through bit-identical
+    assert rows[1].shell_x == valid_cw[1]
+    # repaired bowtie: simple 4-point lobe, CW in the GIS frame (area2<0)
+    from osmcoastline_spark import geom
+    import numpy as np
+
+    rx, ry = np.array(rows[2].shell_x), np.array(rows[2].shell_y)
+    assert rows[2].npoints == len(rx)
+    assert geom.signed_area2(rx, ry) < 0
+    assert rows[2].env_maxx == rx.max() and rows[2].env_miny == ry.min()
+
+
+def test_check_polygons_clean_passthrough_no_python(spark):
+    """0 invalid polygons ⇒ zero warnings and the input DataFrame object is
+    returned untouched (no Arrow batch in the clean path)."""
+    from osmcoastline_spark.operators.repair import check_polygons
+
+    polys = spark.createDataFrame(
+        [(1, [0.0, 0.0, 1.0, 1.0, 0.0], [0.0, 1.0, 1.0, 0.0, 0.0],
+          [], [], 5, 0.0, 0.0, 1.0, 1.0)],
+        "poly_id long, shell_x array<double>, shell_y array<double>, "
+        "holes_x array<array<double>>, holes_y array<array<double>>, "
+        "npoints int, env_minx double, env_miny double, "
+        "env_maxx double, env_maxy double",
+    )
+    out, warnings = check_polygons(polys)
+    assert warnings == 0
+    assert out is polys

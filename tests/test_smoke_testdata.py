@@ -65,7 +65,14 @@ def test_smoke_runtest_equivalent(spark):
     assert res.stats["rings_turned_around"] == 2
     assert res.stats["questionable"] == 11
     assert res.stats["invalid_polygons"] == 1
-    assert res.warnings == 31
+    # round-3: the post-split check_polygons pass (reference
+    # coastline_polygons.cpp:444-467) finds 1 invalid split piece — the
+    # Spark analog of the reference README's "Self-intersection at or near
+    # point 7.48488 53.8169" GEOS IsValid warning, which the round-2 repo
+    # could not emit (no post-split validity pass). 31 → 32 warnings,
+    # one step closer to the reference README's 35.
+    assert res.stats["invalid_polygons_after_split"] == 1
+    assert res.warnings == 32
     assert res.errors == 11
     assert res.exit_code == 2
     from collections import Counter
@@ -87,5 +94,6 @@ def test_smoke_runtest_equivalent(spark):
     assert sum(1 for r in rt if r.valid == 0) == 3
     # note: the README's "Self-intersection at or near point 7.48488
     # 53.8169" is a GDAL/GEOS IsValid() warning from the polygon validity
-    # path (Buffer(0) repair), not a segment-intersection error point —
-    # that path is GEOS-specific and not replicated here.
+    # path. Since round 3 the post-split check_polygons pass emits the
+    # equivalent warning (invalid_polygons_after_split above); the exact
+    # GEOS point/message formatting is not replicated.

@@ -159,3 +159,62 @@ def test_water_3857_extent(spark):
         max_x=EXTENT_3857[2] * (179.9999 / 180.0),
     ).count()
     assert kept == len(water)
+
+
+def test_tile_grid_overlap_4326(spark):
+    """Spatialite lat-dependent grid (create_grid_4326.sql:21-41): x
+    overlap grows as 1/cos(mid lat), y overlap constant, extent-clamped."""
+    import math
+
+    from osmcoastline_spark.operators.water import tile_grid_overlap_4326
+
+    g = {(r.tx, r.ty): r for r in tile_grid_overlap_4326(spark, cell_deg=30.0).collect()}
+    assert len(g) == 12 * 6
+    # equator-adjacent cell (0..30 lat): mid lat 15
+    r = g[(6, 3)]  # minx 0, miny 0
+    ox = 0.0005 / math.cos(math.radians(15.0))
+    assert abs(r.tile_minx - (0.0 - ox)) < 1e-12
+    assert abs(r.tile_maxx - (30.0 + ox)) < 1e-12
+    assert abs(r.tile_miny - (0.0 - 0.0005)) < 1e-12
+    # near-polar cell widens much more in x than the equator cell
+    rp = g[(6, 5)]  # lat 60..89.99999999
+    assert (rp.tile_maxx - rp.tile_minx) > (r.tile_maxx - r.tile_minx)
+    # clamped: nothing leaves the extent
+    for rr in g.values():
+        assert rr.tile_minx >= -180.0 and rr.tile_maxx <= 179.99999999
+        assert rr.tile_miny >= -90.0 and rr.tile_maxy <= 89.99999999
+
+
+def test_readmeta_cli(spark, tmp_path):
+    """readmeta subcommand prints the reference report sections from a
+    finished output dir (no Spark session needed for the peek)."""
+    import os
+
+    from osmcoastline_spark import cli
+    from osmcoastline_spark.synth import fixture_df
+
+    nodes, ways = fixture_df(
+        spark,
+        [(100, 1.01, 1.01), (101, 1.02, 1.01), (102, 1.03, 1.02), (103, 1.04, 1.02),
+         (104, 1.05, 1.03), (105, 1.01, 1.03)],
+        [(200, [100, 101, 102]), (201, [102, 103, 104, 105, 100])],
+    )
+    np_, wp = str(tmp_path / "nodes"), str(tmp_path / "ways")
+    nodes.write.parquet(np_)
+    ways.write.parquet(wp)
+    out = str(tmp_path / "out")
+    assert cli.main(["--nodes", np_, "--ways", wp, "-o", out, "--master", "local[4]"]) == 0
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        code = cli.main(["readmeta", out])
+    assert code == 0
+    rep = buf.getvalue()
+    assert "Ways tagged natural=coastline: 2" in rep
+    assert "Coastline rings: 1" in rep
+    assert "Max points in polygons (--max-points/-m): 1000" in rep
+    assert "land_polygons" in rep
+    assert cli.main(["readmeta", str(tmp_path / "nope")]) == 1
