@@ -182,13 +182,13 @@ def q_location_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber").alias("pos"),
         (F.col("l_partkey") % 200).alias("node_id"),
     )
-    j = refs.join(nodes, "node_id")
-    # the production J2 re-collect kernel (repartition + sortWithinPartitions
-    # + primitive-column Arrow regroup — operators/locations.py), so the
-    # DuckDB oracle verifies the same code path the pipeline runs
-    from osmcoastline_spark.operators.locations import regroup_locations
+    # the production J2 re-collect kernel (SHUFFLE_HASH join + in-JVM
+    # sort_array(collect_list) — operators/locations.py), so the DuckDB
+    # oracle verifies the same code path the pipeline runs
+    j = refs.join(nodes.hint("SHUFFLE_HASH"), "node_id")
+    from osmcoastline_spark.operators.locations import collect_locations
 
-    pts = regroup_locations(j)
+    pts = collect_locations(j)
     # Per-way length checksum with ZERO libm: the reference's own G3
     # squared-degree distance (reference/src/coastline_ring.cpp
     # distance() uses plain dx/dy arithmetic; mirrored at geom.py

@@ -8,103 +8,80 @@ endpoints) are bounded (≤2 ways share a node in valid coastline data) so
 no salting is needed here — skew lives in *cells*, not node ids, and is
 handled in the cell-binned joins.
 
-Re-collect kernel (round-3 rewrite): the round-1/2 shape was
-groupBy(way_id).agg(sort_array(collect_list(struct(pos,node_id,lon,lat))))
-— measured at 0.40 scaling efficiency 2→8 cores (BENCH/BASELINE.md §2):
-every row materializes an UnsafeRow struct inside the aggregation buffer
-and the sort_array copies the whole struct array again, all through one
-allocator. The replacement keeps every column PRIMITIVE end-to-end:
+Round-3 kernel investigation (400k islands = 23M nodes / 26M refs,
+fresh-JVM single-action, best-of-3 interleaved; see BENCH/BASELINE.md):
 
-    repartition(way_id)                      -- one hash shuffle, same as
-    sortWithinPartitions(way_id, pos)        -- before (groupBy shuffled too)
-    mapInPandas(regroup)                     -- zero-copy Arrow batches,
-                                             -- np.split on group bounds
+  shape                                    local[2]  local[8]  eff 2→8
+  ------------------------------------------------------------------
+  r2: SMJ join + collect_list(struct)        37.5      23.7     0.40
+  mapInPandas regroup (per-group objects)    70.3      57.0     0.31
+  mapInArrow regroup (ListArray offsets)     46.6      19.9     0.59
+  SHUFFLE_HASH join + collect_list(struct)   28.2       9.2     0.76  ← this
 
-The shuffle moves flat (long, int, long, double, double) rows — ~40 B/row
-vs the struct-array aggregation's per-group buffers — and the regroup is
-O(rows) numpy slicing with no per-row Python. Batches inside a partition
-arrive in sorted order, so a way split across Arrow batches is carried
-over to the next batch (groups are contiguous after the sort).
+The round-2 diagnosis ("collect_list struct allocation") was WRONG: the
+non-scaling cost was (a) the default SortMergeJoin SORTING both ~25M-row
+shuffled join sides and (b) AQE coalescing the big shuffles to ~15 tasks
+(advisory 64 MB) — two badly-balanced waves on 8 cores. With a
+SHUFFLE_HASH hint (both sides are planet-sized, neither is broadcastable,
+and the re-collect doesn't need sorted input) and 16 MB advisory chunks
+(session.py), the JVM aggregation beats every Arrow round-trip variant on
+both absolute time and scaling: the Arrow kernels pay ~3 µs/row of
+row↔Arrow conversion for 26M rows that the in-JVM aggregate never pays.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_OUT_SCHEMA = (
-    "way_id long, node_ids array<long>, xs array<double>, ys array<double>"
-)
 
-
-def _build_frame(pdf: pd.DataFrame, count_missing: bool) -> pd.DataFrame:
-    """Regroup one contiguous run of complete ways into array rows."""
-    wid = pdf["way_id"].to_numpy()
-    bounds = np.nonzero(np.diff(wid))[0] + 1
-    node = pdf["node_id"].to_numpy()
-    lon = pdf["lon"].to_numpy(dtype=np.float64)
-    lat = pdf["lat"].to_numpy(dtype=np.float64)
-    way_ids = wid[np.concatenate([[0], bounds])]
-    node_groups = np.split(node, bounds)
-    lon_groups = np.split(lon, bounds)
-    lat_groups = np.split(lat, bounds)
-    out = {
-        "way_id": way_ids,
-        "node_ids": node_groups,
-        "xs": lon_groups,
-        "ys": lat_groups,
-    }
-    if count_missing:
-        # left-join misses carry NaN lon: count them per way and exclude
-        # them from the arrays (collect_list-skips-nulls parity)
-        miss = np.isnan(lon)
-        nmiss = np.array([int(m.sum()) for m in np.split(miss, bounds)], dtype=np.int32)
-        keep = ~miss
-        keep_groups = np.split(keep, bounds)
-        out["node_ids"] = [g[k] for g, k in zip(node_groups, keep_groups)]
-        out["xs"] = [g[k] for g, k in zip(lon_groups, keep_groups)]
-        out["ys"] = [g[k] for g, k in zip(lat_groups, keep_groups)]
-        out["nmiss"] = nmiss
-    return pd.DataFrame(out)
-
-
-def regroup_locations(joined: DataFrame, count_missing: bool = False) -> DataFrame:
+def collect_locations(joined: DataFrame, count_missing: bool = False) -> DataFrame:
     """(way_id, pos, node_id, lon, lat) rows → one array row per way.
 
-    Requires pos to be unique per way (posexplode output). The caller's
-    join may be left (count_missing=True adds an `nmiss` column; refs
-    with NULL lon are excluded from the arrays) or inner.
+    Pure-JVM re-collect: groupBy(way_id) + sort_array(collect_list(
+    struct(pos, ...))) — map-side partial aggregation, one shuffle, no
+    Python. pos is unique per way (posexplode output); the extra struct
+    fields give a deterministic total order even for malformed inputs
+    with duplicate node rows. With count_missing the input may be a LEFT
+    join: NULL-lon refs are excluded from the arrays (collect_list skips
+    the null-ed struct) and counted in `nmiss`.
     """
-    # full tiebreak (pos is unique per way in posexplode output, but a
-    # malformed nodes table with duplicate node_id rows must still regroup
-    # deterministically — same order as the old sort_array-of-struct)
-    part = joined.select("way_id", "pos", "node_id", "lon", "lat").repartition(
-        "way_id"
-    ).sortWithinPartitions("way_id", "pos", "node_id", "lon", "lat")
-    schema = _OUT_SCHEMA + (", nmiss int" if count_missing else "")
-
-    def regroup(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        carry: pd.DataFrame | None = None
-        for pdf in it:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if not len(pdf):
-                continue
-            # hold back the last (possibly batch-straddling) way
-            wid = pdf["way_id"].to_numpy()
-            cut = int(np.searchsorted(wid, wid[-1], side="left"))
-            carry = pdf.iloc[cut:]
-            body = pdf.iloc[:cut]
-            if len(body):
-                yield _build_frame(body, count_missing)
-        if carry is not None and len(carry):
-            yield _build_frame(carry, count_missing)
-
-    return part.mapInPandas(regroup, schema)
+    if count_missing:
+        return (
+            joined.groupBy("way_id")
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("lon").isNotNull(),
+                            F.struct("pos", "node_id", "lon", "lat"),
+                        )
+                    )
+                ).alias("pts"),
+                F.sum(F.col("lon").isNull().cast("int")).alias("nmiss"),
+            )
+            .select(
+                "way_id",
+                F.col("pts.node_id").alias("node_ids"),
+                F.col("pts.lon").alias("xs"),
+                F.col("pts.lat").alias("ys"),
+                "nmiss",
+            )
+        )
+    return (
+        joined.groupBy("way_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("pos", "node_id", "lon", "lat"))).alias(
+                "pts"
+            )
+        )
+        .select(
+            "way_id",
+            F.col("pts.node_id").alias("node_ids"),
+            F.col("pts.lon").alias("xs"),
+            F.col("pts.lat").alias("ys"),
+        )
+    )
 
 
 def ways_with_locations(
@@ -121,12 +98,19 @@ def ways_with_locations(
     the inner-join behavior).
     """
     refs = ways.select("way_id", F.posexplode("node_ids").alias("pos", "node_id"))
+    # SHUFFLE_HASH: both sides are planet-sized (node table >> broadcast
+    # threshold) so the equi-join must shuffle either way, but the default
+    # SortMergeJoin additionally SORTS both shuffled sides — two
+    # UnsafeExternalSorter passes over ~10 rows per way that the hash join
+    # skips, and the downstream re-collect does not need sorted input
+    # (sort_array orders within each way). Measured 2→8 core efficiency
+    # 0.40 → 0.76 from this hint + the 16 MB AQE advisory (session.py).
     joined = refs.join(
-        nodes.select("node_id", "lon", "lat"),
+        nodes.select("node_id", "lon", "lat").hint("SHUFFLE_HASH"),
         "node_id",
         "left" if count_missing else "inner",
     )
-    return regroup_locations(joined, count_missing)
+    return collect_locations(joined, count_missing)
 
 
 def missing_location_count(ways: DataFrame, nodes: DataFrame) -> int:

@@ -221,9 +221,17 @@ def polygonize(rings: DataFrame, cell_deg: float = DEFAULT_CELL_DEG) -> Polygoni
         F.col("ys").alias("hys"),
     )
 
+    # O(holes²) point-in-ring per shell — bounded like MAX_REPAIR_POINTS:
+    # real shells carry at most dozens of holes; a pathological shell with
+    # more holes than the cap is declared invalid outright (cheaper and
+    # safer than an unbounded quadratic task on one executor)
+    MAX_HOLES_PAIRWISE = 10_000
+
     def check_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        invalid = False
         n = len(pdf)
+        if n > MAX_HOLES_PAIRWISE:
+            return pd.DataFrame({"shell_id": [key[0]], "bad": [True]})
+        invalid = False
         arrs = [
             (np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64))
             for x, y in zip(pdf["hxs"], pdf["hys"])

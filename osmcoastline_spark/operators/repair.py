@@ -185,8 +185,13 @@ def buffer0_triage(
     pipeline derives it from the same pass that feeds the 'intersection'
     error points, so the triage adds NO extra shuffle there.
     """
-    n = F.size("node_ids")
-    degenerate_or_dup = (n != F.size(F.array_distinct("node_ids")) + 1)
+    # repeated-COORDINATE detection (not node ids): GEOS IsValid flags a
+    # ring that touches itself at a point regardless of node identity —
+    # two distinct nodes at one location (testdata's double_node) make the
+    # polygon invalid in the reference's triage too. Subsumes the node-id
+    # check: a repeated node id is necessarily a repeated coordinate.
+    pts = F.arrays_zip("xs", "ys")
+    degenerate_or_dup = F.size(pts) != F.size(F.array_distinct(pts)) + 1
     from osmcoastline_spark.operators.polygonize import _area2_expr
 
     zero_area = _area2_expr("xs", "ys") == 0.0

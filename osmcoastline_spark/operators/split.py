@@ -196,4 +196,8 @@ def split_polygons(
     done = done_parts[0]
     for part in done_parts[1:]:
         done = done.unionByName(part)
-    return done.drop("final", "depth")
+    # `was_split` marks pieces PRODUCED by cutting (depth>0): the post-split
+    # validity pass only needs to scan those — unsplit polygons entered
+    # split already triage-validated (simple shells) and cutting is the
+    # only step that can introduce new invalidity
+    return done.withColumn("was_split", F.col("depth") > 0).drop("final", "depth")

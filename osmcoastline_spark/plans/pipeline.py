@@ -315,6 +315,10 @@ def run_pipeline(
     newly = open_.filter(F.element_at("node_ids", 1) == F.element_at("node_ids", -1))
     closed = closed.unionByName(newly.select(*closed.columns))
     open_ = open_.filter(F.element_at("node_ids", 1) != F.element_at("node_ids", -1))
+    # rings whose GEOMETRY is new or changed after this point (Antarctica
+    # closure, gap-close merges) — the incremental post-close validity
+    # pass below re-runs the self-intersection kernel only on these
+    changed_ring_ids = [newly.select("ring_id")]
 
     # R2 gap closing. Open rings ENTIRELY made of duplicated segments are
     # leftover duplicate-way artifacts — the reference orphans them via its
@@ -355,20 +359,42 @@ def run_pipeline(
         now_closed = merged.filter(F.element_at("node_ids", 1) == F.element_at("node_ids", -1))
         closed = closed.unionByName(now_closed.select(*closed.columns))
         open_ = merged.filter(F.element_at("node_ids", 1) != F.element_at("node_ids", -1))
+        changed_ring_ids.append(now_closed.select("ring_id"))
     if opt.collect_stats:
         res.stats["rings"] = closed.count()
 
     routed = route_rings(closed)
 
     # G5 self-intersection detection on the FINAL (post-close) rings: one
-    # cell-binned kernel run shared by the rings-output error points, the
-    # rings.valid column and the Buffer(0) triage — matching the reference,
-    # which runs IsValid on the rings as they are polygonized
+    # result shared by the rings-output error points, the rings.valid
+    # column and the Buffer(0) triage — matching the reference, which runs
+    # IsValid on the rings as they are polygonized
     # (src/coastline_ring_collection.cpp:148-168), i.e. after closing.
+    # Computed INCREMENTALLY: self-intersection is a per-ring property, so
+    # rings untouched by closing keep their pre-close result (the same-ring
+    # pairs already materialized in `ipairs` for the error points — zero
+    # extra kernel work), and the cell-binned kernel re-runs only on the
+    # small set of closure-created/merged rings. Bit-equal to a full
+    # post-close pass at a fraction of the cost.
     si_first = None
     if opt.output_rings or opt.output_polygons != "none" or opt.output_lines:
+        changed_ids = changed_ring_ids[0]
+        for df in changed_ring_ids[1:]:
+            changed_ids = changed_ids.unionByName(df)
+        changed_ids = changed_ids.distinct().localCheckpoint(eager=True)
+        pring = routed["polygonizable"]
+        si_pre = (
+            ipairs.filter(F.col("a_ring") == F.col("b_ring"))
+            .select(F.col("a_ring").alias("ring_id"), "x", "y")
+            .join(pring.select("ring_id"), "ring_id", "left_semi")
+            .join(changed_ids, "ring_id", "left_anti")
+        )
+        si_new = ring_self_intersections(
+            ring_segments(pring.join(changed_ids, "ring_id", "left_semi")),
+            opt.cell_deg,
+        )
         si_first = (
-            ring_self_intersections(ring_segments(routed["polygonizable"]), opt.cell_deg)
+            si_pre.unionByName(si_new)
             .groupBy("ring_id")
             .agg(F.min(F.struct("x", "y")).alias("p"))
             .localCheckpoint(eager=True)
@@ -509,22 +535,31 @@ def run_pipeline(
                     if opt.collect_stats:
                         res.stats["land_polygons_after_split"] = polys.count()
 
-                # reference check_polygons (src/osmcoastline.cpp:398-399 →
-                # src/coastline_polygons.cpp:444-467): validity re-check on
-                # the final (possibly split) polygons — one warning per
-                # invalid polygon, Buffer(0) repair attempt, silent drop if
-                # unrepairable. Runs AFTER the SRS transform, so the cell
-                # size for the self-intersection binning must be in OUTPUT
-                # units (meters for 3857 — degree-sized cells over mercator
-                # coordinates would explode the bbox cover).
-                cp_cell = opt.cell_deg * (
-                    1.0 if opt.epsg == 4326 else EXTENT_3857[2] / 180.0
-                )
-                polys, cp_warnings = check_polygons(polys, cp_cell)
-                res.stats["invalid_polygons_after_split"] = cp_warnings
-                res.warnings += cp_warnings
-                if cp_warnings:
-                    polys = polys.localCheckpoint(eager=True)
+                    # reference check_polygons (src/osmcoastline.cpp:398-399
+                    # → src/coastline_polygons.cpp:444-467): validity
+                    # re-check after splitting — one warning per invalid
+                    # polygon, Buffer(0) repair attempt, silent drop if
+                    # unrepairable. Scanning only the split-produced pieces
+                    # is exact: every input polygon passed the Buffer(0)
+                    # triage (simple shell) and survived fix_direction /
+                    # the strictly-monotonic 3857 transform, so cutting is
+                    # the only step that can introduce invalidity — on
+                    # unsplit polygons the reference's IsValid loop finds
+                    # nothing by construction. Runs AFTER the SRS
+                    # transform, so the binning cell size must be in
+                    # OUTPUT units (meters for 3857 — degree-sized cells
+                    # over mercator coords would explode the bbox cover).
+                    cp_cell = opt.cell_deg * (
+                        1.0 if opt.epsg == 4326 else EXTENT_3857[2] / 180.0
+                    )
+                    pieces = polys.filter("was_split").drop("was_split")
+                    untouched = polys.filter(~F.col("was_split")).drop("was_split")
+                    checked, cp_warnings = check_polygons(pieces, cp_cell)
+                    polys = untouched.unionByName(checked)
+                    res.stats["invalid_polygons_after_split"] = cp_warnings
+                    res.warnings += cp_warnings
+                    if cp_warnings:
+                        polys = polys.localCheckpoint(eager=True)
 
                 if opt.output_polygons in ("land", "both"):
                     res.tables["land_polygons"] = polys

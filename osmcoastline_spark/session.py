@@ -46,7 +46,17 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
         # All custom kernels are Arrow-batched pandas UDFs.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 64k-row Arrow batches: framing/flush overhead amortizes ~6×
+        # better than the 10k default for the columnar kernels (a batch of
+        # flat coordinate rows is ~3 MB — still cache-friendly); per-ROW
+        # work in the geometry kernels is unaffected by batch size
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # 16 MB advisory shuffle chunks (default 64 MB): the big kernel
+        # stages otherwise coalesce to fewer tasks than cores×waves
+        # (measured: 840 MB regroup shuffle → 15 tasks → half-idle second
+        # wave on 8 cores); minPartitionSize=16k below still prevents the
+        # tiny-shuffle single-task collapse
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),

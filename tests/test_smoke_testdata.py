@@ -63,15 +63,20 @@ def test_smoke_runtest_equivalent(spark):
     # through polygonize — one fewer direction flip, shifted questionable
     # marks, and 3 G13 self_intersection error points in rings mode
     assert res.stats["rings_turned_around"] == 2
-    assert res.stats["questionable"] == 11
+    # round-3: triage invalidity is now COORDINATE-based like GEOS IsValid
+    # (a ring touching itself at a point is invalid even when the two
+    # nodes have different ids), so the double_node ring is Buffer(0)-
+    # repaired silently at triage — reference add_polygons_to_vector
+    # behavior — and its repaired polygon picks up one more questionable
+    # mark (11 → 12 warnings; 31 → 32 total, one step closer to the
+    # reference README's 35). The post-split check_polygons pass
+    # (coastline_polygons.cpp:444-467) then finds nothing: every invalid
+    # shell was already repaired before polygonization, matching the
+    # reference where check_polygons warnings only appear when SPLITTING
+    # creates a bad piece.
+    assert res.stats["questionable"] == 12
     assert res.stats["invalid_polygons"] == 1
-    # round-3: the post-split check_polygons pass (reference
-    # coastline_polygons.cpp:444-467) finds 1 invalid split piece — the
-    # Spark analog of the reference README's "Self-intersection at or near
-    # point 7.48488 53.8169" GEOS IsValid warning, which the round-2 repo
-    # could not emit (no post-split validity pass). 31 → 32 warnings,
-    # one step closer to the reference README's 35.
-    assert res.stats["invalid_polygons_after_split"] == 1
+    assert res.stats["invalid_polygons_after_split"] == 0
     assert res.warnings == 32
     assert res.errors == 11
     assert res.exit_code == 2
@@ -79,7 +84,7 @@ def test_smoke_runtest_equivalent(spark):
 
     el = Counter(r.error for r in res.tables["error_lines"].collect())
     assert el == {
-        "questionable": 11, "added_line": 8, "overlap": 7,
+        "questionable": 12, "added_line": 8, "overlap": 7,
         "not_a_ring": 3, "not_closed": 3, "direction": 2, "invalid": 1,
     }
     ep = Counter(r.error for r in res.tables["error_points"].collect())
