@@ -30,10 +30,13 @@ def close_antarctica_ring(open_rings: DataFrame, epsg: int) -> tuple[DataFrame, 
         & (last_lat > -78.0)
     )
     matches = open_rings.filter(cond)
-    ids = [r.ring_id for r in matches.select("ring_id").limit(1).collect()]
-    if not ids:
+    # min() instead of limit(1).collect(): collect-limit executes as an
+    # ESCALATING sequence of jobs (1 partition, then 4, ...) — on the
+    # common no-Antarctica input that is 3-4 driver-floor-priced jobs to
+    # learn "empty"; the aggregate is always exactly one parallel job
+    target = matches.select(F.min("ring_id")).first()[0]
+    if target is None:
         return open_rings, False
-    target = ids[0]
 
     lons, lats = geom.antarctica_closure_points(epsg)
 

@@ -378,10 +378,14 @@ def run_pipeline(
     # post-close pass at a fraction of the cost.
     si_first = None
     if opt.output_rings or opt.output_polygons != "none" or opt.output_lines:
+        # no checkpoint: the id set's lineage is two filters over already-
+        # checkpointed frames — re-evaluating it for the semi+anti join
+        # pair is cheaper than one more eager-checkpoint job on the
+        # driver's ~0.2 s/job floor
         changed_ids = changed_ring_ids[0]
         for df in changed_ring_ids[1:]:
             changed_ids = changed_ids.unionByName(df)
-        changed_ids = changed_ids.distinct().localCheckpoint(eager=True)
+        changed_ids = changed_ids.distinct()
         pring = routed["polygonizable"]
         si_pre = (
             ipairs.filter(F.col("a_ring") == F.col("b_ring"))
@@ -393,12 +397,38 @@ def run_pipeline(
             ring_segments(pring.join(changed_ids, "ring_id", "left_semi")),
             opt.cell_deg,
         )
+        si_points = si_pre.unionByName(si_new)
+        if opt.output_rings:
+            # GEOS IsValid is also false for a ring touching itself at a
+            # POINT (repeated coordinate, e.g. two nodes at one location)
+            # and GEOSisValidReason reports "Ring Self-intersection[x y]"
+            # there (reference output_database.cpp:169-211) — include
+            # those in the rings-mode invalid set + error points. The
+            # polygons path doesn't need this scan: buffer0_triage
+            # detects repeated coordinates with a shuffle-free Catalyst
+            # predicate.
+            interior = F.slice(F.arrays_zip("xs", "ys"), 1, F.size("xs") - 1)
+            dup_pts = (
+                pring.select("ring_id", F.explode(interior).alias("pt"))
+                .groupBy(
+                    "ring_id",
+                    F.col("pt.xs").alias("x"),
+                    F.col("pt.ys").alias("y"),
+                )
+                .agg(F.count("*").alias("k"))
+                .filter(F.col("k") > 1)
+                .select("ring_id", "x", "y")
+            )
+            si_points = si_points.unionByName(dup_pts)
         si_first = (
-            si_pre.unionByName(si_new)
-            .groupBy("ring_id")
+            si_points.groupBy("ring_id")
             .agg(F.min(F.struct("x", "y")).alias("p"))
-            .localCheckpoint(eager=True)
         )
+        if opt.output_rings:
+            # 3 consumers in rings mode (error points, rings.valid, triage)
+            # — pin it; in polygons-only mode the single triage consumer
+            # doesn't justify a checkpoint job
+            si_first = si_first.localCheckpoint(eager=True)
 
     if opt.output_rings:
         # routing: single_point / not_a_ring / not_closed (+end_point);

@@ -57,6 +57,13 @@ def get_spark(
         # wave on 8 cores); minPartitionSize=16k below still prevents the
         # tiny-shuffle single-task collapse
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        # 32 MB scan splits (default 128 MB): the geometry kernels cost
+        # CPU per row, not per byte — a 9-file-partition scan caps the
+        # whole map side at 9-way parallelism regardless of cores
+        # (measured on the intersect kernel: 36 s of explode+bbox-cover
+        # CPU stuck in 9 tasks). Small inputs stay single-task via
+        # filesOpenCostInBytes as before.
+        .config("spark.sql.files.maxPartitionBytes", "32m")
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),

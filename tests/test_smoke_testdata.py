@@ -88,15 +88,21 @@ def test_smoke_runtest_equivalent(spark):
         "not_a_ring": 3, "not_closed": 3, "direction": 2, "invalid": 1,
     }
     ep = Counter(r.error for r in res.tables["error_points"].collect())
+    # round-3: rings-mode validity now also flags rings that REVISIT a
+    # coordinate (GEOS IsValid is false for point-self-touches, reason
+    # "Ring Self-intersection[x y]" — reference output_database.cpp:
+    # 169-211), not only transversal crossings. testdata has 3 such rings
+    # (including the double_node pair at one location) on top of the 3
+    # crossing rings: 3 → 6 self_intersection points / invalid rings.
     assert ep == {
         "fixed_end_point": 18, "not_a_ring": 6, "end_point": 6,
         "intersection": 5, "tagged_node": 1, "double_node": 1,
-        "self_intersection": 3,
+        "self_intersection": 6,
     }
     rt = res.tables["rings"].collect()
     assert len(rt) == 28
     assert sum(r.land for r in rt) == 20
-    assert sum(1 for r in rt if r.valid == 0) == 3
+    assert sum(1 for r in rt if r.valid == 0) == 6
     # note: the README's "Self-intersection at or near point 7.48488
     # 53.8169" is a GDAL/GEOS IsValid() warning from the polygon validity
     # path. Since round 3 the post-split check_polygons pass emits the
