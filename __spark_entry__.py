@@ -610,10 +610,19 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (rows-only check: hyperplanes aren't SQL).
+    """LSH-bucketed ANN (rows-only check: Gaussian hyperplanes aren't SQL).
     dim passed explicitly — no driver action in the plan."""
     emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
     return S.lsh_topk(emb, k=3, bits=6, n_tables=2, dim=64)
+
+
+def q_embedding_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-oracle-able sign-LSH ANN (similarity.lsh_topk_exact): integer-
+    quantized embeddings, md5-parity Rademacher planes, exact-int cosine —
+    every step bit-identical between Spark and DuckDB, so the LSH family
+    gets a value-hash row, not just the rows-only check above."""
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    return S.lsh_topk_exact(emb, k=3, bits=6, n_tables=2, dim=64)
 
 
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -655,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_guess": q_lang_guess,
         "q_embedding_topk": q_embedding_topk,
         "q_embedding_lsh_topk": q_embedding_lsh_topk,
+        "q_embedding_lsh_exact": q_embedding_lsh_exact,
         "q_embedding_ivf_topk": q_embedding_ivf_topk,
     }
 
@@ -946,7 +956,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, nbr_id, cos, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 3
         """,
         # q_embedding_lsh_topk: intentionally no oracle (random hyperplanes
-        # are not SQL-expressible) — rows-only check.
+        # are not SQL-expressible) — rows-only check. Its oracle-able twin
+        # below replaces every float-seeded step with portable arithmetic:
+        # integer quantization (float32→double is exact, then one rounded
+        # multiply+floor), md5-hex-parity ±1 planes, exact int64 bucket
+        # sums, and a cosine whose double expression shape
+        # dot/(sqrt(na)*sqrt(nb)) is single-rounded identically everywhere.
+        "q_embedding_lsh_exact": """
+            WITH emb AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+            ),
+            e AS (
+              SELECT vec_id,
+                     generate_subscripts(embedding, 1) AS d1,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q
+              FROM emb
+            ),
+            signs AS (
+              SELECT t.range AS t, b.range AS b, d.range AS d,
+                     CASE WHEN strpos('02468ace',
+                            substring(md5(concat(t.range, ':', b.range, ':', d.range)), 1, 1)) > 0
+                          THEN 1 ELSE -1 END AS s
+              FROM range(0, 2) t, range(0, 6) b, range(0, 64) d
+            ),
+            bits AS (
+              SELECT e.vec_id, s.t, s.b,
+                     CASE WHEN sum(s.s * e.q) > 0 THEN 1 ELSE 0 END AS bit
+              FROM e JOIN signs s ON s.d = e.d1 - 1
+              GROUP BY 1, 2, 3
+            ),
+            buckets AS (
+              SELECT vec_id, t, sum(bit * (1::BIGINT << b)) AS bk
+              FROM bits GROUP BY 1, 2
+            ),
+            norms AS (SELECT vec_id, sum(q * q) AS nq FROM e GROUP BY 1),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS nbr_id
+              FROM buckets a JOIN buckets b ON a.t = b.t AND a.bk = b.bk
+              WHERE a.vec_id <> b.vec_id
+            ),
+            dots AS (
+              SELECT c.query_id, c.nbr_id, sum(ea.q * eb.q) AS dq
+              FROM cand c
+              JOIN e ea ON ea.vec_id = c.query_id
+              JOIN e eb ON eb.vec_id = c.nbr_id AND eb.d1 = ea.d1
+              GROUP BY 1, 2
+            ),
+            scored AS (
+              SELECT d.query_id, d.nbr_id,
+                     CAST(d.dq AS DOUBLE)
+                       / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) AS cos
+              FROM dots d
+              JOIN norms na ON na.vec_id = d.query_id
+              JOIN norms nb ON nb.vec_id = d.nbr_id
+            ),
+            ranked AS (
+              SELECT query_id, nbr_id, cos,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, nbr_id, cos, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 3
+        """,
         "q_gap_close": """
             WITH r AS (
               SELECT p_partkey AS r FROM part

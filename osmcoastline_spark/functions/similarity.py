@@ -219,3 +219,103 @@ def embedding_near_dup_pairs(
         .filter(F.col("query_id") < F.col("nbr_id"))
         .select(F.col("query_id").alias("a"), F.col("nbr_id").alias("b"), "cos")
     )
+
+
+def rademacher_planes(dim: int, bits: int, n_tables: int) -> np.ndarray:
+    """±1 (Rademacher) hyperplanes from md5 parity — sign-random-projection
+    LSH whose planes are PORTABLE arithmetic: sign(t,b,d) = +1 iff the
+    first hex digit of md5("t:b:d") is even. Any engine with md5 can
+    reproduce them exactly (the DuckDB oracle does), unlike the
+    float-Gaussian planes of `hyperplanes`."""
+    import hashlib
+
+    signs = np.empty((n_tables, bits, dim), dtype=np.int64)
+    for t in range(n_tables):
+        for b in range(bits):
+            for d in range(dim):
+                h = hashlib.md5(f"{t}:{b}:{d}".encode()).hexdigest()
+                signs[t, b, d] = 1 if h[0] in "02468ace" else -1
+    return signs
+
+
+def lsh_topk_exact(
+    vectors: DataFrame, k: int = 3, bits: int = 6, n_tables: int = 2,
+    dim: int = 64, vec_col: str = "embedding", id_col: str = "vec_id",
+    scale: float = 1_000_000.0,
+) -> DataFrame:
+    """Sign-LSH ANN whose EVERY step is bit-exact across engines — the
+    SQL-oracle-able variant of lsh_topk:
+
+    * embeddings quantized to integers (floor(x·1e6 + 0.5) — float32 →
+      double is exact, one correctly-rounded multiply+floor);
+    * Rademacher md5-parity planes (rademacher_planes) — bucket bit =
+      (Σ_d sign·q_d > 0), an exact int64 comparison;
+    * candidates share a (table, bucket) key; cosine from exact integer
+      dot/norms with a fixed double expression shape
+      dot/(sqrt(na)·sqrt(nb)) — single-rounded identically everywhere;
+    * rank = row_number ordered by (cos desc, nbr_id).
+
+    Same bucketed scale shape as lsh_topk (explode+equi-join, never
+    all-pairs); the integer quantization costs one Catalyst transform.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(scale) + F.lit(0.5)).cast("long"),
+    )
+    nq = F.aggregate(
+        F.transform(F.col("q"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    base = (
+        vectors.select(F.col(id_col).alias("vid"), qv.alias("q"))
+        .withColumn("nq", nq)
+    )
+    planes = rademacher_planes(dim, bits, n_tables).reshape(n_tables * bits, dim)
+    weights = 1 << np.arange(bits, dtype=np.int64)
+    n_t = n_tables
+
+    @pandas_udf("array<long>")
+    def codes(qs):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        if not len(qs):
+            return pd.Series([], dtype=object)
+        v = np.stack([np.asarray(x, dtype=np.int64) for x in qs])
+        sbits = (v @ planes.T) > 0  # exact integer matmul
+        packed = sbits.reshape(len(v), n_t, len(weights)) @ weights
+        return pd.Series(list(packed))
+
+    tagged = base.select(
+        "vid", "q", "nq", F.posexplode(codes(F.col("q"))).alias("t", "bk")
+    )
+    a = tagged.select(
+        F.col("vid").alias("query_id"), F.col("q").alias("qa"),
+        F.col("nq").alias("na"), "t", "bk",
+    )
+    b = tagged.select(
+        F.col("vid").alias("nbr_id"), F.col("q").alias("qb"),
+        F.col("nq").alias("nb"), "t", "bk",
+    )
+    cands = (
+        a.join(b, ["t", "bk"])
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .dropDuplicates(["query_id", "nbr_id"])
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cos = dot.cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    return (
+        cands.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cos", "rank")
+    )

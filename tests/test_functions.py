@@ -337,3 +337,20 @@ def test_image_png_end_to_end(spark):
     )
     bad = I.verify_payloads(df, ref_bad).collect()
     assert len(bad) == 1 and bad[0].reason == "psnr_below_threshold"
+
+
+def test_lsh_topk_exact_recall_and_determinism(spark):
+    """The oracle-able sign-LSH variant: finds the planted near-dup, and
+    its md5-parity Rademacher planes are ±1 only."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 16)).astype(float)
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    rows.append((99, (base[0] + 0.01 * rng.standard_normal(16)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = S.lsh_topk_exact(df, k=3, bits=4, n_tables=3, dim=16)
+    r0 = [r.nbr_id for r in top.filter(F.col("query_id") == 0).collect()]
+    assert 99 in r0
+    planes = S.rademacher_planes(16, 4, 3)
+    assert set(np.unique(planes)) == {-1, 1}
+    # deterministic: same planes on every call
+    assert np.array_equal(planes, S.rademacher_planes(16, 4, 3))
