@@ -731,7 +731,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             np AS (SELECT way_id, count(*) AS npoints FROM seq GROUP BY way_id)
             SELECT np.way_id, CAST(np.npoints AS INT) AS npoints,
-                   coalesce(s.len, 0) AS length_q
+                   CAST(coalesce(s.len, 0) AS BIGINT) AS length_q
             FROM np LEFT JOIN (SELECT way_id, sum(m) AS len FROM segs GROUP BY way_id) s
             USING (way_id)
         """,

@@ -35,6 +35,16 @@ def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
     if sorted(sdf.columns) != sorted(ddf.columns):
         problems.append(f"cols: spark={sorted(sdf.columns)} duckdb={sorted(ddf.columns)}")
         return problems
+    # The driver hashes the *serialized* frames, so a dtype mismatch (e.g.
+    # DuckDB HUGEINT -> float64 vs Spark int64) fails its gate even when every
+    # value compares equal.  Mirror that strictness here so this replica can
+    # never stay green while the driver is red (round-3 q_location_join lesson).
+    for c in sorted(sdf.columns):
+        sa, da = sdf[c].dtype, ddf[c].dtype
+        if sa != da:
+            problems.append(f"col {c}: dtype spark={sa} duckdb={da}")
+    if problems:
+        return problems
     a, b = canon(sdf), canon(ddf)
     if len(a) == len(b):
         for c in a.columns:
@@ -83,7 +93,8 @@ def main() -> None:
             fail += 1
             continue
         if sql is None:
-            print(f"SKIP {name}: rows-only ({len(sdf)} rows)")
+            vac = "  WARN vacuous (0 rows)" if len(sdf) == 0 else ""
+            print(f"SKIP {name}: rows-only ({len(sdf)} rows){vac}")
             skipped += 1
             continue
         try:
@@ -97,7 +108,8 @@ def main() -> None:
             print(f"FAIL {name}: " + "; ".join(problems))
             fail += 1
         else:
-            print(f"OK   {name} ({len(sdf)} rows)")
+            vac = "  WARN vacuous (0 rows)" if len(sdf) == 0 else ""
+            print(f"OK   {name} ({len(sdf)} rows){vac}")
             ok += 1
     print(f"\n{ok} ok, {fail} fail, {skipped} rows-only")
     spark.stop()
