@@ -218,6 +218,25 @@ def cut_ring(xs, ys, axis: int, c: float, keep_low: bool) -> list[tuple[np.ndarr
     Per-ring Python loop; vectorization happens across rings in the caller's
     Arrow batch. Rings are open (no repeated last point) internally.
     """
+    return cut_ring_checked(xs, ys, axis, c, keep_low)[0]
+
+
+def cut_ring_checked(
+    xs, ys, axis: int, c: float, keep_low: bool
+) -> tuple[list[tuple[np.ndarray, np.ndarray]], bool]:
+    """cut_ring plus a `suspect` flag: True iff the cut hit a degeneracy
+    that could make a piece non-simple (vertex exactly on the cut line,
+    coincident or odd-count crossing positions, collapsed duplicate
+    vertices, or a failed chain walk).
+
+    Why this is a sound validity pre-filter: a transversal cut of a SIMPLE
+    ring yields chains that are vertex-disjoint sub-paths of the ring,
+    bridged along disjoint intervals of the cut line — the pieces are
+    simple by construction. Only the degenerate cases above can introduce
+    self-touches or crossings, so the reference's post-split IsValid pass
+    (src/coastline_polygons.cpp:444-467) need only examine pieces whose
+    producing cut was degenerate (plus cheap column-level repeated-vertex /
+    zero-area checks on every piece)."""
     xs = np.asarray(xs, dtype=np.float64)
     ys = np.asarray(ys, dtype=np.float64)
     if ring_is_closed(xs, ys):
@@ -226,9 +245,10 @@ def cut_ring(xs, ys, axis: int, c: float, keep_low: bool) -> list[tuple[np.ndarr
     other = ys if axis == 0 else xs
     inside = coord <= c if keep_low else coord >= c
     if inside.all():
-        return [(xs, ys)]
+        return [(xs, ys)], False
     if not inside.any():
-        return []
+        return [], False
+    suspect = bool((coord == c).any())
 
     n = len(xs)
     # Build chains of kept vertices with entry/exit points on the cut line.
@@ -262,7 +282,9 @@ def cut_ring(xs, ys, axis: int, c: float, keep_low: bool) -> list[tuple[np.ndarr
                 exits[ci] = len(chains) - 1
                 cur_pts = None
     if not chains:
-        return []
+        return [], suspect
+    if len(cuts) % 2 != 0 or len(np.unique(cuts)) != len(cuts):
+        suspect = True
 
     # Pair intersection points along the line: sorted, consecutive pairs
     # (q0,q1), (q2,q3), … bound interior intervals — bridge exit→entry there.
@@ -274,8 +296,10 @@ def cut_ring(xs, ys, axis: int, c: float, keep_low: bool) -> list[tuple[np.ndarr
             nxt[exits[p]] = entries[q]
         elif q in exits and p in entries:
             nxt[exits[q]] = entries[p]
-        # else: degenerate tangency — skip (matches "split unsuccessful"
-        # fallback in the reference, which keeps the unsplit polygon)
+        else:
+            # degenerate tangency — skip (matches "split unsuccessful"
+            # fallback in the reference, which keeps the unsplit polygon)
+            suspect = True
 
     out: list[tuple[np.ndarray, np.ndarray]] = []
     used = set()
@@ -295,16 +319,22 @@ def cut_ring(xs, ys, axis: int, c: float, keep_low: bool) -> list[tuple[np.ndarr
             if cc in used:
                 ok = False
                 break
+        if not ok:
+            suspect = True
         if pts and ok:
             px = np.array([p[0] for p in pts])
             py = np.array([p[1] for p in pts])
             # drop consecutive duplicates
             keep = np.ones(len(px), dtype=bool)
             keep[1:] = (px[1:] != px[:-1]) | (py[1:] != py[:-1])
+            if not keep.all():
+                suspect = True
             px, py = px[keep], py[keep]
             if len(px) >= 3:
                 out.append((px, py))
-    return out
+            else:
+                suspect = True
+    return out, suspect
 
 
 def clip_ring_rect(

@@ -169,6 +169,7 @@ def containment_pairs(
 class PolygonizeResult:
     polygons: DataFrame
     invalid_count: int
+    good_count: int  # rows in `polygons` — reuse instead of a count job
     invalid_error_lines: DataFrame  # 'invalid' error lines (empty when the
     # run produced a single polygon — reference quirk, osmcoastline.cpp:140-146
     # vs :91-99)
@@ -321,7 +322,7 @@ def polygonize(rings: DataFrame, cell_deg: float = DEFAULT_CELL_DEG) -> Polygoni
         "nways",
         "fixed",
     )
-    return PolygonizeResult(polygons=polys, invalid_count=n_bad, invalid_error_lines=invalid_lines)
+    return PolygonizeResult(polygons=polys, invalid_count=n_bad, good_count=n_good, invalid_error_lines=invalid_lines)
 
 
 def fix_direction(polygons: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -209,6 +209,15 @@ def buffer0_triage(
         .unionByName(crossing_ids)
         .distinct()
     )
+    # count-first: the id set is tiny (usually empty) while `rings` carries
+    # full coordinate arrays — deciding emptiness with one small job avoids
+    # shuffling every array through the anti-join + an empty Arrow stage in
+    # the clean case, and lets the caller skip re-materializing an
+    # identity-returned frame whose parents are already checkpointed
+    n_flagged = flagged_ids.count()
+    if n_flagged == 0:
+        return rings
+    flagged_ids = F.broadcast(flagged_ids.localCheckpoint(eager=True))
     clean = rings.join(flagged_ids, "ring_id", "left_anti")
     flagged = rings.join(flagged_ids, "ring_id", "left_semi")
 
@@ -246,7 +255,10 @@ def buffer0_triage(
 
 
 def check_polygons(
-    polys: DataFrame, cell_deg: float = 0.5
+    polys: DataFrame,
+    cell_deg: float = 0.5,
+    suspect_col: str | None = None,
+    crossing_scan: bool = True,
 ) -> tuple[DataFrame, int]:
     """Post-split validity pass (reference src/coastline_polygons.cpp:444-467
     check_polygons, called from src/osmcoastline.cpp:398-399 AFTER the
@@ -261,31 +273,75 @@ def check_polygons(
     before polygonization (buffer0_triage). Clean polygons stream through
     a pure-Catalyst anti-join; only flagged polygons pay the Arrow batch.
 
+    Shells may be closed (polygonize output) or open (split pieces — the
+    cut kernel emits rings without the repeated closing vertex); the
+    repeated-vertex and shoelace predicates account for both.
+
+    `suspect_col` (a boolean column, e.g. split's `cut_suspect`) is the
+    scale lever: a transversal cut of a simple ring produces simple pieces
+    by construction (see geom.cut_ring_checked), so the distributed
+    crossing kernel only needs to run over rows where the column is true —
+    in the common all-clean case this whole pass is ONE small aggregate
+    job. Without it, `crossing_scan` toggles the full kernel over every
+    row (exhaustive mode, used by unit tests and the no-split pipeline
+    branch where inputs are already triage-validated).
+
     Returns (checked_polys, warning_count); all input columns preserved.
     """
     from osmcoastline_spark.operators.polygonize import _area2_expr
 
-    shells = polys.select(
-        F.col("poly_id").alias("ring_id"),
-        F.col("shell_x").alias("xs"),
-        F.col("shell_y").alias("ys"),
-    )
-    crossing_ids = (
-        ring_self_intersections(ring_segments(shells), cell_deg)
-        .select(F.col("ring_id").alias("poly_id"))
-        .distinct()
-    )
+    closed = (
+        F.element_at("shell_x", 1) == F.element_at("shell_x", -1)
+    ) & (F.element_at("shell_y", 1) == F.element_at("shell_y", -1))
     pts = F.arrays_zip("shell_x", "shell_y")
-    degenerate = F.size("shell_x") != F.size(F.array_distinct(pts)) + 1
-    zero_area = _area2_expr("shell_x", "shell_y") == 0.0
-    flagged_ids = (
-        polys.filter(degenerate | zero_area)
-        .select("poly_id")
-        .unionByName(crossing_ids)
-        .distinct()
-        .localCheckpoint(eager=True)
+    degenerate = F.size("shell_x") != F.size(F.array_distinct(pts)) + F.when(
+        closed, F.lit(1)
+    ).otherwise(F.lit(0))
+    # shoelace needs the wraparound term when the closing vertex is absent
+    wrap = (
+        F.element_at("shell_x", -1) * F.element_at("shell_y", 1)
+        - F.element_at("shell_x", 1) * F.element_at("shell_y", -1)
     )
-    warnings = flagged_ids.count()
+    area2 = _area2_expr("shell_x", "shell_y") + F.when(
+        closed, F.lit(0.0)
+    ).otherwise(wrap)
+    base_flag = degenerate | (area2 == 0.0)
+
+    cross_src = None
+    n_base = None
+    if suspect_col is not None:
+        needs_kernel = F.col(suspect_col) & ~base_flag
+        agg = polys.agg(
+            F.sum(base_flag.cast("long")).alias("nb"),
+            F.sum(needs_kernel.cast("long")).alias("ns"),
+        ).collect()[0]
+        n_base, n_susp = int(agg["nb"] or 0), int(agg["ns"] or 0)
+        if n_base == 0 and n_susp == 0:
+            return polys, 0
+        if n_susp:
+            cross_src = polys.filter(needs_kernel)
+    elif crossing_scan:
+        cross_src = polys
+
+    base_ids = polys.filter(base_flag).select("poly_id")
+    if cross_src is not None:
+        shells = cross_src.select(
+            F.col("poly_id").alias("ring_id"),
+            F.col("shell_x").alias("xs"),
+            F.col("shell_y").alias("ys"),
+        )
+        crossing_ids = (
+            ring_self_intersections(ring_segments(shells), cell_deg)
+            .select(F.col("ring_id").alias("poly_id"))
+            .distinct()
+        )
+        flagged_ids = (
+            base_ids.unionByName(crossing_ids).distinct().localCheckpoint(eager=True)
+        )
+        warnings = flagged_ids.count()
+    else:
+        flagged_ids = base_ids.localCheckpoint(eager=True)
+        warnings = n_base if n_base is not None else flagged_ids.count()
     if warnings == 0:
         return polys, 0
 

@@ -51,7 +51,7 @@ _SPLIT_SCHEMA = (
     "poly_id long, shell_x array<double>, shell_y array<double>, "
     "holes_x array<array<double>>, holes_y array<array<double>>, "
     "npoints int, env_minx double, env_miny double, env_maxx double, env_maxy double, "
-    "final boolean, depth int"
+    "final boolean, depth int, cut_suspect boolean"
 )
 
 
@@ -84,8 +84,8 @@ def _split_one(
     lo_c = min(mid + expand, extent[2] if axis == 0 else extent[3])
     hi_c = max(mid - expand, extent[0] if axis == 0 else extent[1])
 
-    lo_pieces = geom.cut_ring(xs, ys, axis, lo_c, keep_low=True)
-    hi_pieces = geom.cut_ring(xs, ys, axis, hi_c, keep_low=False)
+    lo_pieces, lo_suspect = geom.cut_ring_checked(xs, ys, axis, lo_c, keep_low=True)
+    hi_pieces, hi_suspect = geom.cut_ring_checked(xs, ys, axis, hi_c, keep_low=False)
     if not lo_pieces or not hi_pieces:
         # split unsuccessful — keep un-split (reference :215-217)
         return [_emit(row, final=True)]
@@ -96,12 +96,22 @@ def _split_one(
     lo_holes: list[tuple[np.ndarray, np.ndarray]] = []
     hi_holes: list[tuple[np.ndarray, np.ndarray]] = []
     for hx, hy in zip(holes_x, holes_y):
-        lo_holes.extend(geom.cut_ring(np.asarray(hx), np.asarray(hy), axis, lo_c, True))
-        hi_holes.extend(geom.cut_ring(np.asarray(hx), np.asarray(hy), axis, hi_c, False))
+        lp, ls = geom.cut_ring_checked(np.asarray(hx), np.asarray(hy), axis, lo_c, True)
+        hp, hs = geom.cut_ring_checked(np.asarray(hx), np.asarray(hy), axis, hi_c, False)
+        lo_holes.extend(lp)
+        hi_holes.extend(hp)
+        lo_suspect |= ls
+        hi_suspect |= hs
 
+    # suspicion is inherited: cutting an already-suspect (possibly
+    # non-simple) piece can produce anything, so children keep the flag
+    parent_suspect = bool(row.get("cut_suspect", False))
     out = []
     child_no = 0
-    for side_pieces, side_holes, side_tag in ((lo_pieces, lo_holes, 0), (hi_pieces, hi_holes, 1)):
+    for side_pieces, side_holes, side_suspect in (
+        (lo_pieces, lo_holes, lo_suspect),
+        (hi_pieces, hi_holes, hi_suspect),
+    ):
         for k, (px, py) in enumerate(side_pieces):
             child_no += 1
             hxs, hys = [], []
@@ -130,6 +140,7 @@ def _split_one(
                     "env_maxy": e[3],
                     "final": False,
                     "depth": row["depth"] + 1,
+                    "cut_suspect": parent_suspect or side_suspect,
                 }
             )
     return out
@@ -144,6 +155,7 @@ def _emit(row, final: bool) -> dict:
     d["shell_y"] = list(d["shell_y"])
     d["final"] = final
     d["depth"] = row["depth"]
+    d["cut_suspect"] = bool(row.get("cut_suspect", False))
     return d
 
 
@@ -161,7 +173,11 @@ def split_polygons(
         "poly_id", "shell_x", "shell_y", "holes_x", "holes_y",
         "npoints", "env_minx", "env_miny", "env_maxx", "env_maxy",
     ]
-    work = polygons.select(*base_cols).withColumn("depth", F.lit(0))
+    work = (
+        polygons.select(*base_cols)
+        .withColumn("depth", F.lit(0))
+        .withColumn("cut_suspect", F.lit(False))
+    )
     # `done` accumulates as a LIST of per-round DataFrames, unioned once at
     # the end: each round's children are checkpointed (truncating lineage of
     # the shrinking frontier), but finished polygons are NEVER rewritten —
@@ -199,5 +215,8 @@ def split_polygons(
     # `was_split` marks pieces PRODUCED by cutting (depth>0): the post-split
     # validity pass only needs to scan those — unsplit polygons entered
     # split already triage-validated (simple shells) and cutting is the
-    # only step that can introduce new invalidity
+    # only step that can introduce new invalidity. `cut_suspect` narrows
+    # further: only pieces whose producing cut hit a degeneracy
+    # (geom.cut_ring_checked) can be non-simple, so the expensive
+    # distributed crossing scan is restricted to those.
     return done.withColumn("was_split", F.col("depth") > 0).drop("final", "depth")

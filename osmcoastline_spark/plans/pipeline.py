@@ -26,6 +26,7 @@ reference coastline_polygons.cpp:444-467). Known deviations:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import pandas as pd
@@ -232,6 +233,26 @@ def run_pipeline(
     opt = options or Options()
     res = PipelineResult()
 
+    # env-gated stage trace (SPARK_GRAFT_TRACE=1): prints elapsed time
+    # between action boundaries — the profiling hook behind the bench
+    # regression work; zero cost when off
+    if os.environ.get("SPARK_GRAFT_TRACE"):
+        _st = spark.sparkContext.statusTracker()
+        _last = [t0, len(_st.getJobIdsForGroup(None) or [])]
+
+        def _trace(label: str) -> None:
+            now = _time.time()
+            nj = len(_st.getJobIdsForGroup(None) or [])
+            print(
+                f"[pipeline] {label:22s} {now - _last[0]:7.2f}s"
+                f"  +{nj - _last[1]} jobs",
+                flush=True,
+            )
+            _last[0], _last[1] = now, nj
+    else:
+        def _trace(label: str) -> None:
+            pass
+
     error_points = [tagged_node_errors(nodes)]
     error_lines = [_empty(spark, ERROR_LINES_SCHEMA)]
 
@@ -271,6 +292,7 @@ def run_pipeline(
             _meta_tables(spark, opt, res, t0)
             return res
         ways_loc = ways_loc.drop("nmiss")
+        _trace("locations")
 
         # R1 assembly (input already materialized — no second checkpoint)
         closed, open_ = assemble_rings(ways_loc, assume_materialized=True)
@@ -285,11 +307,13 @@ def run_pipeline(
             }
             mid_sink.write("rings_closed", closed, lineage={"stats_pre": pre})
             mid_sink.write("rings_open", open_, lineage={"stats_pre": pre})
+        _trace("assemble")
 
     # J5/J6 intersections & overlaps (before closing!)
     # checkpoint: segs feeds duplicates, intersections, the orphan filter
     # and the output table — without it the explode re-executes 4×
     segs = ring_segments(closed.unionByName(open_)).localCheckpoint(eager=True)
+    _trace("segments")
     overlaps = duplicate_segments(segs)
     # This pre-close intersection join feeds ONLY the 'intersection' error
     # points (reference parity: those are reported on the raw segment set,
@@ -299,6 +323,7 @@ def run_pipeline(
     # miss new self-crossings and name rings that no longer exist
     # (round-3 ADVICE fix).
     ipairs = intersection_pairs(segs, opt.cell_deg).localCheckpoint(eager=True)
+    _trace("ipairs")
     isects = ipairs.select(
         F.lit(0).cast("long").alias("osm_id"),
         F.lit("intersection").alias("error"),
@@ -362,6 +387,7 @@ def run_pipeline(
         changed_ring_ids.append(now_closed.select("ring_id"))
     if opt.collect_stats:
         res.stats["rings"] = closed.count()
+    _trace("close+rings_count")
 
     routed = route_rings(closed)
 
@@ -429,6 +455,7 @@ def run_pipeline(
             # — pin it; in polygons-only mode the single triage consumer
             # doesn't justify a checkpoint job
             si_first = si_first.localCheckpoint(eager=True)
+        _trace("validity")
 
     if opt.output_rings:
         # routing: single_point / not_a_ring / not_closed (+end_point);
@@ -522,24 +549,39 @@ def run_pipeline(
         # "No polygons created!" becomes one error and the whole polygon
         # branch (lines/questionable/split/water) is skipped, matching the
         # reference's thrown runtime_error (osmcoastline.cpp:355-417).
+        pg_in = routed["polygonizable"]
         polygonizable = buffer0_triage(
-            routed["polygonizable"], opt.cell_deg, crossing_ids=si_first.select("ring_id")
-        ).localCheckpoint(eager=True)
-        if polygonizable.isEmpty():
-            res.errors += 1  # "No polygons created!" (osmcoastline.cpp:119,414-417)
+            pg_in, opt.cell_deg, crossing_ids=si_first.select("ring_id")
+        )
+        if polygonizable is not pg_in:
+            # repairs rewrote arrays — pin them; the clean identity return
+            # rides the existing ring checkpoints (no third array write)
+            polygonizable = polygonizable.localCheckpoint(eager=True)
+        _trace("triage")
+        pres = polygonize(polygonizable)
+        res.errors += pres.invalid_count
+        res.stats["invalid_polygons"] = pres.invalid_count
+        error_lines.append(pres.invalid_error_lines)
+        if pres.good_count == 0 and pres.invalid_count == 0:
+            # reference throws when add_polygons_to_vector() returned no
+            # ring polygons at all (osmcoastline.cpp:118-119) — every
+            # triage-surviving ring lands in polygonize's good OR bad set,
+            # so good+bad==0 is exactly "triage output empty", replacing
+            # the isEmpty() pre-check (3-4 driver-floor jobs on an empty
+            # frame). An all-invalid run (good=0, bad>0) is NOT this
+            # error: the reference drops those polygons with errors++ and
+            # continues with an empty vector.
+            res.errors += 1  # "No polygons created!"
             res.stats["no_polygons"] = True
         else:
-            pres = polygonize(polygonizable)
             polys = pres.polygons  # already a filter over polygonize's
             # internal checkpoint — re-checkpointing doubles the write
-            res.errors += pres.invalid_count
-            res.stats["invalid_polygons"] = pres.invalid_count
-            error_lines.append(pres.invalid_error_lines)
             if opt.collect_stats:
-                res.stats["land_polygons_before_split"] = polys.count()
+                res.stats["land_polygons_before_split"] = pres.good_count
             polys, direrr = fix_direction(polys)
             polys = polys.localCheckpoint(eager=True)
             error_lines.append(direrr)
+            _trace("polygonize+fixdir")
 
             if opt.epsg != 4326:
                 polys = _transform_polygons_3857(polys).localCheckpoint(eager=True)
@@ -554,6 +596,7 @@ def run_pipeline(
                     all_rings = closed.unionByName(open_)
                     q = questionable_rings(all_rings, polys)
                     error_lines.append(q.select("osm_id", "error", "xs", "ys"))
+                    _trace("questionable_plan")
 
                 if opt.split_large_polygons and opt.max_points_in_polygon > 0:
                     polys = split_polygons(
@@ -564,6 +607,7 @@ def run_pipeline(
                     )
                     if opt.collect_stats:
                         res.stats["land_polygons_after_split"] = polys.count()
+                    _trace("split")
 
                     # reference check_polygons (src/osmcoastline.cpp:398-399
                     # → src/coastline_polygons.cpp:444-467): validity
@@ -583,9 +627,38 @@ def run_pipeline(
                         1.0 if opt.epsg == 4326 else EXTENT_3857[2] / 180.0
                     )
                     pieces = polys.filter("was_split").drop("was_split")
-                    untouched = polys.filter(~F.col("was_split")).drop("was_split")
-                    checked, cp_warnings = check_polygons(pieces, cp_cell)
-                    polys = untouched.unionByName(checked)
+                    untouched = polys.filter(~F.col("was_split")).drop(
+                        "was_split", "cut_suspect"
+                    )
+                    # cut_suspect (split's per-piece cut-degeneracy flag)
+                    # limits the distributed crossing kernel to pieces whose
+                    # cut could actually have produced a non-simple shell;
+                    # the all-clean case costs ONE aggregate job
+                    checked, cp_warnings = check_polygons(
+                        pieces, cp_cell, suspect_col="cut_suspect"
+                    )
+                    polys = untouched.unionByName(checked.drop("cut_suspect"))
+                    res.stats["invalid_polygons_after_split"] = cp_warnings
+                    res.warnings += cp_warnings
+                    if cp_warnings:
+                        polys = polys.localCheckpoint(eager=True)
+                    _trace("check_polygons")
+                else:
+                    # reference calls check_polygons unconditionally after the
+                    # optional split (src/osmcoastline.cpp:398-399). With
+                    # splitting off nothing has cut the shells since the
+                    # coordinate-based Buffer(0) triage + polygonize validated
+                    # them, so the distributed crossing kernel is provably
+                    # redundant — run only the cheap column-level repeated-
+                    # vertex / zero-area predicates (one aggregate job).
+                    # Known deviation: a >MAX_REPAIR_POINTS ring that skipped
+                    # triage repair could in principle carry a transversal
+                    # crossing here undetected; the reference would warn.
+                    checked, cp_warnings = check_polygons(
+                        polys.withColumn("no_kernel", F.lit(False)),
+                        suspect_col="no_kernel",
+                    )
+                    polys = checked.drop("no_kernel")
                     res.stats["invalid_polygons_after_split"] = cp_warnings
                     res.warnings += cp_warnings
                     if cp_warnings:
@@ -608,6 +681,7 @@ def run_pipeline(
                     res.tables["water_polygons"] = drop_antimeridian_slivers(
                         water, max_x=extent[2] * (179.9999 / 180.0)
                     )
+                    _trace("water_plan")
 
     ep = error_points[0]
     for df in error_points[1:]:
@@ -615,13 +689,16 @@ def run_pipeline(
     el = error_lines[0]
     for df in error_lines[1:]:
         el = el.unionByName(df)
-    # single-pass warning accounting: one job per error table instead of a
-    # count action per stage (the category → warning mapping mirrors the
-    # reference's per-stage counters exactly)
-    ep = ep.localCheckpoint(eager=True)
-    el = el.localCheckpoint(eager=True)
+    # single-pass warning accounting: persist + one count job per error
+    # table — the cache fills DURING the counting job, so later consumers
+    # of the error tables read the materialized partitions without paying
+    # a separate eager-checkpoint job first (2 fewer jobs than
+    # localCheckpoint-then-count on the driver's ~0.2 s/job floor)
+    ep = ep.persist()
+    el = el.persist()
     epc = {r["error"]: r["count"] for r in ep.groupBy("error").count().collect()}
     elc = {r["error"]: r["count"] for r in el.groupBy("error").count().collect()}
+    _trace("error_accounting")
     res.stats["overlaps"] = elc.get("overlap", 0)
     res.stats["intersections"] = epc.get("intersection", 0)
     res.stats["rings_turned_around"] = elc.get("direction", 0)

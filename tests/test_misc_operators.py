@@ -168,3 +168,60 @@ def test_check_polygons_clean_passthrough_no_python(spark):
     out, warnings = check_polygons(polys)
     assert warnings == 0
     assert out is polys
+
+
+def test_cut_ring_checked_suspect_flags():
+    """cut_ring_checked: a clean transversal cut is not suspect; a vertex
+    exactly on the cut line is; pieces match cut_ring."""
+    # clean square cut at x=0.5
+    xs = [0.0, 1.0, 1.0, 0.0, 0.0]
+    ys = [0.0, 0.0, 1.0, 1.0, 0.0]
+    pieces, suspect = geom.cut_ring_checked(xs, ys, 0, 0.5, True)
+    assert not suspect and len(pieces) == 1
+    assert [list(p[0]) for p in pieces] == [list(p[0]) for p in geom.cut_ring(xs, ys, 0, 0.5, True)]
+    # diamond with vertices ON the cut line x=0 -> tangency, suspect
+    dx = [1.0, 0.0, -1.0, 0.0, 1.0]
+    dy = [0.0, 1.0, 0.0, -1.0, 0.0]
+    _, suspect = geom.cut_ring_checked(dx, dy, 0, 0.0, True)
+    assert suspect
+    # untouched ring (cut outside the envelope) is never suspect even with
+    # a vertex at the cut coordinate elsewhere
+    pieces, suspect = geom.cut_ring_checked(xs, ys, 0, 2.0, True)
+    assert not suspect and len(pieces) == 1
+
+
+def test_check_polygons_open_shells_and_suspect_col(spark):
+    """Open (unclosed) shells from the cut kernel: simple ones pass the
+    repeated-vertex/shoelace predicates untouched; the crossing kernel only
+    runs where the suspect column is true."""
+    from osmcoastline_spark.operators.repair import check_polygons
+
+    schema = (
+        "poly_id long, shell_x array<double>, shell_y array<double>, "
+        "holes_x array<array<double>>, holes_y array<array<double>>, "
+        "npoints int, env_minx double, env_miny double, "
+        "env_maxx double, env_maxy double, cut_suspect boolean"
+    )
+    open_square = (1, [0.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0],
+                   [], [], 4, 0.0, 0.0, 1.0, 1.0, False)
+    # open ring revisiting a vertex (degenerate even without closing dup)
+    revisit = (2, [5.0, 6.0, 5.0, 6.0, 7.0], [5.0, 6.0, 5.0, 4.0, 5.0],
+               [], [], 5, 5.0, 4.0, 7.0, 6.0, False)
+    # open collinear: zero area only once the wraparound term is included
+    collinear = (3, [20.0, 21.0, 22.0], [20.0, 21.0, 22.0],
+                 [], [], 3, 20.0, 20.0, 22.0, 22.0, False)
+    # bowtie crossing with NO repeated vertex: needs the kernel -> suspect
+    bowtie = (4, [10.0, 12.0, 12.0, 10.0], [10.0, 12.0, 10.0, 12.0],
+              [], [], 4, 10.0, 10.0, 12.0, 12.0, True)
+    polys = spark.createDataFrame([open_square, revisit, collinear, bowtie], schema)
+
+    out, warnings = check_polygons(polys, suspect_col="cut_suspect")
+    assert warnings == 3  # revisit + collinear + bowtie; open_square clean
+    rows = {r.poly_id: r for r in out.collect()}
+    assert rows[1].shell_x == open_square[1]  # untouched passthrough
+    assert 3 not in rows  # collinear dropped silently
+
+    # all-clean frame returns identity (single aggregate job, no kernel)
+    clean = spark.createDataFrame([open_square], schema)
+    out2, w2 = check_polygons(clean, suspect_col="cut_suspect")
+    assert w2 == 0 and out2 is clean
