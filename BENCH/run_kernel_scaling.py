@@ -52,6 +52,13 @@ ways.write.mode("overwrite").parquet(os.path.join(out, "ways"))
 # synth plan under-estimates and AQE would broadcast a 400+ MB join side)
 nodes = spark.read.parquet(os.path.join(out, "nodes"))
 ways = spark.read.parquet(os.path.join(out, "ways"))
+# bucketed J2 sources: nodes + exploded refs bucket-hashed and sorted on
+# node_id (the ingest-once layout; production = Iceberg bucket(N, node_id))
+from osmcoastline_spark.sources.tables import write_bucketed, ways_refs
+write_bucketed(nodes.select("node_id", "lon", "lat"), "nodes_b_setup",
+               os.path.join(out, "nodes_b"), buckets=64)
+write_bucketed(ways_refs(coastline_ways(ways)), "refs_b_setup",
+               os.path.join(out, "refs_b"), buckets=64)
 wl = ways_with_locations(coastline_ways(ways), nodes)
 closed, open_ = assemble_rings(wl)
 rings = closed.unionByName(open_)
@@ -86,11 +93,49 @@ ways = spark.read.parquet(os.path.join(src, "ways")).localCheckpoint(eager=True)
 spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM
 spark.range(64).repartition(64).mapInPandas(lambda it: it, "id long").count()  # warm workers
 
+import urllib.request
+
+def shuffle_write_bytes():
+    # total shuffle write across completed stages (REST, needs
+    # SPARK_GRAFT_UI=1); deltas between kernels give per-kernel bytes
+    if not os.environ.get("SPARK_GRAFT_UI"):
+        return 0
+    try:
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete", timeout=10
+        ) as r:
+            data = json.loads(r.read())
+        return sum(s.get("shuffleWriteBytes", 0) for s in data)
+    except Exception:
+        return 0
+
 res = {}
-# locjoin is timed FIRST, before the 1.2 GB segs checkpoint enters the
-# block manager: measuring it with that storage resident showed 3× worse
-# times purely from heap pressure (GC), not the kernel
+sw = {}
+# Bucketed-vs-flat J2 A/B over IDENTICAL files (the bucketed dirs read as
+# plain parquet when scanned by path — only catalog metadata differs).
+# Bucketed first: any OS page-cache warming then favors the FLAT variant,
+# i.e. biases against the bucketing thesis.
+from osmcoastline_spark.sources.tables import register_bucketed
+from osmcoastline_spark.operators.locations import collect_locations, ways_with_locations_from_refs
+spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+nb = register_bucketed(spark, "nodes_b", os.path.join(src, "nodes_b"),
+                       "node_id long, lon double, lat double", buckets=64)
+rb = register_bucketed(spark, "refs_b", os.path.join(src, "refs_b"),
+                       "way_id long, pos int, node_id long", buckets=64)
+w0 = shuffle_write_bytes()
+t0 = time.time(); n = ways_with_locations_from_refs(rb, nb).count(); res["locjoin_bucketed"] = [round(time.time()-t0, 2), n]
+w1 = shuffle_write_bytes(); sw["locjoin_bucketed"] = w1 - w0
+refs_p = spark.read.parquet(os.path.join(src, "refs_b"))
+nodes_p = spark.read.parquet(os.path.join(src, "nodes_b"))
+t0 = time.time(); n = collect_locations(refs_p.join(nodes_p.hint("SHUFFLE_HASH"), "node_id")).count(); res["locjoin_flat"] = [round(time.time()-t0, 2), n]
+w2 = shuffle_write_bytes(); sw["locjoin_flat"] = w2 - w1
+# historical variant (explode + checkpointed inputs), before the 1.2 GB
+# segs checkpoint enters the block manager: measuring it with that
+# storage resident showed 3× worse times purely from heap pressure (GC)
 t0 = time.time(); n = ways_with_locations(coastline_ways(ways), nodes).count(); res["locjoin"] = [round(time.time()-t0, 2), n]
+w3 = shuffle_write_bytes(); sw["locjoin"] = w3 - w2
 segs = ring_segments(rings).localCheckpoint(eager=True)  # input for intersect
 t0 = time.time(); n = intersection_pairs(segs, 0.5).count(); res["intersect"] = [round(time.time()-t0, 2), n]
 t0 = time.time(); n = classify_container_cells(polys.selectExpr("poly_id as ring_id", "shell_x as xs", "shell_y as ys"), 1.0).count(); res["polygonize"] = [round(time.time()-t0, 2), n]
@@ -104,7 +149,7 @@ for k in range(1, 16):
     docs = docs.unionByName(docs0.withColumn("doc_id", F.col("doc_id") + F.lit(k * 1_000_000_000)))
 docs = docs.localCheckpoint(eager=True)
 t0 = time.time(); n = minhash_signatures(docs, n_hashes=8, k=5).count(); res["minhash"] = [round(time.time()-t0, 2), n]
-print(json.dumps({"cpus": cpus, "kernels": res}))
+print(json.dumps({"cpus": cpus, "kernels": res, "shuffle_write": sw}))
 spark.stop()
 """
 
@@ -122,6 +167,31 @@ def main() -> None:
             capture_output=True, text=True, env=env, timeout=3600,
         )
         assert "SETUP-OK" in out.stdout, out.stderr[-2000:]
+    elif not os.path.exists(os.path.join(src, "nodes_b")):
+        # inputs from an older harness run: backfill only the bucketed tables
+        backfill = r"""
+import os, sys
+sys.path.insert(0, os.environ["REPO"])
+from osmcoastline_spark.session import get_spark
+from osmcoastline_spark.operators.filter import coastline_ways
+from osmcoastline_spark.sources.tables import write_bucketed, ways_refs
+src = sys.argv[1]
+spark = get_spark("kern-backfill", master="local[32]", shuffle_partitions=64)
+spark.sparkContext.setLogLevel("ERROR")
+nodes = spark.read.parquet(os.path.join(src, "nodes"))
+ways = spark.read.parquet(os.path.join(src, "ways"))
+write_bucketed(nodes.select("node_id", "lon", "lat"), "nodes_b_setup",
+               os.path.join(src, "nodes_b"), buckets=64)
+write_bucketed(ways_refs(coastline_ways(ways)), "refs_b_setup",
+               os.path.join(src, "refs_b"), buckets=64)
+print("SETUP-OK")
+spark.stop()
+"""
+        out = subprocess.run(
+            [sys.executable, "-c", backfill, src],
+            capture_output=True, text=True, env=env, timeout=3600,
+        )
+        assert "SETUP-OK" in out.stdout, out.stderr[-2000:]
 
     def level(cpus: int) -> dict:
         # memory scales with the cluster: N executors -> 4N executors means
@@ -129,13 +199,21 @@ def main() -> None:
         # proportional to cores (override per-core GiB with
         # SPARK_GRAFT_MEM_PER_CORE)
         per_core = float(os.environ.get("SPARK_GRAFT_MEM_PER_CORE", "1"))
-        lenv = dict(env, SPARK_GRAFT_DRIVER_MEM=f"{max(int(cpus * per_core), 4)}g")
+        lenv = dict(
+            env,
+            SPARK_GRAFT_DRIVER_MEM=f"{max(int(cpus * per_core), 4)}g",
+            SPARK_GRAFT_UI="1",  # REST shuffle metrics for the A/B bytes
+        )
         out = subprocess.run(
             [sys.executable, "-c", CHILD, str(cpus), src],
             capture_output=True, text=True, env=lenv, timeout=3600,
         )
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        return json.loads(line)["kernels"]
+        parsed = json.loads(line)
+        k = parsed["kernels"]
+        for name, b in parsed.get("shuffle_write", {}).items():
+            k[name] = k[name] + [b]
+        return k
 
     # Interleaved best-of-N: this shared host shows 2-3× co-tenant swings
     # (a single burst during one level's JVM poisons that whole level and
@@ -152,15 +230,18 @@ def main() -> None:
         out = {}
         for name in level_attempts[0]:
             times = [a[name][0] for a in level_attempts]
-            out[name] = [min(times), level_attempts[0][name][1]]
+            entry = [min(times), level_attempts[0][name][1]]
+            if len(level_attempts[0][name]) > 2:
+                entry.append(max(a[name][2] for a in level_attempts))
+            out[name] = entry
         return out
 
     k_lo = best(attempts[lo])
     k_hi = best(attempts[hi])
     rows = []
     for name in k_lo:
-        t_lo, n_lo = k_lo[name]
-        t_hi, n_hi = k_hi[name]
+        t_lo, n_lo = k_lo[name][0], k_lo[name][1]
+        t_hi, n_hi = k_hi[name][0], k_hi[name][1]
         assert n_lo == n_hi, (name, n_lo, n_hi)
         sp = t_lo / t_hi if t_hi else 0.0
         rows.append((name, t_lo, t_hi, n_lo, round(sp, 2), round(sp / (hi / lo), 3)))

@@ -3,15 +3,16 @@
 Per BASELINE.json input_hint the payload rides as an opaque binary column
 with typed metadata (w, h, fmt). All operators are `mapInPandas` over Arrow
 batches — the Spark-side plumbing (schema, partitioning, batch shape) is
-real and tested. Codecs: 'raw' (C-order RGB bytes) and 'png' (RGB8, a
-from-scratch stdlib-zlib + numpy implementation — no PIL/libjpeg in this
-container) are REAL; jpeg/webp remain stubbed (lossy DCT/VP8 without a
-codec lib is out of scope — decode_image raises NotImplementedError).
+real and tested. Codecs: 'raw' (C-order RGB bytes), 'png' (RGB8,
+from-scratch stdlib-zlib + numpy) and 'jpeg' (baseline JFIF, from-scratch
+huffman + numpy DCT — functions/jpeg.py) are REAL; webp remains stubbed
+(VP8 without a codec lib is out of scope — decode_image raises
+NotImplementedError).
 
 The per-row invariant vs the reference (decoded-pixel PSNR ≥ 40 dB for
 lossy formats + caption equality) is implemented in verify_payloads and run
-at the pipeline sink; with the png codec it is exercised end-to-end on a
-genuinely compressed byte stream.
+at the pipeline sink; with the jpeg codec it is exercised end-to-end on
+genuinely LOSSY bytes (finite PSNR), with png on lossless-compressed ones.
 """
 
 from __future__ import annotations
@@ -62,11 +63,19 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+PNG_MAX_SLOW_FILTER_PIXELS = 4_000_000
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """PNG → HxWx3 uint8. Supports 8-bit RGB (color type 2), all five
-    scanline filters, non-interlaced. Sub/Average/Paeth unfilter runs a
-    per-scanline x-loop (inherently sequential recurrences); the encoder
-    above emits filter 0, which unfilters vectorized."""
+    scanline filters, non-interlaced. None/Up unfilter whole-line
+    vectorized; Sub is an exact per-channel cumsum (mod-256 distributes
+    over the prefix sum); Average/Paeth are genuinely sequential nonlinear
+    recurrences (floor-divide / predictor selection depend on the previous
+    reconstructed byte) and run per-channel Python loops — capped at
+    PNG_MAX_SLOW_FILTER_PIXELS per image so a hostile/huge filtered PNG
+    degrades to the documented NotImplementedError drop path in
+    with_image_features instead of stalling an executor."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG byte stream")
     pos, w = 8, None
@@ -92,31 +101,64 @@ def decode_png(data: bytes) -> np.ndarray:
     stride = 1 + w * 3
     raw = raw.reshape(h, stride)
     filters = raw[:, 0]
+    if (
+        np.isin(filters, (3, 4)).any()
+        and w * h > PNG_MAX_SLOW_FILTER_PIXELS
+    ):
+        raise NotImplementedError(
+            f"png with Average/Paeth filters above {PNG_MAX_SLOW_FILTER_PIXELS}"
+            " pixels (sequential unfilter cap)"
+        )
     out = np.zeros((h, w * 3), dtype=np.uint8)
     bpp = 3
     for y in range(h):
-        line = raw[y, 1:].astype(np.int32)
+        line = raw[y, 1:].astype(np.int64)
         f = int(filters[y])
-        prev = out[y - 1].astype(np.int32) if y else np.zeros(w * 3, dtype=np.int32)
+        prev = out[y - 1].astype(np.int64) if y else np.zeros(w * 3, dtype=np.int64)
         if f == 0:
             rec = line
         elif f == 2:  # Up — fully vectorized
             rec = (line + prev) & 0xFF
-        elif f == 1:  # Sub — per-channel cumulative recurrence
+        elif f == 1:  # Sub — exact vectorized: rec[x] = sum of line over the
+            # channel lane mod 256 (mod distributes over the prefix sum)
             rec = line.copy()
-            for x in range(bpp, w * 3):
-                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
-        elif f == 3:  # Average
-            rec = line.copy()
-            for x in range(w * 3):
-                left = rec[x - bpp] if x >= bpp else 0
-                rec[x] = (rec[x] + ((left + prev[x]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            rec = line.copy()
-            for x in range(w * 3):
-                left = int(rec[x - bpp]) if x >= bpp else 0
-                ul = int(prev[x - bpp]) if x >= bpp else 0
-                rec[x] = (rec[x] + _paeth(left, int(prev[x]), ul)) & 0xFF
+            for c in range(bpp):
+                rec[c::bpp] = np.cumsum(line[c::bpp]) & 0xFF
+        elif f == 3:  # Average — nonlinear recurrence (floor-divide of the
+            # previous reconstructed byte): per-channel sequential loop
+            rec = line
+            lp = line.tolist()
+            pp = prev.tolist()
+            for c in range(bpp):
+                left = 0
+                for x in range(c, w * 3, bpp):
+                    left = (lp[x] + ((left + pp[x]) >> 1)) & 0xFF
+                    lp[x] = left
+            rec = np.asarray(lp, dtype=np.int64)
+        elif f == 4:  # Paeth — predictor selection depends on the previous
+            # reconstructed byte: per-channel sequential loop
+            lp = line.tolist()
+            pp = prev.tolist()
+            for c in range(bpp):
+                left = 0
+                ul = 0
+                for x in range(c, w * 3, bpp):
+                    up = pp[x]
+                    # inline Paeth: p-a = up-ul, p-b = left-ul,
+                    # p-c = left+up-2*ul
+                    pa = abs(up - ul)
+                    pb = abs(left - ul)
+                    pc = abs(left + up - 2 * ul)
+                    if pa <= pb and pa <= pc:
+                        pred = left
+                    elif pb <= pc:
+                        pred = up
+                    else:
+                        pred = ul
+                    left = (lp[x] + pred) & 0xFF
+                    lp[x] = left
+                    ul = up
+            rec = np.asarray(lp, dtype=np.int64)
         else:
             raise ValueError(f"bad png filter {f}")
         out[y] = rec.astype(np.uint8)
@@ -124,14 +166,21 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
-    """Decode to HxWx3 uint8. 'raw' and 'png' are real codecs; jpeg/webp
-    are stubbed pending codec libs (lossy decoders out of scope here)."""
+    """Decode to HxWx3 uint8. 'raw', 'png' and 'jpeg' are real codecs;
+    webp is stubbed pending a codec lib (VP8 out of scope here)."""
     if fmt == "raw":
         return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
     if fmt == "png":
         px = decode_png(bytes(data))
         if px.shape[:2] != (h, w):
             raise ValueError(f"png dims {px.shape[:2]} != metadata ({h}, {w})")
+        return px
+    if fmt == "jpeg":
+        from osmcoastline_spark.functions.jpeg import decode_jpeg
+
+        px = decode_jpeg(bytes(data))
+        if px.shape[:2] != (h, w):
+            raise ValueError(f"jpeg dims {px.shape[:2]} != metadata ({h}, {w})")
         return px
     raise NotImplementedError(
         f"codec {fmt!r} requires an image library not present in this environment"

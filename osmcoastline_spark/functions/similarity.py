@@ -87,7 +87,18 @@ def lsh_codes_udf(dim: int, bits: int, n_tables: int, seed: int = 42):
     tables·bits) matmul per Arrow batch, bit-packed per table → array<long>
     of length n_tables. Scales to any bits/dim without touching codegen
     (the literal-expression form falls off whole-stage codegen past a few
-    hundred inlined literals)."""
+    hundred inlined literals).
+
+    Determinism note (round-4 ADVICE): BLAS summation order (pairwise/FMA,
+    build-dependent) can flip the sign of a near-zero dot product relative
+    to the sequential Catalyst expression, so bucket codes are reproducible
+    on a given host but not guaranteed bit-identical across machines.
+    That tolerance is inherent to this ANN family — buckets are approximate
+    by design, and a boundary vector landing in a neighbor bucket only
+    perturbs recall, never correctness of the exact re-rank that follows.
+    Cross-engine oracle checks avoid the issue entirely by using the
+    integer-exact sign-LSH variant (lsh_topk_exact), which quantizes inputs
+    and keeps every dot product in int64."""
     from pyspark.sql.functions import pandas_udf
 
     planes = np.concatenate(

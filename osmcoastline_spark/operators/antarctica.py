@@ -42,15 +42,16 @@ def close_antarctica_ring(open_rings: DataFrame, epsg: int) -> tuple[DataFrame, 
 
     def close(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
-        for _, row in pdf.iterrows():
-            ids_ = list(row["node_ids"]) + [0] * len(lons)
-            xs = list(row["xs"]) + list(lons)
-            ys = list(row["ys"]) + list(lats)
+        # itertuples over the single Antarctica ring (round-3 sweep idiom)
+        for row in pdf.itertuples(index=False):
+            ids_ = list(row.node_ids) + [0] * len(lons)
+            xs = list(row.xs) + list(lons)
+            ys = list(row.ys) + list(lats)
             # close back to the first node (reference push_back(front))
             ids_.append(ids_[0])
             xs.append(xs[0])
             ys.append(ys[0])
-            out.append((row["ring_id"], ids_, xs, ys, row["nways"], True, row["lead"]))
+            out.append((row.ring_id, ids_, xs, ys, row.nways, True, row.lead))
         return pd.DataFrame(
             out, columns=["ring_id", "node_ids", "xs", "ys", "nways", "fixed", "lead"]
         )

@@ -70,7 +70,12 @@ def get_spark(
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (driver-loop overhead); SPARK_GRAFT_UI=1 turns
+        # it on for harness runs that read shuffle metrics over the REST API
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") else "false",
+        )
     )
     # Shuffle files + block-manager spill go to tmpfs when available: on a
     # shared-disk host, co-tenant I/O makes identical runs swing 2-4x; a

@@ -122,7 +122,13 @@ class IcebergSink:
             "graft.rows": str(n),
             "graft.committed_at": str(time.time()),
         }
-        kv = ", ".join(f"'{k}' = '{v}'" for k, v in props.items())
+        # SQL-escape single quotes: lineage values carry user paths, and an
+        # unescaped quote would break the statement AFTER the snapshot swap
+        # (round-4 ADVICE)
+        kv = ", ".join(
+            "'{}' = '{}'".format(k.replace("'", "''"), v.replace("'", "''"))
+            for k, v in props.items()
+        )
         self.spark.sql(f"ALTER TABLE {name} SET TBLPROPERTIES ({kv})")
         return n
 

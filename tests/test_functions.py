@@ -139,7 +139,7 @@ def test_image_roundtrip_and_psnr(spark):
 
 def test_image_stub_codec(spark):
     with pytest.raises(NotImplementedError):
-        I.decode_image(b"xx", 1, 1, "jpeg")
+        I.decode_image(b"xx", 1, 1, "webp")
 
 
 def test_ivf_topk_recall(spark):
@@ -354,3 +354,134 @@ def test_lsh_topk_exact_recall_and_determinism(spark):
     assert set(np.unique(planes)) == {-1, 1}
     # deterministic: same planes on every call
     assert np.array_equal(planes, S.rademacher_planes(16, 4, 3))
+
+
+def test_jpeg_codec_roundtrip_lossy():
+    """From-scratch baseline JFIF codec (functions/jpeg.py): the decode is
+    genuinely lossy (finite PSNR) yet above the input_hint's 40 dB bar on
+    compressible content, headers parse, and non-multiple-of-8 dims work."""
+    import numpy as np
+
+    from osmcoastline_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:48, 0:64]
+    px = np.stack([(xx * 3) % 256, (yy * 4) % 256, ((xx + yy) * 2) % 256], axis=-1).astype(np.uint8)
+    data = encode_jpeg(px, quality=85)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    out = decode_jpeg(data)
+    assert out.shape == px.shape
+    p = I.psnr(px, out)
+    assert 40.0 <= p < float("inf")  # lossy but above the invariant bar
+
+    odd = px[:45, :61]
+    out2 = decode_jpeg(encode_jpeg(odd, quality=90))
+    assert out2.shape == odd.shape and I.psnr(odd, out2) >= 40.0
+
+    # decode_image integration + dims check
+    assert I.decode_image(data, 64, 48, "jpeg").shape == (48, 64, 3)
+    with pytest.raises(ValueError):
+        I.decode_image(data, 63, 48, "jpeg")
+
+
+def test_image_jpeg_end_to_end_lossy_psnr(spark):
+    """The input_hint's 'PSNR >= 40 dB for lossy' clause on actually lossy
+    bytes: jpeg payload vs raw reference passes verify_payloads; a
+    corrupted reference fails it."""
+    import numpy as np
+
+    from osmcoastline_spark.functions.jpeg import encode_jpeg
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    px = np.stack([(xx * 5) % 256, (yy * 7) % 256, ((xx * yy) // 4) % 256], axis=-1).astype(np.uint8)
+    jpg = encode_jpeg(px, quality=90)
+    schema = "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+    df = spark.createDataFrame([("a", bytearray(jpg), 32, 32, "jpeg", "cap", 0)], schema)
+    feats = I.with_image_features(df).collect()[0]
+    assert feats.computed_phash is not None  # real decode, not a stub
+    ref = spark.createDataFrame(
+        [("a", bytearray(px.tobytes()), 32, 32, "raw", "cap", 0)], schema
+    )
+    assert I.verify_payloads(df, ref).count() == 0  # finite PSNR >= 40
+
+    px_bad = 255 - px
+    ref_bad = spark.createDataFrame(
+        [("a", bytearray(px_bad.tobytes()), 32, 32, "raw", "cap", 0)], schema
+    )
+    bad = I.verify_payloads(df, ref_bad).collect()
+    assert len(bad) == 1 and bad[0].reason == "psnr_below_threshold"
+
+
+def _encode_png_with_filters(px, ftypes):
+    """Independent per-line PNG filterer for decoder tests."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = px.shape[:2]
+    bpp = 3
+    rows = []
+    prev = np.zeros(w * 3, dtype=np.int64)
+    flat = px.reshape(h, w * 3).astype(np.int64)
+    for y in range(h):
+        line = flat[y]
+        f = ftypes[y % len(ftypes)]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int64), line[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, dtype=np.int64), prev[:-bpp]])
+        if f == 0:
+            filt = line
+        elif f == 1:
+            filt = (line - left) & 0xFF
+        elif f == 2:
+            filt = (line - prev) & 0xFF
+        elif f == 3:
+            filt = (line - ((left + prev) >> 1)) & 0xFF
+        else:
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+            filt = (line - pred) & 0xFF
+        rows.append(bytes([f]) + bytes(filt.astype(np.uint8)))
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + I._png_chunk(b"IHDR", ihdr)
+        + I._png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + I._png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_unfilter_throughput_and_cap():
+    """Round-4 VERDICT: Sub unfilters via exact cumsum (no per-pixel
+    Python); a 512x512 Up/Sub image decodes in well under a second; the
+    sequential Average/Paeth path is bounded by PNG_MAX_SLOW_FILTER_PIXELS
+    with a NotImplementedError drop path."""
+    import time
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    big = rng.integers(0, 256, size=(512, 512, 3), dtype=np.uint8)
+    for f in (1, 2):
+        data = _encode_png_with_filters(big, [f])
+        t0 = time.time()
+        out = I.decode_png(data)
+        dt = time.time() - t0
+        assert np.array_equal(out, big)
+        assert dt < 2.0, f"filter {f} decode took {dt:.2f}s"
+    # Paeth stays exact under the cap
+    data = _encode_png_with_filters(big[:64], [4])
+    assert np.array_equal(I.decode_png(data), big[:64])
+    # above the cap with a slow filter: documented drop path
+    old = I.PNG_MAX_SLOW_FILTER_PIXELS
+    I.PNG_MAX_SLOW_FILTER_PIXELS = 1000
+    try:
+        with pytest.raises(NotImplementedError):
+            I.decode_png(_encode_png_with_filters(big[:64], [4]))
+        # filter-2-only images are NOT capped (vectorized path)
+        assert np.array_equal(
+            I.decode_png(_encode_png_with_filters(big, [2])), big
+        )
+    finally:
+        I.PNG_MAX_SLOW_FILTER_PIXELS = old
