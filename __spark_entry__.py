@@ -633,6 +633,81 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, k=3, nprobe=2)
 
 
+def q_water_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5/A5 water derivation vs a closed-form oracle (round-4 VERDICT #6).
+
+    One lattice island per 1-degree tile: island r sits centered in tile
+    (r%8, r//8) with side (1+(r%4))/8 degrees — every coordinate and area
+    is an exact binary fraction, so the 64x-quantized water area is an
+    exact integer on both engines. Exercises the REAL operator chain
+    (bbox tile-cover join, per-tile even-odd difference, antimeridian
+    sliver filter — reference src/coastline_polygons.cpp:322-442)
+    end-to-end; the oracle knows cell id, hole count and water area
+    arithmetically.
+    """
+    from osmcoastline_spark.operators.water import (
+        drop_antimeridian_slivers,
+        water_polygons,
+    )
+
+    n_part = _read(spark, sf_dir, "part").count()
+    R = min(max(n_part // 50, 8), 40)
+    base = spark.range(R).select(F.col("id").alias("r"))
+    hs = (1 + F.col("r") % 4) / F.lit(16.0)
+    cx = (F.col("r") % 8).cast("double") + F.lit(0.5)
+    cy = (F.col("r") / 8).cast("long").cast("double") + F.lit(0.5)
+    land = base.select(
+        F.col("r").alias("poly_id"),
+        F.array(cx - hs, cx - hs, cx + hs, cx + hs).alias("shell_x"),
+        F.array(cy - hs, cy + hs, cy + hs, cy - hs).alias("shell_y"),
+        F.array().cast("array<array<double>>").alias("holes_x"),
+        F.array().cast("array<array<double>>").alias("holes_y"),
+        F.lit(4).alias("npoints"),
+        (cx - hs).alias("env_minx"),
+        (cy - hs).alias("env_miny"),
+        (cx + hs).alias("env_maxx"),
+        (cy + hs).alias("env_maxy"),
+    )
+    water = drop_antimeridian_slivers(water_polygons(land, 1.0))
+
+    def a2(xc, yc):
+        # open-ring shoelace x2 (wraparound term included)
+        core = F.aggregate(
+            F.zip_with(
+                F.slice(xc, 1, F.size(xc) - 1),
+                F.slice(yc, 2, F.size(yc) - 1),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ) - F.aggregate(
+            F.zip_with(
+                F.slice(xc, 2, F.size(xc) - 1),
+                F.slice(yc, 1, F.size(yc) - 1),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        wrap = F.element_at(xc, -1) * F.element_at(yc, 1) - F.element_at(
+            xc, 1
+        ) * F.element_at(yc, -1)
+        return core + wrap
+
+    hole_sum = F.aggregate(
+        F.zip_with(F.col("holes_x"), F.col("holes_y"), lambda hx, hy: F.abs(a2(hx, hy))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return water.select(
+        "cell",
+        F.size("holes_x").cast("int").alias("n_holes"),
+        F.round((F.abs(a2(F.col("shell_x"), F.col("shell_y"))) - hole_sum) * 32).cast(
+            "long"
+        ).alias("water_area64"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_filter_ways": q_filter_ways,
@@ -646,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_point_in_polygon": q_point_in_polygon,
         "q_cell_ids": q_cell_ids,
         "q_tile_grid": q_tile_grid,
+        "q_water_tiles": q_water_tiles,
         "q_envelope_split": q_envelope_split,
         "q_edge_filter": q_edge_filter,
         "q_way_routing": q_way_routing,
@@ -773,6 +849,17 @@ def oracle_sql() -> dict[str, str]:
                    least(7, CAST(floor((lat + 90.0) / 22.5) AS BIGINT)) AS ty,
                    count(*) AS n
             FROM nodes GROUP BY 1, 2
+        """,
+        "q_water_tiles": """
+            WITH r AS (
+              SELECT p_partkey AS r FROM part
+              WHERE p_partkey < least(greatest((SELECT count(*) FROM part) // 50, 8), 40)
+            ),
+            m AS (SELECT r, 1 + (r % 4) AS m FROM r)
+            SELECT CAST((180 + (r % 8)) * 1000000 + (90 + (r // 8)) AS BIGINT) AS cell,
+                   1 AS n_holes,
+                   CAST(64 - m * m AS BIGINT) AS water_area64
+            FROM m
         """,
         "q_envelope_split": f"""
             WITH nodes AS ({_nodes_sql()}),

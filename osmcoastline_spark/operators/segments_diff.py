@@ -34,3 +34,51 @@ def diff_segments(old: DataFrame, new: DataFrame) -> tuple[DataFrame, DataFrame]
 def segments_equal(old: DataFrame, new: DataFrame) -> bool:
     removed, added = diff_segments(old, new)
     return removed.isEmpty() and added.isEmpty()
+
+
+def _fmt_coord(v: float) -> str:
+    """libosmium location coordinate formatting (fixed-point 7 decimals,
+    trailing zeros stripped) as used by UndirectedSegment's operator<<."""
+    i = int(round(v * 1e7))
+    sign = "-" if i < 0 else ""
+    whole, frac = divmod(abs(i), 10**7)
+    if frac == 0:
+        return f"{sign}{whole}"
+    return f"{sign}{whole}.{str(frac).zfill(7).rstrip('0')}"
+
+
+def dump_changes(removed: DataFrame, added: DataFrame) -> str:
+    """The --dump text output (reference src/osmcoastline_segments.cpp:
+    183-192): 'Removed:'/'Added:' headers, one '  (x1,y1)->(x2,y2)' line
+    per segment in canonical (sorted) segment order — std::set_difference
+    emits sorted, so the dump is deterministic; we sort explicitly.
+
+    Driver-side by design: the reference streams the whole diff to stdout,
+    so the collect here is the same bounded diagnostic path.
+    """
+    out = []
+    for title, df in (("Removed:", removed), ("Added:", added)):
+        out.append(title)
+        for r in df.select(*SEG_COLS).orderBy(*SEG_COLS).collect():
+            out.append(
+                f"  ({_fmt_coord(r.x1)},{_fmt_coord(r.y1)})"
+                f"->({_fmt_coord(r.x2)},{_fmt_coord(r.y2)})"
+            )
+    return "\n".join(out) + "\n"
+
+
+def changes_layer(removed: DataFrame, added: DataFrame) -> DataFrame:
+    """The OGR 'changes' layer analog (reference src/osmcoastline_segments
+    .cpp:97-113): one 2-point LINESTRING per changed segment with
+    change=0 (removed) / change=1 (added). Geometry rides as xs/ys arrays
+    like every other line table in this engine (WKB-free convention)."""
+    from pyspark.sql import functions as F
+
+    def side(df: DataFrame, change: int) -> DataFrame:
+        return df.select(
+            F.lit(change).alias("change"),
+            F.array("x1", "x2").alias("xs"),
+            F.array("y1", "y2").alias("ys"),
+        )
+
+    return side(removed, 0).unionByName(side(added, 1))

@@ -225,3 +225,36 @@ def test_check_polygons_open_shells_and_suspect_col(spark):
     clean = spark.createDataFrame([open_square], schema)
     out2, w2 = check_polygons(clean, suspect_col="cut_suspect")
     assert w2 == 0 and out2 is clean
+
+
+def test_segments_dump_and_changes_layer(spark):
+    """osmcoastline_segments output-mode parity (reference
+    src/osmcoastline_segments.cpp:88-113,183-192): --dump text format and
+    the OGR 'changes' layer with change=0/1."""
+    from osmcoastline_spark.operators.segments_diff import (
+        changes_layer,
+        diff_segments,
+        dump_changes,
+    )
+
+    old = spark.createDataFrame(
+        [(1.0, 2.0, 3.0, 4.0), (5.5, 6.25, 7.0, 8.0)],
+        "x1 double, y1 double, x2 double, y2 double",
+    )
+    new = spark.createDataFrame(
+        [(1.0, 2.0, 3.0, 4.0), (9.0, 10.0, 11.0, 12.1234567)],
+        "x1 double, y1 double, x2 double, y2 double",
+    )
+    removed, added = diff_segments(old, new)
+    text = dump_changes(removed, added)
+    assert text == (
+        "Removed:\n"
+        "  (5.5,6.25)->(7,8)\n"
+        "Added:\n"
+        "  (9,10)->(11,12.1234567)\n"
+    )
+    layer = {(r.change, tuple(r.xs), tuple(r.ys)) for r in changes_layer(removed, added).collect()}
+    assert layer == {
+        (0, (5.5, 7.0), (6.25, 8.0)),
+        (1, (9.0, 11.0), (10.0, 12.1234567)),
+    }
