@@ -429,6 +429,29 @@ def q_except_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return removed.unionByName(added).groupBy("change").agg(F.count("*").alias("n"))
 
 
+def q_segment_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 output modes (round 4): the OGR 'changes' layer over the
+    canonical segment diff — change=0 removed / 1 added, one 2-point line
+    per changed segment (reference src/osmcoastline_segments.cpp:97-113).
+    Endpoints re-projected to scalars for the value-hash gate."""
+    from osmcoastline_spark.operators.segments_diff import (
+        changes_layer,
+        diff_segments,
+    )
+
+    s = _segments(spark, sf_dir)
+    old = s.filter((F.col("x1") + F.col("y1")) % 3 < 2)
+    new = s.filter((F.col("x2") + F.col("y2")) % 3 < 2)
+    removed, added = diff_segments(old, new)
+    return changes_layer(removed, added).select(
+        "change",
+        F.element_at("xs", 1).alias("x1"),
+        F.element_at("ys", 1).alias("y1"),
+        F.element_at("xs", 2).alias("x2"),
+        F.element_at("ys", 2).alias("y2"),
+    )
+
+
 def q_distinct_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: sorted-distinct node-id set of kept ways."""
     li = _read(spark, sf_dir, "lineitem")
@@ -726,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_edge_filter": q_edge_filter,
         "q_way_routing": q_way_routing,
         "q_except_diff": q_except_diff,
+        "q_segment_changes": q_segment_changes,
         "q_distinct_ids": q_distinct_ids,
         "q_stats_counters": q_stats_counters,
         "q_window_agg": q_window_agg,
@@ -911,6 +935,14 @@ def oracle_sql() -> dict[str, str]:
             add_ AS (SELECT 'added' AS change, count(*) AS n FROM
                     (SELECT * FROM new EXCEPT ALL SELECT * FROM old))
             SELECT * FROM rem UNION ALL SELECT * FROM add_
+        """,
+        "q_segment_changes": seg
+        + """
+            , old AS (SELECT * FROM norm WHERE (x1 + y1) % 3 < 2),
+            new AS (SELECT * FROM norm WHERE (x2 + y2) % 3 < 2)
+            SELECT 0 AS change, * FROM (SELECT * FROM old EXCEPT ALL SELECT * FROM new)
+            UNION ALL
+            SELECT 1 AS change, * FROM (SELECT * FROM new EXCEPT ALL SELECT * FROM old)
         """,
         "q_distinct_ids": """
             SELECT DISTINCT l_partkey % 500 AS node_id FROM lineitem WHERE l_quantity > 25

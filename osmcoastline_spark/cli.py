@@ -32,7 +32,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-l", "--output-lines", action="store_true")
     p.add_argument("--water-cell-deg", type=float, default=1.0)
     p.add_argument("--master", default=None)
-    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="stage progress with elapsed times (reference "
+                        "VerboseOutput analog: the SPARK_GRAFT_TRACE "
+                        "per-stage trace)")
+    p.add_argument("-d", "--debug", action="store_true",
+                   help="debugging output (full Spark INFO logs)")
     p.add_argument("--exit-ignore-warnings", action="store_true")
     return p
 
@@ -60,10 +65,20 @@ def main(argv: list[str] | None = None) -> int:
     from osmcoastline_spark.session import get_spark
     from osmcoastline_spark.sinks import CheckpointSink
 
+    import os as _os
+
+    if args.verbose:
+        # reference -v prints each pipeline stage with elapsed time
+        # (osmium VerboseOutput, osmcoastline.cpp:190-192); our analog is
+        # the run_pipeline stage trace
+        _os.environ["SPARK_GRAFT_TRACE"] = "1"
+    if args.debug:
+        print("Enabled debug option", file=sys.stderr)  # options.cpp:141
+
     pre_existing = SparkSession.getActiveSession() is not None
     spark = get_spark("osmcoastline", master=args.master)
-    if not args.verbose:
-        spark.sparkContext.setLogLevel("ERROR")
+    if not args.debug:
+        spark.sparkContext.setLogLevel("ERROR" if not args.verbose else "WARN")
 
     nodes = spark.read.parquet(args.nodes)
     ways = spark.read.parquet(args.ways)

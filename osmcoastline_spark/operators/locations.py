@@ -120,7 +120,9 @@ def missing_location_count(ways: DataFrame, nodes: DataFrame) -> int:
     return refs.join(nodes.select("node_id"), "node_id", "left_anti").count()
 
 
-def ways_with_locations_from_refs(refs: DataFrame, nodes: DataFrame) -> DataFrame:
+def ways_with_locations_from_refs(
+    refs: DataFrame, nodes: DataFrame, count_missing: bool = False
+) -> DataFrame:
     """J2 over PRE-BUCKETED sources (sources.tables.write_bucketed): `refs`
     is the already-exploded (way_id, pos, node_id) table and both it and
     `nodes` are stored bucket-hashed + sorted on node_id.
@@ -135,6 +137,13 @@ def ways_with_locations_from_refs(refs: DataFrame, nodes: DataFrame) -> DataFram
     table (the big side at 100 TB) is shuffled ONCE at ingest into the
     bucket layout instead of on every job (production: Iceberg
     bucket(N, node_id) partition transform + storage-partitioned joins).
+
+    `count_missing` mirrors ways_with_locations: LEFT join + per-way
+    missing-location count for the J3 abort check.
     """
-    joined = refs.join(nodes.select("node_id", "lon", "lat"), "node_id")
-    return collect_locations(joined, False)
+    joined = refs.join(
+        nodes.select("node_id", "lon", "lat"),
+        "node_id",
+        "left" if count_missing else "inner",
+    )
+    return collect_locations(joined, count_missing)

@@ -45,7 +45,10 @@ from osmcoastline_spark.operators.intersections import (
 )
 from osmcoastline_spark.operators.repair import buffer0_triage, check_polygons
 from osmcoastline_spark.operators.lines import rings_to_lines
-from osmcoastline_spark.operators.locations import ways_with_locations
+from osmcoastline_spark.operators.locations import (
+    ways_with_locations,
+    ways_with_locations_from_refs,
+)
 from osmcoastline_spark.operators.polygonize import fix_direction, polygonize
 from osmcoastline_spark.operators.questionable import questionable_rings
 from osmcoastline_spark.operators.rings import assemble_rings, route_rings
@@ -222,11 +225,18 @@ def run_pipeline(
     options: Options | None = None,
     mid_sink=None,
     preassembled: tuple | None = None,
+    prebucketed: tuple | None = None,
 ) -> PipelineResult:
     """`mid_sink` (a CheckpointSink) commits rings_closed/rings_open
     snapshots right after R1 assembly — the finer-grained resume point;
     `preassembled` = (closed_df, open_df, pre_stats) restarts the pipeline
-    FROM those snapshots, skipping filter/locations/assembly entirely."""
+    FROM those snapshots, skipping filter/locations/assembly entirely.
+
+    `prebucketed` = (refs_df, nodes_df): run the J2 location join off
+    bucket-hashed source tables (sources.tables.write_bucketed — refs are
+    the already-coastline-filtered exploded (way_id, pos, node_id) rows)
+    so the planet-sized node side joins with ZERO shuffle; `ways`/`nodes`
+    args are then only used for the tagged-node error scan."""
     import time as _time
 
     t0 = _time.time()
@@ -279,12 +289,20 @@ def run_pipeline(
         # pass 1+2: filter, locations — the location join materializes ONCE
         # here; the J3 missing-location check is a tiny aggregate over the
         # materialized result (round 1 paid a second full explode+join)
-        cways = coastline_ways(ways)
-        if opt.collect_stats:
-            res.stats["ways"] = cways.count()
-        ways_loc = ways_with_locations(cways, nodes, count_missing=True).localCheckpoint(
-            eager=True
-        )
+        if prebucketed is not None:
+            refs_b, nodes_b = prebucketed
+            if opt.collect_stats:
+                res.stats["ways"] = refs_b.select("way_id").distinct().count()
+            ways_loc = ways_with_locations_from_refs(
+                refs_b, nodes_b, count_missing=True
+            ).localCheckpoint(eager=True)
+        else:
+            cways = coastline_ways(ways)
+            if opt.collect_stats:
+                res.stats["ways"] = cways.count()
+            ways_loc = ways_with_locations(
+                cways, nodes, count_missing=True
+            ).localCheckpoint(eager=True)
         missing = ways_loc.agg(F.sum("nmiss")).first()[0] or 0
         if missing:
             res.stats["missing_locations"] = int(missing)

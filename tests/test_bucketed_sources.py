@@ -95,3 +95,25 @@ def test_register_bucketed_roundtrip(spark, bucketed):
         assert n == spark.table("t_nodes_b").count()
     finally:
         spark.sql("DROP TABLE IF EXISTS t_nodes_b2")
+
+
+def test_pipeline_runs_from_bucketed_sources(spark, bucketed):
+    """run_pipeline(prebucketed=...) produces the same rings/polygons as
+    the standard nodes/ways path."""
+    from osmcoastline_spark.plans.pipeline import Options, run_pipeline
+
+    _tmp, nodes, ways = bucketed
+    opt = Options(output_polygons="land", collect_stats=True)
+    base = run_pipeline(spark, nodes, ways, opt)
+    bkt = run_pipeline(
+        spark,
+        nodes,
+        ways,
+        opt,
+        prebucketed=(spark.table("t_refs_b"), spark.table("t_nodes_b")),
+    )
+    assert bkt.stats["rings"] == base.stats["rings"]
+    assert bkt.stats["ways"] == base.stats["ways"]
+    a = {r.poly_id for r in base.tables["land_polygons"].select("poly_id").collect()}
+    b = {r.poly_id for r in bkt.tables["land_polygons"].select("poly_id").collect()}
+    assert a == b and len(a) > 0
