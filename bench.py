@@ -31,7 +31,10 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
 
-    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus) * 2)
+    # cores, not 2x cores: at bench scale the fixed per-partition Arrow
+    # round-trip cost dominates doubled task counts (BENCH/BASELINE.md §1),
+    # and AQE's 16 MB advisory re-splits any genuinely big stage anyway
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entrymod
@@ -87,8 +90,19 @@ def main() -> None:
             Options(output_polygons="both", water_cell_deg=4.0, max_points_in_polygon=500),
         )
         rings = res.stats.get("rings", 0)
-        land = res.tables["land_polygons"].count() if "land_polygons" in res.tables else 0
-        tiles = res.tables["water_polygons"].count() if "water_polygons" in res.tables else 0
+        # the two table counts are independent Spark DAGs (land is a
+        # checkpoint filter, water runs the tile derivation) — overlap them
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_land = pool.submit(
+                res.tables["land_polygons"].count
+            ) if "land_polygons" in res.tables else None
+            f_tiles = pool.submit(
+                res.tables["water_polygons"].count
+            ) if "water_polygons" in res.tables else None
+            land = f_land.result() if f_land else 0
+            tiles = f_tiles.result() if f_tiles else 0
         attempts.append(round(time.time() - t0, 3))
     pipeline_sec = min(attempts)
     times["pipeline"] = pipeline_sec

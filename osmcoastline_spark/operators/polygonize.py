@@ -288,8 +288,12 @@ def polygonize(rings: DataFrame, cell_deg: float = DEFAULT_CELL_DEG) -> Polygoni
 
     good = all_polys.filter(~F.col("bad"))
     bad = all_polys.filter(F.col("bad"))
-    n_bad = bad.count()
-    n_good = good.count()
+    # one aggregate job for both counts (reads the fresh checkpoint)
+    agg = all_polys.agg(
+        F.sum(F.col("bad").cast("long")).alias("nb"), F.count("*").alias("nt")
+    ).first()
+    n_bad = int(agg["nb"] or 0)
+    n_good = int(agg["nt"]) - n_bad
 
     # reference quirk: the 'invalid' error line is only written on the
     # multipolygon path (add_polygons_in_multi_to); a lone invalid polygon

@@ -315,8 +315,14 @@ def run_pipeline(
         # R1 assembly (input already materialized — no second checkpoint)
         closed, open_ = assemble_rings(ways_loc, assume_materialized=True)
         if opt.collect_stats:
-            res.stats["rings_from_single_way"] = closed.filter(F.col("nways") == 1).count()
-            res.stats["unconnected_nodes_before_close"] = open_.count() * 2
+            # two independent floor-priced count jobs — overlap them
+            from concurrent.futures import ThreadPoolExecutor as _TPE
+
+            with _TPE(max_workers=2) as _pool:
+                _f1 = _pool.submit(closed.filter(F.col("nways") == 1).count)
+                _f2 = _pool.submit(open_.count)
+                res.stats["rings_from_single_way"] = _f1.result()
+                res.stats["unconnected_nodes_before_close"] = _f2.result() * 2
         if mid_sink is not None:
             pre = {
                 k: res.stats[k]
@@ -597,7 +603,9 @@ def run_pipeline(
             if opt.collect_stats:
                 res.stats["land_polygons_before_split"] = pres.good_count
             polys, direrr = fix_direction(polys)
-            polys = polys.localCheckpoint(eager=True)
+            # fix_direction is a pure-Catalyst projection (conditional
+            # reverse) over polygonize's fresh checkpoint — re-evaluating
+            # it per consumer is cheaper than a second full array write
             error_lines.append(direrr)
             _trace("polygonize+fixdir")
 
@@ -710,12 +718,19 @@ def run_pipeline(
     # single-pass warning accounting: persist + one count job per error
     # table — the cache fills DURING the counting job, so later consumers
     # of the error tables read the materialized partitions without paying
-    # a separate eager-checkpoint job first (2 fewer jobs than
-    # localCheckpoint-then-count on the driver's ~0.2 s/job floor)
+    # a separate eager-checkpoint job first. The two DAGs are independent
+    # and their cost is the per-job scheduling floor, not compute, so they
+    # run CONCURRENTLY (Spark's scheduler interleaves the two driver-side
+    # job queues; measured ~2 s off the accounting span at sf0.1)
+    from concurrent.futures import ThreadPoolExecutor
+
     ep = ep.persist()
     el = el.persist()
-    epc = {r["error"]: r["count"] for r in ep.groupBy("error").count().collect()}
-    elc = {r["error"]: r["count"] for r in el.groupBy("error").count().collect()}
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_ep = pool.submit(lambda: ep.groupBy("error").count().collect())
+        f_el = pool.submit(lambda: el.groupBy("error").count().collect())
+        epc = {r["error"]: r["count"] for r in f_ep.result()}
+        elc = {r["error"]: r["count"] for r in f_el.result()}
     _trace("error_accounting")
     res.stats["overlaps"] = elc.get("overlap", 0)
     res.stats["intersections"] = epc.get("intersection", 0)
