@@ -194,16 +194,17 @@ def assemble_rings(
     closed = chains.filter(_closed())
     open_ = chains.filter(~_closed())
 
-    # endpoint state: members = original chain ids in concatenation order
-    ep = (
-        _with_endpoints(open_)
-        .select(
-            "ring_id",
-            F.array("ring_id").alias("members"),
-            "first_node",
-            "last_node",
-        )
-        .localCheckpoint(eager=True)
+    # endpoint state: members = original chain ids in concatenation order.
+    # NOT checkpointed up front: it is a cheap projection over the chains
+    # checkpoint, and the common case (chain count under driver_threshold)
+    # reads it exactly twice (count + collect) before the loop exits —
+    # cheaper than an eager checkpoint job + write. Distributed rounds
+    # re-pin it via checkpoint_every below.
+    ep = _with_endpoints(open_).select(
+        "ring_id",
+        F.array("ring_id").alias("members"),
+        "first_node",
+        "last_node",
     )
     ep_cols = ["ring_id", "members", "first_node", "last_node"]
     closed_groups: list[DataFrame] = []  # (ring_id, members) closed mid-rounds
