@@ -48,6 +48,17 @@ def main() -> None:
     n_lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     qfns["q_dedup_exact"](spark, sf_dir).count()
     spark.range(8).mapInPandas(lambda it: it, "id long").count()
+    # JIT the assembly machinery (window + merge-apply Arrow codepaths) on a
+    # tiny fixture so the first timed q_ring_assembly measures the operator,
+    # not one-time codegen/JIT of its plan shapes (~4 s at sf0.1)
+    from osmcoastline_spark.operators.filter import coastline_ways as _cw
+    from osmcoastline_spark.operators.locations import ways_with_locations as _wwl
+    from osmcoastline_spark.operators.rings import assemble_rings as _ar
+    from osmcoastline_spark.synth import synth_nodes_ways as _synw
+
+    _n, _w = _synw(spark, 10, seed=7)
+    _c, _o = _ar(_wwl(_cw(_w), _n))
+    _c.count(); _o.count()
 
     bench_queries = [
         "q_ring_assembly",
