@@ -62,14 +62,23 @@ def sorted_segments(segments: DataFrame) -> DataFrame:
     return segments.select("x1", "y1", "x2", "y2").orderBy("x1", "y1", "x2", "y2")
 
 
-def duplicate_segments(segments: DataFrame) -> DataFrame:
-    """J6 → error_lines('overlap'); k copies of a segment yield C(k,2)
-    overlap rows, matching the reference's pairwise loop."""
-    dup = (
+def duplicate_segment_counts(segments: DataFrame) -> DataFrame:
+    """(x1, y1, x2, y2, k) for every segment appearing k>1 times — the
+    shared input of the overlap error lines AND the gap-close orphan
+    filter (one groupBy shuffle instead of two identical ones)."""
+    return (
         segments.groupBy("x1", "y1", "x2", "y2")
         .agg(F.count("*").alias("k"))
         .filter(F.col("k") > 1)
     )
+
+
+def duplicate_segments(segments: DataFrame, dup: DataFrame | None = None) -> DataFrame:
+    """J6 → error_lines('overlap'); k copies of a segment yield C(k,2)
+    overlap rows, matching the reference's pairwise loop. Pass `dup`
+    (duplicate_segment_counts output) to reuse an existing aggregation."""
+    if dup is None:
+        dup = duplicate_segment_counts(segments)
     return dup.select(
         F.explode(F.sequence(F.lit(1), (F.col("k") * (F.col("k") - 1) / 2).cast("int"))).alias(
             "_n"

@@ -38,6 +38,7 @@ from osmcoastline_spark.operators.antarctica import close_antarctica_ring
 from osmcoastline_spark.operators.close import close_rings
 from osmcoastline_spark.operators.filter import coastline_ways, tagged_node_errors
 from osmcoastline_spark.operators.intersections import (
+    duplicate_segment_counts,
     duplicate_segments,
     intersection_pairs,
     ring_segments,
@@ -338,7 +339,11 @@ def run_pipeline(
     # and the output table — without it the explode re-executes 4×
     segs = ring_segments(closed.unionByName(open_)).localCheckpoint(eager=True)
     _trace("segments")
-    overlaps = duplicate_segments(segs)
+    # ONE duplicate-segment aggregation shared by the overlap error lines
+    # and the gap-close orphan filter (persist: the orphan checkpoint
+    # materializes it first, the error accounting reads the cache)
+    dup_counts = duplicate_segment_counts(segs).persist()
+    overlaps = duplicate_segments(segs, dup=dup_counts)
     # This pre-close intersection join feeds ONLY the 'intersection' error
     # points (reference parity: those are reported on the raw segment set,
     # src/osmcoastline.cpp:340-352). The G5 validity triage ids are
@@ -375,9 +380,7 @@ def run_pipeline(
     # we detect them explicitly and exclude them from closing.
     if opt.close_distance > 0:
         open_segs = ring_segments(open_)
-        dup_keys = (
-            segs.groupBy("x1", "y1", "x2", "y2").count().filter(F.col("count") > 1).drop("count")
-        )
+        dup_keys = dup_counts.drop("k")
         per_ring = open_segs.groupBy("ring_id").agg(F.count("*").alias("ntot"))
         dup_per_ring = (
             open_segs.join(dup_keys, ["x1", "y1", "x2", "y2"], "left_semi")
