@@ -673,9 +673,13 @@ def q_water_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         water_polygons,
     )
 
-    n_part = _read(spark, sf_dir, "part").count()
+    part = _read(spark, sf_dir, "part")
+    n_part = part.count()
     R = min(max(n_part // 50, 8), 40)
-    base = spark.range(R).select(F.col("id").alias("r"))
+    # derive r from the ACTUAL part keys (not spark.range) so both engines
+    # see the same id set whatever base the key starts at (round-4 review:
+    # the driver testdata is 0-based but standard TPC-H is 1-based)
+    base = part.select(F.col("p_partkey").alias("r")).filter(F.col("r") < R)
     hs = (1 + F.col("r") % 4) / F.lit(16.0)
     cx = (F.col("r") % 8).cast("double") + F.lit(0.5)
     cy = (F.col("r") / 8).cast("long").cast("double") + F.lit(0.5)

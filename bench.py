@@ -103,18 +103,19 @@ def main() -> None:
         rings = res.stats.get("rings", 0)
         # the two table counts are independent Spark DAGs (land is a
         # checkpoint filter, water runs the tile derivation) — overlap them
-        from concurrent.futures import ThreadPoolExecutor
+        from osmcoastline_spark.util import run_concurrently
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_land = pool.submit(
-                res.tables["land_polygons"].count
-            ) if "land_polygons" in res.tables else None
-            f_tiles = pool.submit(
-                res.tables["water_polygons"].count
-            ) if "water_polygons" in res.tables else None
-            land = f_land.result() if f_land else 0
-            tiles = f_tiles.result() if f_tiles else 0
+        land, tiles = run_concurrently(
+            res.tables["land_polygons"].count
+            if "land_polygons" in res.tables
+            else (lambda: 0),
+            res.tables["water_polygons"].count
+            if "water_polygons" in res.tables
+            else (lambda: 0),
+        )
         attempts.append(round(time.time() - t0, 3))
+        # release this attempt's cached error tables before the next one
+        res.unpersist()
     pipeline_sec = min(attempts)
     times["pipeline"] = pipeline_sec
 

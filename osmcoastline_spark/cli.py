@@ -67,10 +67,12 @@ def main(argv: list[str] | None = None) -> int:
 
     import os as _os
 
+    _prev_trace = _os.environ.get("SPARK_GRAFT_TRACE")
     if args.verbose:
         # reference -v prints each pipeline stage with elapsed time
         # (osmium VerboseOutput, osmcoastline.cpp:190-192); our analog is
-        # the run_pipeline stage trace
+        # the run_pipeline stage trace (restored on exit so an in-process
+        # caller's later runs are not silently verbose)
         _os.environ["SPARK_GRAFT_TRACE"] = "1"
     if args.debug:
         print("Enabled debug option", file=sys.stderr)  # options.cpp:141
@@ -107,6 +109,11 @@ def main(argv: list[str] | None = None) -> int:
     code = res.exit_code
     if code == 1 and args.exit_ignore_warnings:
         code = 0
+    if args.verbose:
+        if _prev_trace is None:
+            _os.environ.pop("SPARK_GRAFT_TRACE", None)
+        else:
+            _os.environ["SPARK_GRAFT_TRACE"] = _prev_trace
     if not pre_existing:
         spark.stop()
     return code

@@ -126,7 +126,6 @@ def decode_png(data: bytes) -> np.ndarray:
                 rec[c::bpp] = np.cumsum(line[c::bpp]) & 0xFF
         elif f == 3:  # Average — nonlinear recurrence (floor-divide of the
             # previous reconstructed byte): per-channel sequential loop
-            rec = line
             lp = line.tolist()
             pp = prev.tolist()
             for c in range(bpp):

@@ -345,7 +345,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     scan_comps: list[tuple[int, int, int]] = []  # (cid, td, ta)
     scan_start = None
     while pos < len(data):
-        assert data[pos] == 0xFF, "marker expected"
+        if data[pos] != 0xFF:
+            raise ValueError("jpeg marker expected")
+        # any number of 0xFF fill bytes may precede a marker (T.81 B.1.1.2)
+        while data[pos + 1] == 0xFF:
+            pos += 1
         tag = data[pos + 1]
         if tag == 0xD9:  # EOI
             break
@@ -409,10 +413,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 return sym
         raise ValueError("bad huffman code")
 
+    # scan order is the SOS component list; map each scan entry back to its
+    # SOF component BY ID (a spec-legal stream may list them differently)
+    sof_index = {cid: i for i, (cid, _s, _tq) in enumerate(comps)}
+    try:
+        scan_to_sof = [sof_index[cid] for cid, _td, _ta in scan_comps]
+    except KeyError as e:
+        raise ValueError(f"SOS references unknown component id {e}") from e
+
     prev_dc = [0, 0, 0]
     for bi in range(n_blocks):
-        for ci in range(3):
-            _cid, td, ta = scan_comps[ci]
+        for si in range(3):
+            ci = scan_to_sof[si]
+            _cid, td, ta = scan_comps[si]
             dct = huff[(0, td)]
             act = huff[(1, ta)]
             zz = coeffs[ci][bi]

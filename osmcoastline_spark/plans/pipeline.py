@@ -55,6 +55,7 @@ from osmcoastline_spark.operators.questionable import questionable_rings
 from osmcoastline_spark.operators.rings import assemble_rings, route_rings
 from osmcoastline_spark.operators.split import split_polygons
 from osmcoastline_spark.operators.water import drop_antimeridian_slivers, water_polygons
+from osmcoastline_spark.util import run_concurrently
 from osmcoastline_spark.schemas import (
     DEFAULT_BBOX_OVERLAP_3857,
     DEFAULT_BBOX_OVERLAP_4326,
@@ -94,6 +95,17 @@ class PipelineResult:
     stats: dict = field(default_factory=dict)
     warnings: int = 0
     errors: int = 0
+    persisted: list = field(default_factory=list)  # frames pinned for reuse
+
+    def unpersist(self) -> None:
+        """Release cached frames (call between repeated in-session runs —
+        cache entries are plan-keyed and never GC'd on their own)."""
+        for df in self.persisted:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self.persisted.clear()
 
     @property
     def exit_code(self) -> int:
@@ -317,13 +329,11 @@ def run_pipeline(
         closed, open_ = assemble_rings(ways_loc, assume_materialized=True)
         if opt.collect_stats:
             # two independent floor-priced count jobs — overlap them
-            from concurrent.futures import ThreadPoolExecutor as _TPE
-
-            with _TPE(max_workers=2) as _pool:
-                _f1 = _pool.submit(closed.filter(F.col("nways") == 1).count)
-                _f2 = _pool.submit(open_.count)
-                res.stats["rings_from_single_way"] = _f1.result()
-                res.stats["unconnected_nodes_before_close"] = _f2.result() * 2
+            n1, n2 = run_concurrently(
+                closed.filter(F.col("nways") == 1).count, open_.count
+            )
+            res.stats["rings_from_single_way"] = n1
+            res.stats["unconnected_nodes_before_close"] = n2 * 2
         if mid_sink is not None:
             pre = {
                 k: res.stats[k]
@@ -343,6 +353,7 @@ def run_pipeline(
     # and the gap-close orphan filter (persist: the orphan checkpoint
     # materializes it first, the error accounting reads the cache)
     dup_counts = duplicate_segment_counts(segs).persist()
+    res.persisted.append(dup_counts)
     overlaps = duplicate_segments(segs, dup=dup_counts)
     # This pre-close intersection join feeds ONLY the 'intersection' error
     # points (reference parity: those are reported on the raw segment set,
@@ -725,15 +736,14 @@ def run_pipeline(
     # and their cost is the per-job scheduling floor, not compute, so they
     # run CONCURRENTLY (Spark's scheduler interleaves the two driver-side
     # job queues; measured ~2 s off the accounting span at sf0.1)
-    from concurrent.futures import ThreadPoolExecutor
-
     ep = ep.persist()
     el = el.persist()
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_ep = pool.submit(lambda: ep.groupBy("error").count().collect())
-        f_el = pool.submit(lambda: el.groupBy("error").count().collect())
-        epc = {r["error"]: r["count"] for r in f_ep.result()}
-        elc = {r["error"]: r["count"] for r in f_el.result()}
+    res.persisted += [ep, el]
+    ep_rows, el_rows = run_concurrently(
+        ep.groupBy("error").count().collect, el.groupBy("error").count().collect
+    )
+    epc = {r["error"]: r["count"] for r in ep_rows}
+    elc = {r["error"]: r["count"] for r in el_rows}
     _trace("error_accounting")
     res.stats["overlaps"] = elc.get("overlap", 0)
     res.stats["intersections"] = epc.get("intersection", 0)

@@ -122,13 +122,14 @@ class IcebergSink:
             "graft.rows": str(n),
             "graft.committed_at": str(time.time()),
         }
-        # SQL-escape single quotes: lineage values carry user paths, and an
-        # unescaped quote would break the statement AFTER the snapshot swap
-        # (round-4 ADVICE)
-        kv = ", ".join(
-            "'{}' = '{}'".format(k.replace("'", "''"), v.replace("'", "''"))
-            for k, v in props.items()
-        )
+        # SQL-escape for Spark string literals: backslashes FIRST (Spark
+        # processes \-escapes, so json.dumps output with \" or \\ would
+        # store corrupted), then single quotes. An unescaped value would
+        # break the statement AFTER the snapshot swap (round-4 ADVICE).
+        def esc(v: str) -> str:
+            return v.replace("\\", "\\\\").replace("'", "''")
+
+        kv = ", ".join(f"'{esc(k)}' = '{esc(v)}'" for k, v in props.items())
         self.spark.sql(f"ALTER TABLE {name} SET TBLPROPERTIES ({kv})")
         return n
 

@@ -100,10 +100,11 @@ def register_bucketed(
     """Re-attach a `write_bucketed` table in a fresh session (the in-memory
     catalog does not persist across JVMs; Iceberg's catalog would).
     `schema` is the DDL column list, e.g. 'node_id long, lon double, ...'."""
+    esc_path = path.replace("\\", "\\\\").replace("'", "''")
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     spark.sql(
         f"CREATE TABLE {table} ({schema}) USING parquet "
         f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {buckets} BUCKETS "
-        f"LOCATION '{path}'"
+        f"LOCATION '{esc_path}'"
     )
     return spark.table(table)
