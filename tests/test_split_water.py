@@ -218,3 +218,37 @@ def test_readmeta_cli(spark, tmp_path):
     assert "Max points in polygons (--max-points/-m): 1000" in rep
     assert "land_polygons" in rep
     assert cli.main(["readmeta", str(tmp_path / "nope")]) == 1
+
+
+def test_split_tangent_cut_sets_suspect_and_check_validates(spark):
+    """A cut line passing EXACTLY through ring vertices (dyadic coords,
+    expand=0) must mark the produced pieces cut_suspect; check_polygons
+    then runs the crossing kernel on them and, the pieces being simple,
+    emits no warning and leaves them intact."""
+    from osmcoastline_spark.operators.repair import check_polygons
+
+    t = [float(i) / 256.0 for i in range(257)]
+    # corners appear ONCE (t[1:] on each following edge — a repeated corner
+    # vertex would itself legitimately trip the collapsed-duplicate flag)
+    xs = t + [1.0] * 256 + t[::-1][1:] + [0.0] * 255
+    ys = [0.0] * 257 + t[1:] + [1.0] * 256 + t[::-1][1:-1]
+    xs.append(xs[0])
+    ys.append(ys[0])
+    assert len(xs) == len(ys)
+    df = spark.createDataFrame(
+        [(1, xs, ys, [], [], len(xs), 0.0, 0.0, 1.0, 1.0)],
+        "poly_id long, shell_x array<double>, shell_y array<double>, "
+        "holes_x array<array<double>>, holes_y array<array<double>>, "
+        "npoints int, env_minx double, env_miny double, "
+        "env_maxx double, env_maxy double",
+    )
+    out = split_polygons(df, max_points=600, expand=0.0)
+    pieces = out.filter("was_split").drop("was_split")
+    rows = pieces.collect()
+    assert len(rows) == 2 and all(r.cut_suspect for r in rows)
+    checked, warnings = check_polygons(pieces, suspect_col="cut_suspect")
+    assert warnings == 0
+    assert checked.count() == 2
+    # a clean (non-tangent) cut of the same shape stays un-suspect
+    out2 = split_polygons(df, max_points=600, expand=0.0001)
+    assert out2.filter("was_split and cut_suspect").count() == 0
