@@ -42,6 +42,49 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _segments_main(argv: list[str]) -> int:
+    """segments SEGFILE1 SEGFILE2 [--dump] [--geom DIR] — the
+    osmcoastline_segments tool over parquet segment tables."""
+    sp = argparse.ArgumentParser(prog="osmcoastline_spark segments")
+    sp.add_argument("seg1")
+    sp.add_argument("seg2")
+    sp.add_argument("-d", "--dump", action="store_true")
+    sp.add_argument("-g", "--geom", default=None, help="write 'changes' layer here")
+    sp.add_argument("--master", default=None)
+    try:
+        args = sp.parse_args(argv)
+    except SystemExit as e:
+        return 4 if e.code not in (0, None) else 0
+
+    from pyspark.sql import SparkSession
+
+    from osmcoastline_spark.operators.segments_diff import (
+        changes_layer,
+        diff_segments,
+        dump_changes,
+        read_segments,
+    )
+    from osmcoastline_spark.session import get_spark
+
+    pre_existing = SparkSession.getActiveSession() is not None
+    spark = get_spark("osmcoastline_segments", master=args.master)
+    spark.sparkContext.setLogLevel("ERROR")
+    removed, added = diff_segments(
+        read_segments(spark, args.seg1), read_segments(spark, args.seg2)
+    )
+    removed = removed.persist()
+    added = added.persist()
+    n_rem, n_add = removed.count(), added.count()
+    if args.dump:
+        print(dump_changes(removed, added), end="")
+    elif args.geom:
+        changes_layer(removed, added).write.mode("overwrite").parquet(args.geom)
+    code = 0 if (n_rem == 0 and n_add == 0) else 1
+    if not pre_existing:
+        spark.stop()
+    return code
+
+
 def main(argv: list[str] | None = None) -> int:
     raw = sys.argv[1:] if argv is None else argv
     if raw and raw[0] == "readmeta":
@@ -50,6 +93,12 @@ def main(argv: list[str] | None = None) -> int:
         from osmcoastline_spark.readmeta import main as readmeta_main
 
         return readmeta_main(raw[1:])
+    if raw and raw[0] == "segments":
+        # `osmcoastline_segments` parity subcommand (reference
+        # src/osmcoastline_segments.cpp:118-204): diff two segment tables;
+        # exit 0 = equal, 1 = different. --dump prints the text diff;
+        # --geom DIR writes the 'changes' layer.
+        return _segments_main(raw[1:])
     try:
         args = build_parser().parse_args(argv)
     except SystemExit as e:

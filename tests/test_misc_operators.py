@@ -258,3 +258,27 @@ def test_segments_dump_and_changes_layer(spark):
         (0, (5.5, 7.0), (6.25, 8.0)),
         (1, (9.0, 11.0), (10.0, 12.1234567)),
     }
+
+
+def test_cli_segments_subcommand(spark, tmp_path):
+    """osmcoastline_segments CLI parity: exit 0 on equal tables, exit 1 +
+    --dump text / --geom layer on differing ones."""
+    from osmcoastline_spark.cli import main as cli_main
+    from osmcoastline_spark.operators.segments_diff import write_segments
+
+    a = spark.createDataFrame(
+        [(1.0, 2.0, 3.0, 4.0)], "x1 double, y1 double, x2 double, y2 double"
+    )
+    b = spark.createDataFrame(
+        [(5.0, 6.0, 7.0, 8.0)], "x1 double, y1 double, x2 double, y2 double"
+    )
+    p1, p2, p3 = str(tmp_path / "s1"), str(tmp_path / "s2"), str(tmp_path / "s3")
+    write_segments(a, p1)
+    write_segments(a, p2)
+    write_segments(b, p3)
+    assert cli_main(["segments", p1, p2]) == 0
+    assert cli_main(["segments", p1, p3, "--dump"]) == 1
+    geom_dir = str(tmp_path / "changes")
+    assert cli_main(["segments", p1, p3, "--geom", geom_dir]) == 1
+    layer = {(r.change, tuple(r.xs)) for r in spark.read.parquet(geom_dir).collect()}
+    assert layer == {(0, (1.0, 3.0)), (1, (5.0, 7.0))}
