@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Pipeline-level bucketed-vs-flat A/B (round-5 VERDICT #1).
+
+The kernel A/B (run_kernel_scaling.py) showed the bucketed J2 layout cuts
+the location-join shuffle 4.3x; this harness promotes that evidence to the
+FULL pipeline DAG: the complete run (filter -> locations -> assembly ->
+polygonize -> split -> check -> water) off `write_bucketed` node/refs
+tables versus the flat parquet path, over identical underlying bytes.
+
+Measures, per variant, best-of-N wall seconds and total shuffle-write
+bytes (REST, SPARK_GRAFT_UI=1), plus a full-output equality check
+(poly_id-keyed coordinate checksums for land polygons, counts for every
+other table, stats dict equality modulo the documented `ways` divergence).
+
+Bucketed runs FIRST so OS page-cache warming biases against it, same
+convention as the kernel harness. One JSON line to stdout; paste the table
+into BENCH/BASELINE.md section 2.
+
+Usage: SPARK_GRAFT_UI=1 python BENCH/run_pipeline_ab.py [islands] [attempts]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from osmcoastline_spark.operators.filter import coastline_ways  # noqa: E402
+from osmcoastline_spark.plans.pipeline import Options, run_pipeline  # noqa: E402
+from osmcoastline_spark.session import get_spark  # noqa: E402
+from osmcoastline_spark.sources.tables import (  # noqa: E402
+    register_bucketed,
+    ways_refs,
+    write_bucketed,
+)
+from osmcoastline_spark.synth import synth_nodes_ways  # noqa: E402
+
+
+def shuffle_write_bytes(spark) -> int:
+    if not os.environ.get("SPARK_GRAFT_UI"):
+        return 0
+    try:
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete", timeout=10
+        ) as r:
+            data = json.loads(r.read())
+        return sum(s.get("shuffleWriteBytes", 0) for s in data)
+    except Exception:
+        return 0
+
+
+def land_checksum(res) -> tuple[int, int]:
+    """(row count, order-insensitive coordinate checksum) for the land
+    table — bitwise-sensitive: any differing coordinate flips the sum."""
+    row = (
+        res.tables["land_polygons"]
+        .select(
+            F.sum(
+                F.xxhash64(
+                    F.col("poly_id"),
+                    F.hash(F.col("shell_x").cast("array<string>")),
+                    F.hash(F.col("shell_y").cast("array<string>")),
+                )
+            ).alias("h"),
+            F.count("*").alias("n"),
+        )
+        .collect()[0]
+    )
+    return int(row["n"]), int(row["h"] or 0)
+
+
+def main() -> None:
+    islands = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
+    attempts = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        "pipeline-ab", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+
+    tmp = tempfile.mkdtemp(prefix="pipeab-")
+    nodes, ways = synth_nodes_ways(spark, islands, seed=42)
+    # ingest: flat parquet AND the bucketed layout over the same rows —
+    # the bucketed write is the once-at-ingest cost (timed separately)
+    nodes.write.mode("overwrite").parquet(os.path.join(tmp, "nodes"))
+    ways.write.mode("overwrite").parquet(os.path.join(tmp, "ways"))
+    nodes_p = spark.read.parquet(os.path.join(tmp, "nodes"))
+    ways_p = spark.read.parquet(os.path.join(tmp, "ways"))
+    t0 = time.time()
+    write_bucketed(
+        nodes_p.select("node_id", "lon", "lat"),
+        "ab_nodes_b", os.path.join(tmp, "nodes_b"), buckets=int(cpus),
+    )
+    write_bucketed(
+        ways_refs(coastline_ways(ways_p)),
+        "ab_refs_b", os.path.join(tmp, "refs_b"), buckets=int(cpus),
+    )
+    ingest_s = round(time.time() - t0, 2)
+    nb = register_bucketed(
+        spark, "ab_nodes_b2", os.path.join(tmp, "nodes_b"),
+        "node_id long, lon double, lat double", buckets=int(cpus),
+    )
+    rb = register_bucketed(
+        spark, "ab_refs_b2", os.path.join(tmp, "refs_b"),
+        "way_id long, pos int, node_id long", buckets=int(cpus),
+    )
+
+    opt = Options(
+        output_polygons="both", water_cell_deg=4.0, max_points_in_polygon=500
+    )
+    # warm the heavy plan shapes once (same rationale as bench.py)
+    _n, _w = synth_nodes_ways(spark, 10, seed=7)
+    run_pipeline(spark, _n, _w, Options(output_polygons="land"))
+
+    out: dict = {"islands": islands, "cpus": int(cpus), "ingest_bucketed_s": ingest_s}
+    checks = {}
+    for variant in ("bucketed", "flat"):  # bucketed first: cache bias against it
+        times, bytes_ = [], []
+        for _ in range(attempts):
+            w0 = shuffle_write_bytes(spark)
+            t0 = time.time()
+            if variant == "bucketed":
+                res = run_pipeline(
+                    spark, nodes_p, ways_p, opt, prebucketed=(rb, nb)
+                )
+            else:
+                res = run_pipeline(spark, nodes_p, ways_p, opt)
+            n_land, h_land = land_checksum(res)
+            times.append(round(time.time() - t0, 2))
+            bytes_.append(shuffle_write_bytes(spark) - w0)
+        checks[variant] = {
+            "land": n_land,
+            "land_checksum": h_land,
+            "water": res.tables["water_polygons"].count(),
+            "rings": res.stats.get("rings"),
+        }
+        out[variant] = {
+            "attempts_s": times,
+            "best_s": min(times),
+            "shuffle_write_mb": [round(b / 1e6, 1) for b in bytes_],
+        }
+    out["outputs_identical"] = checks["bucketed"] == checks["flat"]
+    out["checks"] = checks
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,6 +43,42 @@ from osmcoastline_spark.streaming.events import windowed_counts_batch
 _SHIPPED: set = set()
 
 
+def _package_zip(pkg_dir: str, out_dir: str = "/tmp") -> str:
+    """Build (or reuse) a content-addressed zip of the package's .py files.
+
+    Content-addressed naming is load-bearing: a cached zip from an older
+    source tree must never shadow the live package on executors — the
+    userFiles dir precedes PYTHONPATH in worker sys.path, and a stale
+    fixed-name /tmp zip silently ran round-old worker code until the
+    schemas drifted apart (round-5 bug: split_batch missing cut_suspect)."""
+    import hashlib
+    import zipfile
+
+    members = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in files:
+            if fn.endswith(".py"):
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                members.append((full, rel))
+    members.sort(key=lambda m: m[1])
+    digest = hashlib.sha256()
+    for full, rel in members:
+        digest.update(rel.encode())
+        with open(full, "rb") as f:
+            digest.update(f.read())
+    zip_path = os.path.join(
+        out_dir, f"osmcoastline_spark_pyfiles-{digest.hexdigest()[:12]}.zip"
+    )
+    if not os.path.exists(zip_path):
+        tmp = zip_path + f".{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for full, rel in members:
+                zf.write(full, rel)
+        os.replace(tmp, zip_path)  # atomic vs concurrent sessions
+    return zip_path
+
+
 def _ensure_pkg(spark: SparkSession) -> None:
     """Ship osmcoastline_spark to executors regardless of how the session
     was built (the driver creates its own SparkSession; python workers
@@ -52,20 +88,9 @@ def _ensure_pkg(spark: SparkSession) -> None:
     key = id(sc)
     if key in _SHIPPED:
         return
-    import zipfile
-
     pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "osmcoastline_spark")
-    zip_path = os.path.join("/tmp", "osmcoastline_spark_pyfiles.zip")
-    if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                        zf.write(full, rel)
     try:
-        sc.addPyFile(zip_path)
+        sc.addPyFile(_package_zip(pkg_dir))
     except Exception:
         pass  # already added or unsupported — PYTHONPATH fallback applies
     _SHIPPED.add(key)
@@ -633,10 +658,15 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (rows-only check: Gaussian hyperplanes aren't SQL).
-    dim passed explicitly — no driver action in the plan."""
+    """LSH ANN, wide-band configuration (3 tables × 4 bits vs the exact
+    twin's 2×6): more tables + coarser buckets → larger candidate sets, a
+    different join/banding shape over the same kernel. Round-5 VERDICT #2:
+    deterministic md5-parity planes so this row is full value-hash green
+    (previously Gaussian planes, rows-only). The float-Gaussian variant
+    (similarity.lsh_topk) remains pytest-covered by its recall test —
+    float plane sums aren't bit-portable across engines by construction."""
     emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
-    return S.lsh_topk(emb, k=3, bits=6, n_tables=2, dim=64)
+    return S.lsh_topk_exact(emb, k=3, bits=4, n_tables=3, dim=64)
 
 
 def q_embedding_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1078,13 +1108,70 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, nbr_id, cos, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 3
         """,
-        # q_embedding_lsh_topk: intentionally no oracle (random hyperplanes
-        # are not SQL-expressible) — rows-only check. Its oracle-able twin
-        # below replaces every float-seeded step with portable arithmetic:
+        # Both LSH rows are full value-hash oracled (round-5 VERDICT #2):
+        # every float-seeded step is replaced with portable arithmetic —
         # integer quantization (float32→double is exact, then one rounded
         # multiply+floor), md5-hex-parity ±1 planes, exact int64 bucket
         # sums, and a cosine whose double expression shape
         # dot/(sqrt(na)*sqrt(nb)) is single-rounded identically everywhere.
+        # q_embedding_lsh_topk = wide-band config (3 tables × 4 bits);
+        # q_embedding_lsh_exact = 2 × 6.
+        "q_embedding_lsh_topk": """
+            WITH emb AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+            ),
+            e AS (
+              SELECT vec_id,
+                     generate_subscripts(embedding, 1) AS d1,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q
+              FROM emb
+            ),
+            signs AS (
+              SELECT t.range AS t, b.range AS b, d.range AS d,
+                     CASE WHEN strpos('02468ace',
+                            substring(md5(concat(t.range, ':', b.range, ':', d.range)), 1, 1)) > 0
+                          THEN 1 ELSE -1 END AS s
+              FROM range(0, 3) t, range(0, 4) b, range(0, 64) d
+            ),
+            bits AS (
+              SELECT e.vec_id, s.t, s.b,
+                     CASE WHEN sum(s.s * e.q) > 0 THEN 1 ELSE 0 END AS bit
+              FROM e JOIN signs s ON s.d = e.d1 - 1
+              GROUP BY 1, 2, 3
+            ),
+            buckets AS (
+              SELECT vec_id, t, sum(bit * (1::BIGINT << b)) AS bk
+              FROM bits GROUP BY 1, 2
+            ),
+            norms AS (SELECT vec_id, sum(q * q) AS nq FROM e GROUP BY 1),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS nbr_id
+              FROM buckets a JOIN buckets b ON a.t = b.t AND a.bk = b.bk
+              WHERE a.vec_id <> b.vec_id
+            ),
+            dots AS (
+              SELECT c.query_id, c.nbr_id, sum(ea.q * eb.q) AS dq
+              FROM cand c
+              JOIN e ea ON ea.vec_id = c.query_id
+              JOIN e eb ON eb.vec_id = c.nbr_id AND eb.d1 = ea.d1
+              GROUP BY 1, 2
+            ),
+            scored AS (
+              SELECT d.query_id, d.nbr_id,
+                     CAST(d.dq AS DOUBLE)
+                       / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) AS cos
+              FROM dots d
+              JOIN norms na ON na.vec_id = d.query_id
+              JOIN norms nb ON nb.vec_id = d.nbr_id
+            ),
+            ranked AS (
+              SELECT query_id, nbr_id, cos,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, nbr_id, cos, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 3
+        """,
         "q_embedding_lsh_exact": """
             WITH emb AS (
               SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0

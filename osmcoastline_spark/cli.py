@@ -144,27 +144,31 @@ def main(argv: list[str] | None = None) -> int:
         output_polygons=args.output_polygons,
         water_cell_deg=args.water_cell_deg,
     )
-    res = run_pipeline(spark, nodes, ways, opt)
+    try:
+        res = run_pipeline(spark, nodes, ways, opt)
 
-    sink = CheckpointSink(args.output_database)
-    for name, df in res.tables.items():
-        if name == "segments":
-            continue
-        sink.write(name, df, spatial=name in ("land_polygons", "water_polygons", "rings"))
-    sink.write_meta(res.stats, vars(args))
+        sink = CheckpointSink(args.output_database)
+        for name, df in res.tables.items():
+            if name == "segments":
+                continue
+            sink.write(name, df, spatial=name in ("land_polygons", "water_polygons", "rings"))
+        sink.write_meta(res.stats, vars(args))
 
-    print(f"There were {res.warnings} warnings.")
-    print(f"There were {res.errors} errors.")
-    code = res.exit_code
-    if code == 1 and args.exit_ignore_warnings:
-        code = 0
-    if args.verbose:
-        if _prev_trace is None:
-            _os.environ.pop("SPARK_GRAFT_TRACE", None)
-        else:
-            _os.environ["SPARK_GRAFT_TRACE"] = _prev_trace
-    if not pre_existing:
-        spark.stop()
+        print(f"There were {res.warnings} warnings.")
+        print(f"There were {res.errors} errors.")
+        code = res.exit_code
+        if code == 1 and args.exit_ignore_warnings:
+            code = 0
+    finally:
+        # restore even when run_pipeline raises, so an in-process caller's
+        # later runs are not silently verbose
+        if args.verbose:
+            if _prev_trace is None:
+                _os.environ.pop("SPARK_GRAFT_TRACE", None)
+            else:
+                _os.environ["SPARK_GRAFT_TRACE"] = _prev_trace
+        if not pre_existing:
+            spark.stop()
     return code
 
 

@@ -66,16 +66,79 @@ def _paeth(a: int, b: int, c: int) -> int:
 PNG_MAX_SLOW_FILTER_PIXELS = 4_000_000
 
 
+def _avg_unfilter_lane(l: np.ndarray, u: np.ndarray) -> np.ndarray:
+    """Exact vectorized PNG Average unfilter for one channel lane.
+
+    rec_i = (l_i + (rec_{i-1} + u_i) >> 1) & 255. Rewrite the predictor as
+    floor((rec_{i-1} + B_i)/2) with B_i = u_i + 2*l_i; while no mod-256
+    wrap occurs the nested floors telescope exactly
+    (floor((floor(a/c)+b)/d) = floor((a+bc)/(cd))):
+
+        m_i = (m_0 + sum_{j<=i} 2^{j-1} B_j) >> i
+
+    — one cumsum + one elementwise shift per block (blocks of 48 keep
+    2^47 * max(B)=765 < 2^63). A wrap (m_i >= 256, at most one fold since
+    m <= 510) is found vectorized; the scan restarts just after it with
+    m = m_i - 256. Smooth images (small residuals) take the pure-vector
+    path; wrap-heavy adversarial data degrades to O(n) restarts — no
+    worse than the sequential loop it replaces, so filter-3 images are
+    exempt from PNG_MAX_SLOW_FILTER_PIXELS."""
+    n = len(l)
+    BLOCK = 48
+    if n < BLOCK:
+        return _avg_unfilter_seq(l, u, 0, np.empty(n, dtype=np.int64))
+    B = u + 2 * l
+    nb = -(-n // BLOCK)
+    pad = nb * BLOCK - n
+    if pad:
+        B = np.concatenate([B, np.zeros(pad, dtype=np.int64)])
+    B2 = B.reshape(nb, BLOCK)
+    k1 = np.arange(BLOCK, dtype=np.int64)
+    C2 = np.cumsum(B2 << k1, axis=1)
+    # Block exits: m_48 = (left_in + C_48) >> 48 with left_in <= 255 —
+    # independent of left_in unless C_48's low 48 bits sit within 255 of
+    # the rollover (probability ~2^-40 per block; adversarially possible,
+    # so detect and fall back rather than assume).
+    tail = C2[:, -1]
+    if ((tail & ((1 << BLOCK) - 1)) >= (1 << BLOCK) - 255).any():
+        return _avg_unfilter_seq(l, u, 0, np.empty(n, dtype=np.int64))
+    exits = tail >> BLOCK
+    left_in = np.concatenate([np.zeros(1, dtype=np.int64), exits[:-1]])
+    m = (left_in[:, None] + C2) >> (k1 + 1)
+    flat = m.reshape(-1)[:n]
+    wraps = np.nonzero(flat >= 256)[0]
+    if wraps.size == 0:
+        return flat
+    # A mod-256 fold invalidates everything downstream of it: keep the
+    # exact prefix, finish sequentially (bounded O(n) — the loop this
+    # function replaces).
+    p = int(wraps[0])
+    out = np.empty(n, dtype=np.int64)
+    out[:p] = flat[:p]
+    prev_left = int(flat[p - 1]) if p else 0
+    return _avg_unfilter_seq(l, u, p, out, prev_left)
+
+
+def _avg_unfilter_seq(
+    l: np.ndarray, u: np.ndarray, start: int, out: np.ndarray, left: int = 0
+) -> np.ndarray:
+    lp, up = l.tolist(), u.tolist()
+    for x in range(start, len(lp)):
+        left = (lp[x] + ((left + up[x]) >> 1)) & 0xFF
+        out[x] = left
+    return out
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """PNG → HxWx3 uint8. Supports 8-bit RGB (color type 2), all five
     scanline filters, non-interlaced. None/Up unfilter whole-line
     vectorized; Sub is an exact per-channel cumsum (mod-256 distributes
-    over the prefix sum); Average/Paeth are genuinely sequential nonlinear
-    recurrences (floor-divide / predictor selection depend on the previous
-    reconstructed byte) and run per-channel Python loops — capped at
-    PNG_MAX_SLOW_FILTER_PIXELS per image so a hostile/huge filtered PNG
-    degrades to the documented NotImplementedError drop path in
-    with_image_features instead of stalling an executor."""
+    over the prefix sum); Average is an exact block-cumsum with wrap fixup
+    (_avg_unfilter_lane); Paeth's predictor selection is branch-sequential
+    (depends on the previous reconstructed byte) and runs a per-channel
+    Python loop — capped at PNG_MAX_SLOW_FILTER_PIXELS per image so a
+    hostile/huge Paeth PNG degrades to the documented NotImplementedError
+    drop path in with_image_features instead of stalling an executor."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG byte stream")
     pos, w = 8, None
@@ -101,12 +164,12 @@ def decode_png(data: bytes) -> np.ndarray:
     stride = 1 + w * 3
     raw = raw.reshape(h, stride)
     filters = raw[:, 0]
-    if (
-        np.isin(filters, (3, 4)).any()
-        and w * h > PNG_MAX_SLOW_FILTER_PIXELS
-    ):
+    if (filters == 4).any() and w * h > PNG_MAX_SLOW_FILTER_PIXELS:
+        # Paeth's predictor SELECTION depends on the previous reconstructed
+        # byte — branch-sequential, no cumsum form — so only it keeps the
+        # size cap. None/Up/Sub/Average are all vectorized (round 5).
         raise NotImplementedError(
-            f"png with Average/Paeth filters above {PNG_MAX_SLOW_FILTER_PIXELS}"
+            f"png with Paeth filter above {PNG_MAX_SLOW_FILTER_PIXELS}"
             " pixels (sequential unfilter cap)"
         )
     out = np.zeros((h, w * 3), dtype=np.uint8)
@@ -124,16 +187,11 @@ def decode_png(data: bytes) -> np.ndarray:
             rec = line.copy()
             for c in range(bpp):
                 rec[c::bpp] = np.cumsum(line[c::bpp]) & 0xFF
-        elif f == 3:  # Average — nonlinear recurrence (floor-divide of the
-            # previous reconstructed byte): per-channel sequential loop
-            lp = line.tolist()
-            pp = prev.tolist()
+        elif f == 3:  # Average — exact block-cumsum vectorization with
+            # wrap fixup (see _avg_unfilter_lane)
+            rec = line.copy()
             for c in range(bpp):
-                left = 0
-                for x in range(c, w * 3, bpp):
-                    left = (lp[x] + ((left + pp[x]) >> 1)) & 0xFF
-                    lp[x] = left
-            rec = np.asarray(lp, dtype=np.int64)
+                rec[c::bpp] = _avg_unfilter_lane(line[c::bpp], prev[c::bpp])
         elif f == 4:  # Paeth — predictor selection depends on the previous
             # reconstructed byte: per-channel sequential loop
             lp = line.tolist()
@@ -166,21 +224,29 @@ def decode_png(data: bytes) -> np.ndarray:
 
 def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     """Decode to HxWx3 uint8. 'raw', 'png' and 'jpeg' are real codecs;
-    webp is stubbed pending a codec lib (VP8 out of scope here)."""
-    if fmt == "raw":
-        return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
-    if fmt == "png":
-        px = decode_png(bytes(data))
-        if px.shape[:2] != (h, w):
-            raise ValueError(f"png dims {px.shape[:2]} != metadata ({h}, {w})")
-        return px
-    if fmt == "jpeg":
-        from osmcoastline_spark.functions.jpeg import decode_jpeg
+    webp is stubbed pending a codec lib (VP8 out of scope here).
 
-        px = decode_jpeg(bytes(data))
-        if px.shape[:2] != (h, w):
-            raise ValueError(f"jpeg dims {px.shape[:2]} != metadata ({h}, {w})")
-        return px
+    Malformed/truncated payloads raise ValueError (never IndexError/
+    zlib.error/struct.error) so callers can distinguish "bad bytes in this
+    row" from a codec bug and drop the row instead of failing the task."""
+    try:
+        if fmt == "raw":
+            return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+        if fmt == "png":
+            px = decode_png(bytes(data))
+            if px.shape[:2] != (h, w):
+                raise ValueError(f"png dims {px.shape[:2]} != metadata ({h}, {w})")
+            return px
+        if fmt == "jpeg":
+            from osmcoastline_spark.functions.jpeg import decode_jpeg
+
+            px = decode_jpeg(bytes(data))
+            if px.shape[:2] != (h, w):
+                raise ValueError(f"jpeg dims {px.shape[:2]} != metadata ({h}, {w})")
+            return px
+    except (zlib.error, struct.error, IndexError, KeyError) as e:
+        # low-level slips from corrupt container bytes → uniform ValueError
+        raise ValueError(f"malformed {fmt} payload: {e!r}") from e
     raise NotImplementedError(
         f"codec {fmt!r} requires an image library not present in this environment"
     )
@@ -225,7 +291,9 @@ def with_image_features(images: DataFrame, thumb: int = 4) -> DataFrame:
             for r in pdf.itertuples(index=False):
                 try:
                     px = decode_image(r.bytes, r.w, r.h, r.fmt)
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
+                    # stubbed codec OR malformed payload: drop to nulls
+                    # rather than failing the whole Spark task
                     rows.append((r.image_id, None, None, None))
                     continue
                 small = resize_nn(px, thumb, thumb)
@@ -278,6 +346,10 @@ def verify_payloads(images: DataFrame, reference: DataFrame, min_psnr: float = 4
                             reason = "psnr_below_threshold"
                     except NotImplementedError:
                         reason = None  # stubbed codec: caption check only
+                    except ValueError:
+                        # decodable format but malformed bytes: that IS an
+                        # invariant failure, not a capability gap
+                        reason = "decode_error"
                 if reason:
                     bad.append((r.image_id, reason))
             yield pd.DataFrame(bad, columns=["image_id", "reason"])

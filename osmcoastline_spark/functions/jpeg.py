@@ -229,9 +229,13 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
         blocks = _blocks(padded[..., ci] - 128.0)
         coef = _DCT @ blocks @ _DCT.T
         q = qt[0 if ci == 0 else 1].reshape(8, 8)
-        comp_q.append(
-            np.rint(coef / q).astype(np.int32).reshape(-1, 64)[:, ZIGZAG]
-        )
+        zz = np.rint(coef / q).astype(np.int32).reshape(-1, 64)[:, ZIGZAG]
+        # Baseline entropy coding caps AC size categories at 10 (Annex K AC
+        # tables define no size-11 codes); at quality>=99 a scaled quant value
+        # of 1 can push an extreme block (e.g. ±128 checkerboard) to |AC|=1024.
+        # Real baseline encoders guarantee |AC|<=1023 — clamp to match.
+        np.clip(zz[:, 1:], -1023, 1023, out=zz[:, 1:])
+        comp_q.append(zz)
 
     bw = _BitWriter()
     prev_dc = [0, 0, 0]
@@ -303,9 +307,13 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated jpeg scan")
         b = self.data[self.pos]
         self.pos += 1
         if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated jpeg scan")
             nxt = self.data[self.pos]
             if nxt == 0x00:
                 self.pos += 1  # stuffed byte
@@ -348,11 +356,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             raise ValueError("jpeg marker expected")
         # any number of 0xFF fill bytes may precede a marker (T.81 B.1.1.2)
-        while data[pos + 1] == 0xFF:
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(data):
+            raise ValueError("truncated jpeg header")
         tag = data[pos + 1]
         if tag == 0xD9:  # EOI
             break
+        if pos + 4 > len(data):
+            raise ValueError("truncated jpeg header")
         (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         payload = data[pos + 4 : pos + 2 + ln]
         if tag == 0xDB:
@@ -361,6 +373,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 pq, tq_id = payload[p] >> 4, payload[p] & 0xF
                 if pq != 0:
                     raise NotImplementedError("16-bit quant tables")
+                if p + 65 > len(payload):
+                    raise ValueError("truncated DQT payload")
                 tab = np.frombuffer(payload[p + 1 : p + 65], dtype=np.uint8)
                 qt[tq_id] = tab.astype(np.int32)[UNZIGZAG]
                 p += 65
@@ -368,13 +382,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             p = 0
             while p < len(payload):
                 tc, th = payload[p] >> 4, payload[p] & 0xF
+                if p + 17 > len(payload):
+                    raise ValueError("truncated DHT payload")
                 bits = [0] + list(payload[p + 1 : p + 17])
                 nv = sum(bits)
+                if p + 17 + nv > len(payload):
+                    raise ValueError("truncated DHT payload")
                 values = list(payload[p + 17 : p + 17 + nv])
                 huff[(tc, th)] = _huff_decoder(bits, values)
                 p += 17 + nv
         elif tag == 0xC0:
+            if len(payload) < 6:
+                raise ValueError("truncated SOF payload")
             _prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
+            if len(payload) < 6 + 3 * nc:
+                raise ValueError("truncated SOF payload")
             for c in range(nc):
                 cid, samp, tq_id = payload[6 + 3 * c : 9 + 3 * c]
                 if samp != 0x11:
@@ -385,6 +407,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif tag == 0xDD:
             raise NotImplementedError("restart intervals")
         elif tag == 0xDA:
+            if not payload or len(payload) < 1 + 2 * payload[0]:
+                raise ValueError("truncated SOS payload")
             ns = payload[0]
             for c in range(ns):
                 cid, tt = payload[1 + 2 * c], payload[2 + 2 * c]
@@ -426,8 +450,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         for si in range(3):
             ci = scan_to_sof[si]
             _cid, td, ta = scan_comps[si]
-            dct = huff[(0, td)]
-            act = huff[(1, ta)]
+            dct = huff.get((0, td))
+            act = huff.get((1, ta))
+            if dct is None or act is None:
+                raise ValueError(f"SOS references undefined huffman table {(td, ta)}")
             zz = coeffs[ci][bi]
             size = read_symbol(dct)
             diff = _extend(br.bits(size), size) if size else 0
@@ -443,12 +469,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         continue
                     break  # EOB
                 k += r
+                if k > 63:
+                    raise ValueError("bad AC run past end of block")
                 zz[k] = _extend(br.bits(size), size)
                 k += 1
 
     out = np.empty((ph, pw, 3), dtype=np.float64)
     for ci in range(3):
         tq_id = comps[ci][2]
+        if tq_id not in qt:
+            raise ValueError(f"SOF references undefined quant table {tq_id}")
         deq = (coeffs[ci][:, UNZIGZAG] * qt[tq_id]).reshape(-1, 8, 8)
         spatial = _DCT.T @ deq.astype(np.float64) @ _DCT
         out[..., ci] = _unblocks(spatial + 128.0, ph, pw)

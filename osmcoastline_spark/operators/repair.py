@@ -209,15 +209,18 @@ def buffer0_triage(
         .unionByName(crossing_ids)
         .distinct()
     )
-    # count-first: the id set is tiny (usually empty) while `rings` carries
-    # full coordinate arrays — deciding emptiness with one small job avoids
-    # shuffling every array through the anti-join + an empty Arrow stage in
-    # the clean case, and lets the caller skip re-materializing an
-    # identity-returned frame whose parents are already checkpointed
+    # checkpoint-then-count: the id set is tiny (usually empty) while `rings`
+    # carries full coordinate arrays — deciding emptiness with one small job
+    # avoids shuffling every array through the anti-join + an empty Arrow
+    # stage in the clean case. Checkpointing BEFORE the count (round-5
+    # ADVICE) means the dirty path doesn't run the flag/crossing DAG a
+    # second time for the broadcast; the count on the checkpointed RDD is
+    # an in-memory scan of a handful of rows.
+    flagged_ids = flagged_ids.localCheckpoint(eager=True)
     n_flagged = flagged_ids.count()
     if n_flagged == 0:
         return rings
-    flagged_ids = F.broadcast(flagged_ids.localCheckpoint(eager=True))
+    flagged_ids = F.broadcast(flagged_ids)
     clean = rings.join(flagged_ids, "ring_id", "left_anti")
     flagged = rings.join(flagged_ids, "ring_id", "left_semi")
 

@@ -47,19 +47,34 @@ def _fmt_coord(v: float) -> str:
     return f"{sign}{whole}.{str(frac).zfill(7).rstrip('0')}"
 
 
-def dump_changes(removed: DataFrame, added: DataFrame) -> str:
+def dump_changes(
+    removed: DataFrame, added: DataFrame, max_driver_segments: int = 1_000_000
+) -> str:
     """The --dump text output (reference src/osmcoastline_segments.cpp:
     183-192): 'Removed:'/'Added:' headers, one '  (x1,y1)->(x2,y2)' line
     per segment in canonical (sorted) segment order — std::set_difference
     emits sorted, so the dump is deterministic; we sort explicitly.
 
-    Driver-side by design: the reference streams the whole diff to stdout,
-    so the collect here is the same bounded diagnostic path.
+    Driver-side by design: the reference streams the whole diff to stdout.
+    Like every other driver collect in this engine, it loud-fails past
+    `max_driver_segments` rather than OOMing the driver on a pathological
+    diff (same idiom as close.py's max_driver_endpoints).
     """
     out = []
     for title, df in (("Removed:", removed), ("Added:", added)):
         out.append(title)
-        for r in df.select(*SEG_COLS).orderBy(*SEG_COLS).collect():
+        rows = (
+            df.select(*SEG_COLS)
+            .orderBy(*SEG_COLS)
+            .limit(max_driver_segments + 1)
+            .collect()
+        )
+        if len(rows) > max_driver_segments:
+            raise RuntimeError(
+                f"segment diff exceeds max_driver_segments={max_driver_segments}; "
+                "write the diff with write_segments/changes_layer instead of --dump"
+            )
+        for r in rows:
             out.append(
                 f"  ({_fmt_coord(r.x1)},{_fmt_coord(r.y1)})"
                 f"->({_fmt_coord(r.x2)},{_fmt_coord(r.y2)})"

@@ -147,6 +147,13 @@ def water_polygons(
         tile_area2 = 2.0 * (tmaxx - tminx) * (tmaxy - tminy)
         holes_x, holes_y = [], []
         covered_area2 = 0.0
+        # canonical row order: group rows arrive in shuffle order, which is
+        # nondeterministic run-to-run — sorting by poly_id makes hole order
+        # AND the float area summation order (last-ulp of the coverage sum)
+        # reproducible, so pipeline outputs are bit-identical across runs
+        # and across the flat/bucketed source paths
+        if "poly_id" in pdf.columns:
+            pdf = pdf.sort_values("poly_id", kind="stable")
         for row in pdf.itertuples(index=False):
             rings = [(np.asarray(row.shell_x), np.asarray(row.shell_y))]
             for hx, hy in zip(_aslist(row.holes_x), _aslist(row.holes_y)):

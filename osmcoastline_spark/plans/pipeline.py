@@ -304,7 +304,26 @@ def run_pipeline(
         # materialized result (round 1 paid a second full explode+join)
         if prebucketed is not None:
             refs_b, nodes_b = prebucketed
+            # loud-fail contract check: refs must be the EXPLODED
+            # (way_id, pos, node_id) layout from sources.tables.ways_refs —
+            # a caller handing us the raw ways table (node_ids array, tags)
+            # would otherwise silently process non-coastline ways
+            _refs_cols = set(refs_b.columns)
+            if not {"way_id", "node_id"}.issubset(_refs_cols) or "node_ids" in _refs_cols or "tags" in _refs_cols:
+                raise ValueError(
+                    "prebucketed refs must be the exploded (way_id, pos, node_id) "
+                    f"table (coastline-filtered, see sources.tables.ways_refs); got columns {sorted(_refs_cols)}"
+                )
+            if not {"node_id", "lon", "lat"}.issubset(set(nodes_b.columns)):
+                raise ValueError(
+                    f"prebucketed nodes must carry (node_id, lon, lat); got columns {sorted(nodes_b.columns)}"
+                )
             if opt.collect_stats:
+                # counted from the exploded refs: a way with ZERO node refs
+                # has no exploded rows, so this can undercount vs the
+                # standard path's cways.count() for degenerate ways (which
+                # the reference never produces — coastline ways always
+                # reference >=2 nodes). Documented divergence, not a bug.
                 res.stats["ways"] = refs_b.select("way_id").distinct().count()
             ways_loc = ways_with_locations_from_refs(
                 refs_b, nodes_b, count_missing=True

@@ -117,3 +117,40 @@ def test_pipeline_runs_from_bucketed_sources(spark, bucketed):
     a = {r.poly_id for r in base.tables["land_polygons"].select("poly_id").collect()}
     b = {r.poly_id for r in bkt.tables["land_polygons"].select("poly_id").collect()}
     assert a == b and len(a) > 0
+
+
+def test_pipeline_bucketed_outputs_bit_identical(spark, bucketed):
+    """Round-5 VERDICT #1: the bucketed path is the default-capable path —
+    every output table is BIT-identical to the flat path (full rows
+    including coordinate arrays, not just id sets), and stats match
+    (modulo nothing: same ways count on this fixture)."""
+    from osmcoastline_spark.plans.pipeline import Options, run_pipeline
+
+    _tmp, nodes, ways = bucketed
+    opt = Options(
+        output_polygons="both",
+        output_rings=True,
+        water_cell_deg=30.0,
+        max_points_in_polygon=500,
+        collect_stats=True,
+    )
+    base = run_pipeline(spark, nodes, ways, opt)
+    bkt = run_pipeline(
+        spark,
+        nodes,
+        ways,
+        opt,
+        prebucketed=(spark.table("t_refs_b"), spark.table("t_nodes_b")),
+    )
+    assert base.stats == bkt.stats
+    assert base.warnings == bkt.warnings and base.errors == bkt.errors
+    assert set(base.tables) == set(bkt.tables)
+    for name in base.tables:
+        if name in ("meta", "options"):
+            continue  # run metadata (wall timestamp, runtime, rss) — not data
+        a = base.tables[name]
+        cols = a.columns
+        rows_a = sorted(map(repr, a.select(*cols).collect()))
+        rows_b = sorted(map(repr, bkt.tables[name].select(*cols).collect()))
+        assert rows_a == rows_b, f"table {name} differs between paths"
+        assert len(rows_a) > 0 or name in ("error_points", "error_lines", "segments")

@@ -485,3 +485,90 @@ def test_png_unfilter_throughput_and_cap():
         )
     finally:
         I.PNG_MAX_SLOW_FILTER_PIXELS = old
+
+
+def test_jpeg_extreme_quality_and_corrupt_robustness(spark):
+    """Round-5 ADVICE: (a) quality>=99 on a ±128 checkerboard must not hit
+    undefined size-11 AC Huffman codes (clamp to |AC|<=1023 like real
+    baseline encoders); (b) corrupt/truncated streams raise ValueError —
+    never IndexError/KeyError — and with_image_features drops the row
+    instead of failing the Spark task."""
+    import numpy as np
+
+    from osmcoastline_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    checker = (((xx + yy) % 2) * 255).astype(np.uint8)
+    px = np.stack([checker] * 3, axis=-1)
+    for q in (99, 100):
+        data = encode_jpeg(px, quality=q)  # KeyError before the clamp
+        out = decode_jpeg(data)
+        assert out.shape == px.shape
+
+    good = encode_jpeg(px, quality=85)
+    corrupt_cases = [
+        good[: len(good) // 2],          # truncated mid-scan
+        good[:-40],                       # truncated (drops EOI + tail)
+        good[:2],                         # SOI only
+        good[:20],                        # truncated header
+        # all-ones entropy bytes: no Annex K huffman code is 16 ones →
+        # read_symbol must fail with ValueError, not loop or index out
+        good[:-12] + b"\xff\x00" * 5 + good[-2:],
+    ]
+    for bad in corrupt_cases:
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg(bad)
+
+    # hostile payload in a DataFrame: row drops to nulls, task survives
+    schema = "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+    df = spark.createDataFrame(
+        [
+            ("ok", bytearray(good), 16, 16, "jpeg", "c", 0),
+            ("bad", bytearray(good[: len(good) // 2]), 16, 16, "jpeg", "c", 0),
+            ("badpng", bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16), 4, 4, "png", "c", 0),
+        ],
+        schema,
+    )
+    feats = {r.image_id: r for r in I.with_image_features(df).collect()}
+    assert feats["ok"].computed_phash is not None
+    assert feats["bad"].computed_phash is None and feats["bad"].thumb is None
+    assert feats["badpng"].computed_phash is None
+
+    # verify_payloads: malformed bytes in a decodable format is an
+    # invariant FAILURE (decode_error), not a silent caption-only pass
+    ref = spark.createDataFrame(
+        [("bad", bytearray(good), 16, 16, "jpeg", "c", 0)], schema
+    )
+    out = I.verify_payloads(df.filter("image_id = 'bad'"), ref).collect()
+    assert len(out) == 1 and out[0].reason == "decode_error"
+
+
+def test_png_average_unfilter_vectorized_no_cap():
+    """Round-5 VERDICT #8: Average (filter 3) unfilters via the exact
+    block-cumsum vectorization and is exempt from the slow-filter size cap
+    (only Paeth keeps it). Exactness on wrap-heavy random data is covered
+    by the fallback path inside _avg_unfilter_lane."""
+    import time
+
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    big = rng.integers(0, 256, size=(512, 512, 3), dtype=np.uint8)
+    data = _encode_png_with_filters(big, [3])
+    old = I.PNG_MAX_SLOW_FILTER_PIXELS
+    I.PNG_MAX_SLOW_FILTER_PIXELS = 1000
+    try:
+        # above the former cap: filter-3 decodes exactly (no drop path)
+        assert np.array_equal(I.decode_png(data), big)
+    finally:
+        I.PNG_MAX_SLOW_FILTER_PIXELS = old
+    # smooth content (the real-photo case) takes the pure-vector path:
+    # a 1024x1024 gradient decodes well under a second
+    yy, xx = np.mgrid[0:1024, 0:1024]
+    smooth = np.stack([(xx // 8) % 256, (yy // 8) % 256, ((xx + yy) // 16) % 256], axis=-1).astype(np.uint8)
+    data2 = _encode_png_with_filters(smooth, [3])
+    t0 = time.time()
+    out = I.decode_png(data2)
+    dt = time.time() - t0
+    assert np.array_equal(out, smooth)
+    assert dt < 2.0, f"filter-3 vectorized decode took {dt:.2f}s"

