@@ -62,18 +62,15 @@ def shuffle_write_bytes(spark) -> int:
 def land_checksum(res) -> tuple[int, int]:
     """(row count, order-insensitive coordinate checksum) for the land
     table — bitwise-sensitive: any differing coordinate flips the sum."""
+    h = F.xxhash64(
+        F.col("poly_id"),
+        F.hash(F.col("shell_x").cast("array<string>")),
+        F.hash(F.col("shell_y").cast("array<string>")),
+    )
     row = (
         res.tables["land_polygons"]
-        .select(
-            F.sum(
-                F.xxhash64(
-                    F.col("poly_id"),
-                    F.hash(F.col("shell_x").cast("array<string>")),
-                    F.hash(F.col("shell_y").cast("array<string>")),
-                )
-            ).alias("h"),
-            F.count("*").alias("n"),
-        )
+        .select(h.alias("h"))
+        .agg(F.expr("bit_xor(h)").alias("h"), F.count("*").alias("n"))
         .collect()[0]
     )
     return int(row["n"]), int(row["h"] or 0)
