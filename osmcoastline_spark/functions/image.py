@@ -223,8 +223,9 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
-    """Decode to HxWx3 uint8. 'raw', 'png' and 'jpeg' are real codecs;
-    webp is stubbed pending a codec lib (VP8 out of scope here).
+    """Decode to HxWx3 uint8. 'raw', 'png', 'jpeg' and 'webp' (VP8L
+    lossless subset — see functions/webp.py; lossy VP8 remains out of
+    scope) are real codecs.
 
     Malformed/truncated payloads raise ValueError (never IndexError/
     zlib.error/struct.error) so callers can distinguish "bad bytes in this
@@ -243,6 +244,13 @@ def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
             px = decode_jpeg(bytes(data))
             if px.shape[:2] != (h, w):
                 raise ValueError(f"jpeg dims {px.shape[:2]} != metadata ({h}, {w})")
+            return px
+        if fmt == "webp":
+            from osmcoastline_spark.functions.webp import decode_webp
+
+            px = decode_webp(bytes(data))
+            if px.shape[:2] != (h, w):
+                raise ValueError(f"webp dims {px.shape[:2]} != metadata ({h}, {w})")
             return px
     except (zlib.error, struct.error, IndexError, KeyError) as e:
         # low-level slips from corrupt container bytes → uniform ValueError

@@ -138,8 +138,19 @@ def test_image_roundtrip_and_psnr(spark):
 
 
 def test_image_stub_codec(spark):
+    # unknown formats keep the documented NotImplementedError drop path
     with pytest.raises(NotImplementedError):
+        I.decode_image(b"xx", 1, 1, "avif")
+    # webp is a real codec since round 5: garbage bytes are a decode
+    # error (per-row drop), not a capability gap
+    with pytest.raises(ValueError):
         I.decode_image(b"xx", 1, 1, "webp")
+    # lossy VP8 stays out of scope, surfaced as NotImplementedError
+    import struct
+
+    vp8 = b"RIFF" + struct.pack("<I", 16) + b"WEBP" + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
+    with pytest.raises(NotImplementedError):
+        I.decode_image(vp8, 1, 1, "webp")
 
 
 def test_ivf_topk_recall(spark):
@@ -572,3 +583,53 @@ def test_png_average_unfilter_vectorized_no_cap():
     dt = time.time() - t0
     assert np.array_equal(out, smooth)
     assert dt < 2.0, f"filter-3 vectorized decode took {dt:.2f}s"
+
+
+def test_webp_codec_roundtrip():
+    """Round-5 VERDICT #5: from-scratch VP8L-lossless subset codec
+    (functions/webp.py) — the last stubbed format is real. Lossless:
+    bit-equal pixels through both the literal and RLE-backref paths;
+    container and subset violations raise cleanly."""
+    import numpy as np
+
+    from osmcoastline_spark.functions.webp import decode_webp, encode_webp
+
+    rng = np.random.default_rng(7)
+    images = [
+        rng.integers(0, 256, (40, 56, 3)).astype(np.uint8),
+        np.zeros((16, 16, 3), np.uint8),
+        np.tile(np.arange(96, dtype=np.uint8)[None, :, None], (24, 1, 3)),
+    ]
+    for px in images:
+        for rle in (True, False):
+            out = decode_webp(encode_webp(px, use_backrefs=rle))
+            assert np.array_equal(out, px)  # lossless: bit-equal
+
+    good = encode_webp(images[0])
+    assert good[:4] == b"RIFF" and good[8:12] == b"WEBP" and good[12:16] == b"VP8L"
+    for bad in (good[: len(good) // 2], good[:13], b"RIFF junk"):
+        with pytest.raises(ValueError):
+            decode_webp(bad)
+
+
+def test_image_roundtrip_and_psnr_webp(spark):
+    """webp end-to-end through the DataFrame surface: features decode for
+    real (not the stub drop), and the input-hint invariant (PSNR, here
+    infinite: lossless) passes against a raw reference."""
+    import numpy as np
+
+    from osmcoastline_spark.functions.webp import encode_webp
+
+    yy, xx = np.mgrid[0:24, 0:40]
+    px = np.stack([(xx * 5) % 256, (yy * 9) % 256, ((xx + yy) * 3) % 256], axis=-1).astype(np.uint8)
+    schema = "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+    df = spark.createDataFrame(
+        [("a", bytearray(encode_webp(px)), 40, 24, "webp", "cap", 0)], schema
+    )
+    feats = I.with_image_features(df).collect()[0]
+    assert feats.computed_phash is not None
+    assert abs(feats.mean_luma - px.mean()) < 1e-9  # lossless decode
+    ref = spark.createDataFrame(
+        [("a", bytearray(px.tobytes()), 40, 24, "raw", "cap", 0)], schema
+    )
+    assert I.verify_payloads(df, ref).count() == 0
