@@ -8,14 +8,19 @@ Profile implemented (a strict, documented VP8L subset):
 
 * container: RIFF / WEBP / VP8L chunk (lossy `VP8 ` and extended `VP8X`
   raise NotImplementedError — VP8 arithmetic coding is out of scope);
-* encoder: no transforms, no color cache, no meta-huffman; per-channel
-  canonical Huffman codes (DEFLATE bit conventions: LSB-first packing,
-  code bits MSB-first) + optional LZ77 run backrefs (distance 1, emitted
-  as prefix value 121 = 1+120 so the close-neighbor plane mapping is
-  never needed);
-* decoder: everything the encoder emits, plus simple 1/2-symbol codes,
-  code-length repeats (16/17/18), the max_symbol cap, and general LZ77
-  backrefs with distance prefix values > 120. Transforms / color cache /
+* encoder: per-channel canonical Huffman codes (DEFLATE bit conventions:
+  LSB-first packing, code bits MSB-first) + optional LZ77 run backrefs
+  (distance 1, emitted as prefix value 121 = 1+120 so the close-neighbor
+  plane mapping is never needed) + two optional transforms: the
+  SPATIAL-PREDICTOR transform (per-16x16-block mode image, entropy-coded
+  as a VP8L sub-image; modes chosen per block by wrap-aware residual
+  magnitude) and SUBTRACT-GREEN;
+* decoder: everything the encoder emits — including all 14 predictor
+  modes with libwebp border semantics (top-right wraps to the row start
+  via flat indexing) and inverse transforms applied in reverse read
+  order — plus simple 1/2-symbol codes, code-length repeats (16/17/18),
+  the max_symbol cap, and general LZ77 backrefs with distance prefix
+  values > 120. Color transform / color indexing / color cache /
   meta-huffman raise NotImplementedError with the subtype named.
 
 Validation: exhaustive encode→decode roundtrips (lossless: bit-equal
@@ -300,21 +305,12 @@ def _prefix_decode(code: int, br: _BitReaderLSB) -> int:
 # ----------------------------------------------------------------- encode
 
 
-def encode_webp(pixels: np.ndarray, use_backrefs: bool = True) -> bytes:
-    """RGB8 HxWx3 → lossless WebP (VP8L, subset profile above)."""
-    h, w = pixels.shape[:2]
-    if h < 1 or w < 1 or h > 1 << 14 or w > 1 << 14:
-        raise ValueError("vp8l dims out of range")
-    px = pixels.astype(np.uint32)
-    argb = (
-        (np.uint32(255) << 24)
-        | (px[..., 0] << 16)
-        | (px[..., 1] << 8)
-        | px[..., 2]
-    ).reshape(-1)
+def _write_image_data(
+    bw: _BitWriterLSB, argb: np.ndarray, use_backrefs: bool, is_level0: bool
+) -> None:
+    """Entropy-coded image data: [color-cache bit][meta bit (level0 only)]
+    [5 huffman codes][tokens]. `argb` is the flat uint32 pixel array."""
     n = len(argb)
-
-    # tokenize: literals + (optionally) distance-1 run backrefs
     tokens: list[tuple] = []  # ("lit", idx) | ("ref", length)
     if use_backrefs:
         same = np.zeros(n, dtype=bool)
@@ -334,39 +330,38 @@ def encode_webp(pixels: np.ndarray, use_backrefs: bool = True) -> bytes:
     else:
         tokens = [("lit", i) for i in range(n)]
 
-    g = (argb >> 8) & 0xFF
+    a = (argb >> 24) & 0xFF
     r = (argb >> 16) & 0xFF
+    g = (argb >> 8) & 0xFF
     b = argb & 0xFF
     gfreq: dict[int, int] = {}
     rfreq: dict[int, int] = {}
     bfreq: dict[int, int] = {}
+    afreq: dict[int, int] = {}
     dfreq: dict[int, int] = {}
-    lit_idx = [t[1] for t in tokens if t[0] == "lit"]
-    for i in lit_idx:
-        gfreq[int(g[i])] = gfreq.get(int(g[i]), 0) + 1
-        rfreq[int(r[i])] = rfreq.get(int(r[i]), 0) + 1
-        bfreq[int(b[i])] = bfreq.get(int(b[i]), 0) + 1
     for t in tokens:
-        if t[0] == "ref":
+        if t[0] == "lit":
+            i = t[1]
+            gfreq[int(g[i])] = gfreq.get(int(g[i]), 0) + 1
+            rfreq[int(r[i])] = rfreq.get(int(r[i]), 0) + 1
+            bfreq[int(b[i])] = bfreq.get(int(b[i]), 0) + 1
+            afreq[int(a[i])] = afreq.get(int(a[i]), 0) + 1
+        else:
             code, _, _ = _prefix_encode(t[1])
             gfreq[256 + code] = gfreq.get(256 + code, 0) + 1
             dcode, _, _ = _prefix_encode(1 + 120)  # distance 1, mapped past
             dfreq[dcode] = dfreq.get(dcode, 0) + 1  # the plane-code range
-    if not rfreq:
-        rfreq = {0: 1}
-    if not bfreq:
-        bfreq = {0: 1}
-    if not dfreq:
-        dfreq = {0: 1}  # unused code must still be present in the stream
+    for fr in (rfreq, bfreq, afreq, dfreq):
+        if not fr:
+            fr[0] = 1  # unused code must still be present in the stream
 
-    bw = _BitWriterLSB()
-    bw.write(0, 1)  # no transforms
     bw.write(0, 1)  # no color cache
-    bw.write(0, 1)  # no meta-huffman
+    if is_level0:
+        bw.write(0, 1)  # no meta-huffman
     gcodes = _write_huffman(bw, _huffman_code_lengths(gfreq, MAX_HUFF_LEN), GREEN_ALPHABET)
     rcodes = _write_huffman(bw, _huffman_code_lengths(rfreq, MAX_HUFF_LEN), 256)
     bcodes = _write_huffman(bw, _huffman_code_lengths(bfreq, MAX_HUFF_LEN), 256)
-    acodes = _write_huffman(bw, _huffman_code_lengths({255: 1}, MAX_HUFF_LEN), 256)
+    acodes = _write_huffman(bw, _huffman_code_lengths(afreq, MAX_HUFF_LEN), 256)
     dcodes = _write_huffman(bw, _huffman_code_lengths(dfreq, MAX_HUFF_LEN), DIST_ALPHABET)
 
     for t in tokens:
@@ -376,7 +371,7 @@ def encode_webp(pixels: np.ndarray, use_backrefs: bool = True) -> bytes:
                 (gcodes, int(g[i])),
                 (rcodes, int(r[i])),
                 (bcodes, int(b[i])),
-                (acodes, 255),
+                (acodes, int(a[i])),
             ):
                 code, ln = codes[val]
                 bw.write_code(code, ln)
@@ -391,6 +386,202 @@ def encode_webp(pixels: np.ndarray, use_backrefs: bool = True) -> bytes:
             bw.write_code(c, ln)
             if debits:
                 bw.write(dextra, debits)
+
+
+# ------------------------------------------------------- spatial predictors
+
+
+def _avg2(p: int, q: int) -> int:
+    """Per-channel (a+b)>>1 on packed ARGB."""
+    return (((p ^ q) & 0xFEFEFEFE) >> 1) + (p & q)
+
+
+def _clamp_add_sub_full(p: int, q: int, c: int) -> int:
+    out = 0
+    for sh in (0, 8, 16, 24):
+        v = ((p >> sh) & 0xFF) + ((q >> sh) & 0xFF) - ((c >> sh) & 0xFF)
+        out |= max(0, min(255, v)) << sh
+    return out
+
+
+def _clamp_add_sub_half(p: int, c: int) -> int:
+    out = 0
+    for sh in (0, 8, 16, 24):
+        a = (p >> sh) & 0xFF
+        b = (c >> sh) & 0xFF
+        d = a - b
+        # C-style truncation toward zero (libwebp AddSubtractComponentHalf)
+        half = d // 2 if d >= 0 else -((-d) // 2)
+        out |= max(0, min(255, a + half)) << sh
+    return out
+
+
+def _select(t: int, l: int, tl: int) -> int:
+    pa = pb = 0
+    for sh in (0, 8, 16, 24):
+        tc = (t >> sh) & 0xFF
+        lc = (l >> sh) & 0xFF
+        cc = (tl >> sh) & 0xFF
+        pa += abs(lc - cc)  # |p - top| per channel
+        pb += abs(tc - cc)  # |p - left|
+    return t if pa <= pb else l
+
+
+def _predict(mode: int, l: int, t: int, tr: int, tl: int) -> int:
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return l
+    if mode == 2:
+        return t
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _avg2(_avg2(l, tr), t)
+    if mode == 6:
+        return _avg2(l, tl)
+    if mode == 7:
+        return _avg2(l, t)
+    if mode == 8:
+        return _avg2(tl, t)
+    if mode == 9:
+        return _avg2(t, tr)
+    if mode == 10:
+        return _avg2(_avg2(l, tl), _avg2(t, tr))
+    if mode == 11:
+        return _select(t, l, tl)
+    if mode == 12:
+        return _clamp_add_sub_full(l, t, tl)
+    if mode == 13:
+        return _clamp_add_sub_half(_avg2(l, t), tl)
+    raise ValueError(f"bad vp8l predictor mode {mode}")
+
+
+def _predictor_walk(
+    argb: np.ndarray, w: int, h: int, modes: np.ndarray, size_bits: int,
+    inverse: bool,
+) -> np.ndarray:
+    """Apply (encode) or invert (decode) the predictor transform.
+
+    Sequential by construction — the predictor reads RECONSTRUCTED
+    neighbors (same row left, previous row), exactly like PNG's Paeth.
+    Border rules (libwebp): (0,0) predicts opaque black, row 0 predicts
+    L, column 0 predicts T; the top-right neighbor of a row's last pixel
+    wraps to the first pixel of the current row (flat-index arithmetic).
+    """
+    src = [int(v) for v in argb]
+    out = [0] * len(src)
+    bw_blocks = (w + (1 << size_bits) - 1) >> size_bits
+    # `ref` = the reconstructed image both sides agree on: for encode the
+    # input IS reconstructed (lossless); for decode we build it as we go
+    ref = src if not inverse else out
+    for i in range(len(src)):
+        y, x = divmod(i, w)
+        if x == 0 and y == 0:
+            pred = 0xFF000000
+        elif y == 0:
+            pred = ref[i - 1]
+        elif x == 0:
+            pred = ref[i - w]
+        else:
+            mode = int(modes[(y >> size_bits) * bw_blocks + (x >> size_bits)])
+            pred = _predict(mode, ref[i - 1], ref[i - w], ref[i - w + 1], ref[i - w - 1])
+        v = 0
+        for sh in (0, 8, 16, 24):
+            s = (src[i] >> sh) & 0xFF
+            p = (pred >> sh) & 0xFF
+            v |= (((s + p) if inverse else (s - p)) & 0xFF) << sh
+        out[i] = v
+    return np.array(out, dtype=np.uint32)
+
+
+def _choose_predictor_modes(
+    argb: np.ndarray, w: int, h: int, size_bits: int
+) -> np.ndarray:
+    """Per-block mode selection by wrap-aware residual magnitude over a
+    candidate subset; approximation only affects compression, never
+    correctness (residuals are computed exactly afterwards)."""
+    flat = argb.astype(np.int64)
+    L = np.roll(flat, 1)
+    T = np.roll(flat, w)
+    TL = np.roll(flat, w + 1)
+    cand = {1: L, 2: T, 7: None, 12: None}
+
+    def chans(v):
+        return [(v >> sh) & 0xFF for sh in (0, 8, 16)]
+
+    def cost_of(pred):
+        c = np.zeros(len(flat), dtype=np.int64)
+        for pc, oc in zip(chans(pred), chans(flat)):
+            d = np.abs(oc - pc)
+            c += np.minimum(d, 256 - d)
+        return c
+
+    avg = (((L ^ T) & 0xFEFEFEFE) >> 1) + (L & T)  # per-channel (L+T)>>1
+    full = np.zeros_like(flat)
+    for sh in (0, 8, 16):
+        v = ((L >> sh) & 0xFF) + ((T >> sh) & 0xFF) - ((TL >> sh) & 0xFF)
+        full |= np.clip(v, 0, 255) << sh
+    cand[7] = avg
+    cand[12] = full
+    costs = {m: cost_of(p) for m, p in cand.items()}
+    nb_x = (w + (1 << size_bits) - 1) >> size_bits
+    nb_y = (h + (1 << size_bits) - 1) >> size_bits
+    modes = np.zeros(nb_x * nb_y, dtype=np.int64)
+    ys, xs = np.divmod(np.arange(len(flat)), w)
+    block = (ys >> size_bits) * nb_x + (xs >> size_bits)
+    per_block = {m: np.bincount(block, weights=c, minlength=nb_x * nb_y) for m, c in costs.items()}
+    keys = list(per_block)
+    stacked = np.stack([per_block[m] for m in keys])
+    modes = np.array(keys)[np.argmin(stacked, axis=0)]
+    return modes
+
+
+def encode_webp(
+    pixels: np.ndarray,
+    use_backrefs: bool = True,
+    predictor: bool = False,
+    subtract_green: bool = False,
+) -> bytes:
+    """RGB8 HxWx3 → lossless WebP (VP8L, subset profile above).
+
+    `predictor` enables the spatial-predictor transform (per-16x16-block
+    mode image, all-14-mode decoder support); `subtract_green` the
+    subtract-green transform. Both default off — the transform-free
+    profile is the fast path; the transforms demonstrate spec parity and
+    cut gradient-image sizes substantially."""
+    h, w = pixels.shape[:2]
+    if h < 1 or w < 1 or h > 1 << 14 or w > 1 << 14:
+        raise ValueError("vp8l dims out of range")
+    px = pixels.astype(np.uint32)
+    argb = (
+        (np.uint32(255) << 24)
+        | (px[..., 0] << 16)
+        | (px[..., 1] << 8)
+        | px[..., 2]
+    ).reshape(-1)
+
+    bw = _BitWriterLSB()
+    SIZE_BITS = 4  # 16x16 predictor blocks
+    if predictor:
+        modes = _choose_predictor_modes(argb, w, h, SIZE_BITS)
+        argb = _predictor_walk(argb, w, h, modes, SIZE_BITS, inverse=False)
+        bw.write(1, 1)  # a transform follows
+        bw.write(0, 2)  # type 0: predictor
+        bw.write(SIZE_BITS - 2, 3)
+        mode_argb = (0xFF000000 | (modes.astype(np.uint32) << 8)).astype(np.uint32)
+        _write_image_data(bw, mode_argb, use_backrefs=True, is_level0=False)
+    if subtract_green:
+        g = (argb >> 8) & 0xFF
+        r = (((argb >> 16) & 0xFF) - g) & 0xFF
+        b = ((argb & 0xFF) - g) & 0xFF
+        argb = (argb & 0xFF00FF00) | (r << 16) | b
+        bw.write(1, 1)
+        bw.write(2, 2)  # type 2: subtract green (no payload)
+    bw.write(0, 1)  # no more transforms
+    _write_image_data(bw, argb, use_backrefs, is_level0=True)
 
     hdr = _BitWriterLSB()
     hdr.write(w - 1, 14)
@@ -411,42 +602,14 @@ def encode_webp(pixels: np.ndarray, use_backrefs: bool = True) -> bytes:
 # ----------------------------------------------------------------- decode
 
 
-def decode_webp(data: bytes) -> np.ndarray:
-    """Lossless WebP (VP8L subset) → RGB8 HxWx3. Malformed input raises
-    ValueError; features outside the subset raise NotImplementedError."""
-    if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
-        raise ValueError("not a WebP byte stream")
-    pos = 12
-    vp8l = None
-    while pos + 8 <= len(data):
-        tag = data[pos : pos + 4]
-        (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
-        body = data[pos + 8 : pos + 8 + ln]
-        if len(body) < ln:
-            raise ValueError("truncated WebP chunk")
-        if tag == b"VP8L":
-            vp8l = body
-            break
-        if tag in (b"VP8 ", b"VP8X"):
-            raise NotImplementedError(
-                f"webp subtype {tag.decode().strip()!r} (lossy VP8 / extended) not in the VP8L subset"
-            )
-        pos += 8 + ln + (ln & 1)
-    if vp8l is None:
-        raise ValueError("WebP without VP8L chunk")
-    if vp8l[0:1] != b"\x2f":
-        raise ValueError("bad VP8L signature byte")
-    br = _BitReaderLSB(vp8l[1:])
-    w = br.bits(14) + 1
-    h = br.bits(14) + 1
-    br.bits(1)  # alpha hint
-    if br.bits(3) != 0:
-        raise ValueError("unknown VP8L version")
-    if br.bits(1):
-        raise NotImplementedError("VP8L transforms not in subset")
+def _read_image_data(
+    br: _BitReaderLSB, w: int, h: int, is_level0: bool
+) -> np.ndarray:
+    """Entropy-decode one image stream (main image or transform
+    sub-image) to a flat uint32 ARGB array."""
     if br.bits(1):
         raise NotImplementedError("VP8L color cache not in subset")
-    if br.bits(1):
+    if is_level0 and br.bits(1):
         raise NotImplementedError("VP8L meta-huffman not in subset")
     gdec = _read_huffman(br, GREEN_ALPHABET)
     rdec = _read_huffman(br, 256)
@@ -480,6 +643,69 @@ def decode_webp(data: bytes) -> np.ndarray:
             pos += length
         else:
             raise ValueError("vp8l color-cache symbol without a cache")
+    return argb
+
+
+def decode_webp(data: bytes) -> np.ndarray:
+    """Lossless WebP (VP8L subset) → RGB8 HxWx3. Malformed input raises
+    ValueError; features outside the subset raise NotImplementedError."""
+    if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP byte stream")
+    pos = 12
+    vp8l = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + ln]
+        if len(body) < ln:
+            raise ValueError("truncated WebP chunk")
+        if tag == b"VP8L":
+            vp8l = body
+            break
+        if tag in (b"VP8 ", b"VP8X"):
+            raise NotImplementedError(
+                f"webp subtype {tag.decode().strip()!r} (lossy VP8 / extended) not in the VP8L subset"
+            )
+        pos += 8 + ln + (ln & 1)
+    if vp8l is None:
+        raise ValueError("WebP without VP8L chunk")
+    if vp8l[0:1] != b"\x2f":
+        raise ValueError("bad VP8L signature byte")
+    br = _BitReaderLSB(vp8l[1:])
+    w = br.bits(14) + 1
+    h = br.bits(14) + 1
+    br.bits(1)  # alpha hint
+    if br.bits(3) != 0:
+        raise ValueError("unknown VP8L version")
+    # transforms (applied inversely, in reverse read order, after decode)
+    transforms: list[tuple] = []
+    while br.bits(1):
+        ttype = br.bits(2)
+        if ttype == 0:  # predictor
+            size_bits = br.bits(3) + 2
+            bw_blocks = (w + (1 << size_bits) - 1) >> size_bits
+            bh_blocks = (h + (1 << size_bits) - 1) >> size_bits
+            mode_argb = _read_image_data(br, bw_blocks, bh_blocks, is_level0=False)
+            modes = (mode_argb >> 8) & 0xFF
+            if (modes > 13).any():
+                raise ValueError("bad vp8l predictor mode image")
+            transforms.append(("predictor", size_bits, modes))
+        elif ttype == 2:  # subtract green (no payload)
+            transforms.append(("subtract_green",))
+        else:
+            name = {1: "color transform", 3: "color indexing"}[ttype]
+            raise NotImplementedError(f"VP8L {name} transform not in subset")
+    argb = _read_image_data(br, w, h, is_level0=True)
+    for t in reversed(transforms):
+        if t[0] == "subtract_green":
+            g = (argb >> 8) & 0xFF
+            r = (((argb >> 16) & 0xFF) + g) & 0xFF
+            b = ((argb & 0xFF) + g) & 0xFF
+            argb = (argb & 0xFF00FF00) | (r << 16) | b
+        else:
+            _, size_bits, modes = t
+            argb = _predictor_walk(argb, w, h, modes, size_bits, inverse=True)
+    n = w * h
     out = np.empty((n, 3), dtype=np.uint8)
     out[:, 0] = (argb >> 16) & 0xFF
     out[:, 1] = (argb >> 8) & 0xFF
