@@ -11,17 +11,22 @@ Profile implemented (a strict, documented VP8L subset):
 * encoder: per-channel canonical Huffman codes (DEFLATE bit conventions:
   LSB-first packing, code bits MSB-first) + optional LZ77 run backrefs
   (distance 1, emitted as prefix value 121 = 1+120 so the close-neighbor
-  plane mapping is never needed) + two optional transforms: the
-  SPATIAL-PREDICTOR transform (per-16x16-block mode image, entropy-coded
-  as a VP8L sub-image; modes chosen per block by wrap-aware residual
-  magnitude) and SUBTRACT-GREEN;
+  plane mapping is never needed) + an optional COLOR CACHE (hash-indexed
+  recent colors as single green symbols) + ALL FOUR spec transforms:
+  SPATIAL-PREDICTOR (per-16x16-block mode image, entropy-coded as a VP8L
+  sub-image; modes chosen per block by wrap-aware residual magnitude),
+  SUBTRACT-GREEN, the cross-channel COLOR TRANSFORM (per-block int8
+  green→red / green→blue / red→blue multipliers by residual-entropy search),
+  and COLOR INDEXING (≤256-color palette, subtraction-coded, with pixel
+  bundling: ≤16 colors pack 2-8 indices per byte at reduced width);
 * decoder: everything the encoder emits — including all 14 predictor
   modes with libwebp border semantics (top-right wraps to the row start
-  via flat indexing) and inverse transforms applied in reverse read
-  order — plus simple 1/2-symbol codes, code-length repeats (16/17/18),
-  the max_symbol cap, and general LZ77 backrefs with distance prefix
-  values > 120. Color transform / color indexing / color cache /
-  meta-huffman raise NotImplementedError with the subtype named.
+  via flat indexing), all four transforms with inverse application in
+  reverse read order at each transform's recorded working width (color
+  indexing reduces the width of everything read after it) — plus simple
+  1/2-symbol codes, code-length repeats (16/17/18), the max_symbol cap,
+  and general LZ77 backrefs with distance prefix values > 120. Only
+  meta-huffman (and lossy VP8 / extended VP8X) raise NotImplementedError.
 
 Validation: exhaustive encode→decode roundtrips (lossless: bit-equal
 pixels) over both literal and RLE paths plus corrupt-stream fuzzing —
@@ -305,30 +310,58 @@ def _prefix_decode(code: int, br: _BitReaderLSB) -> int:
 # ----------------------------------------------------------------- encode
 
 
+def _cache_key(argb_val: int, cache_bits: int) -> int:
+    """VP8L color-cache hash: (0x1e35a7bd * argb) >> (32 - bits), u32."""
+    return ((0x1E35A7BD * argb_val) & 0xFFFFFFFF) >> (32 - cache_bits)
+
+
 def _write_image_data(
-    bw: _BitWriterLSB, argb: np.ndarray, use_backrefs: bool, is_level0: bool
+    bw: _BitWriterLSB,
+    argb: np.ndarray,
+    use_backrefs: bool,
+    is_level0: bool,
+    cache_bits: int = 0,
 ) -> None:
     """Entropy-coded image data: [color-cache bit][meta bit (level0 only)]
-    [5 huffman codes][tokens]. `argb` is the flat uint32 pixel array."""
+    [5 huffman codes][tokens]. `argb` is the flat uint32 pixel array.
+
+    With `cache_bits` > 0 a VP8L color cache is maintained: literals whose
+    value sits at its hash slot are emitted as cache symbols (green code
+    256+24+key). Cache decisions are made ONCE here in the token pass so
+    the frequency and emission passes see identical state."""
     n = len(argb)
-    tokens: list[tuple] = []  # ("lit", idx) | ("ref", length)
+    tokens: list[tuple] = []  # ("lit", idx) | ("ref", length) | ("cache", key)
+    same = np.zeros(n, dtype=bool)
     if use_backrefs:
-        same = np.zeros(n, dtype=bool)
         same[1:] = argb[1:] == argb[:-1]
-        i = 0
-        while i < n:
-            if same[i]:
-                j = i
-                while j < n and same[j] and j - i < MAX_BACKREF_LEN:
-                    j += 1
-                if j - i >= 3:
-                    tokens.append(("ref", j - i))
-                    i = j
-                    continue
+    if cache_bits:
+        cache: list[int | None] = [None] * (1 << cache_bits)
+        keys = (
+            (argb.astype(np.uint64) * np.uint64(0x1E35A7BD)) & np.uint64(0xFFFFFFFF)
+        ) >> np.uint64(32 - cache_bits)
+    i = 0
+    while i < n:
+        if use_backrefs and same[i]:
+            j = i
+            while j < n and same[j] and j - i < MAX_BACKREF_LEN:
+                j += 1
+            if j - i >= 3:
+                tokens.append(("ref", j - i))
+                if cache_bits:
+                    cache[int(keys[i])] = int(argb[i])  # run = one value
+                i = j
+                continue
+        if cache_bits:
+            key = int(keys[i])
+            v = int(argb[i])
+            if cache[key] == v:
+                tokens.append(("cache", key))
+            else:
+                tokens.append(("lit", i))
+                cache[key] = v
+        else:
             tokens.append(("lit", i))
-            i += 1
-    else:
-        tokens = [("lit", i) for i in range(n)]
+        i += 1
 
     a = (argb >> 24) & 0xFF
     r = (argb >> 16) & 0xFF
@@ -346,6 +379,9 @@ def _write_image_data(
             rfreq[int(r[i])] = rfreq.get(int(r[i]), 0) + 1
             bfreq[int(b[i])] = bfreq.get(int(b[i]), 0) + 1
             afreq[int(a[i])] = afreq.get(int(a[i]), 0) + 1
+        elif t[0] == "cache":
+            sym = GREEN_ALPHABET + t[1]
+            gfreq[sym] = gfreq.get(sym, 0) + 1
         else:
             code, _, _ = _prefix_encode(t[1])
             gfreq[256 + code] = gfreq.get(256 + code, 0) + 1
@@ -355,10 +391,15 @@ def _write_image_data(
         if not fr:
             fr[0] = 1  # unused code must still be present in the stream
 
-    bw.write(0, 1)  # no color cache
+    if cache_bits:
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
+    else:
+        bw.write(0, 1)  # no color cache
     if is_level0:
         bw.write(0, 1)  # no meta-huffman
-    gcodes = _write_huffman(bw, _huffman_code_lengths(gfreq, MAX_HUFF_LEN), GREEN_ALPHABET)
+    g_alphabet = GREEN_ALPHABET + ((1 << cache_bits) if cache_bits else 0)
+    gcodes = _write_huffman(bw, _huffman_code_lengths(gfreq, MAX_HUFF_LEN), g_alphabet)
     rcodes = _write_huffman(bw, _huffman_code_lengths(rfreq, MAX_HUFF_LEN), 256)
     bcodes = _write_huffman(bw, _huffman_code_lengths(bfreq, MAX_HUFF_LEN), 256)
     acodes = _write_huffman(bw, _huffman_code_lengths(afreq, MAX_HUFF_LEN), 256)
@@ -375,6 +416,9 @@ def _write_image_data(
             ):
                 code, ln = codes[val]
                 bw.write_code(code, ln)
+        elif t[0] == "cache":
+            code, ln = gcodes[GREEN_ALPHABET + t[1]]
+            bw.write_code(code, ln)
         else:
             code, extra, ebits = _prefix_encode(t[1])
             c, ln = gcodes[256 + code]
@@ -539,22 +583,192 @@ def _choose_predictor_modes(
     return modes
 
 
+# ------------------------------------------------------- color transform
+
+
+def _signed8(x: np.ndarray) -> np.ndarray:
+    """Reinterpret a 0..255 channel as int8 (VP8L ColorTransformDelta)."""
+    return x.astype(np.uint8).astype(np.int8).astype(np.int32)
+
+
+def _color_transform_apply(
+    argb: np.ndarray, w: int, h: int, elems: np.ndarray, size_bits: int,
+    inverse: bool,
+) -> np.ndarray:
+    """Apply (encode) or invert (decode) the VP8L cross-channel color
+    transform. Element pixel layout (spec): blue byte = green_to_red,
+    green byte = green_to_blue, red byte = red_to_blue, all int8.
+    ColorTransformDelta(t, c) = (int8)t * (int8)c >> 5 (arithmetic).
+
+    Fully vectorized — unlike the predictor there is no sequential
+    dependency: forward subtracts deltas of ORIGINAL red, inverse
+    restores red first and then uses the RESTORED red for blue (libwebp
+    VP8LTransformColor / VP8LTransformColorInverse semantics)."""
+    bw_blocks = (w + (1 << size_bits) - 1) >> size_bits
+    ys, xs = np.divmod(np.arange(len(argb)), w)
+    bidx = (ys >> size_bits) * bw_blocks + (xs >> size_bits)
+    e = elems[bidx]
+    g2r = _signed8(e & 0xFF)
+    g2b = _signed8((e >> 8) & 0xFF)
+    r2b = _signed8((e >> 16) & 0xFF)
+    r = ((argb >> 16) & 0xFF).astype(np.int32)
+    g = (argb >> 8) & 0xFF
+    b = (argb & 0xFF).astype(np.int32)
+    gs = _signed8(g)
+    if not inverse:
+        new_r = (r - ((g2r * gs) >> 5)) & 0xFF
+        new_b = (b - ((g2b * gs) >> 5) - ((r2b * _signed8(r)) >> 5)) & 0xFF
+    else:
+        new_r = (r + ((g2r * gs) >> 5)) & 0xFF
+        new_b = (b + ((g2b * gs) >> 5) + ((r2b * _signed8(new_r)) >> 5)) & 0xFF
+    return (
+        (argb & np.uint32(0xFF00FF00))
+        | (new_r.astype(np.uint32) << 16)
+        | new_b.astype(np.uint32)
+    ).astype(np.uint32)
+
+
+_COLOR_CANDS = list(range(-128, 128, 8))
+
+
+def _choose_color_elements(
+    argb: np.ndarray, w: int, h: int, size_bits: int
+) -> np.ndarray:
+    """Transform elements by candidate search: each multiplier in a
+    step-8 int8 grid is scored by the GLOBAL Shannon entropy of the
+    transformed channel's residual histogram, and one winner is applied
+    to every block. Two deliberate differences from a naive fit: (a) a
+    least-squares fit in signed space misses mod-256-linear relationships
+    (e.g. r = g/2 is V-shaped in int8 but exactly linear mod 256, with a
+    cheap bimodal residual) — entropy scoring sees through the wrap; and
+    (b) this encoder has ONE shared huffman code per channel (no
+    meta-huffman), so per-block multiplier diversity would widen the
+    global histogram and cost more than it saves — libwebp only profits
+    from per-block elements because it pairs them with per-block entropy
+    codes. The per-block element image stays in the format (the decoder
+    handles arbitrary block grids); the encoder just fills it uniformly.
+    Approximation only affects compression — the forward transform is
+    applied exactly with the chosen elements afterwards."""
+    bw_blocks = (w + (1 << size_bits) - 1) >> size_bits
+    bh_blocks = (h + (1 << size_bits) - 1) >> size_bits
+    nblocks = bw_blocks * bh_blocks
+    r = ((argb >> 16) & 0xFF).astype(np.int32)
+    b = (argb & 0xFF).astype(np.int32)
+    gs = _signed8((argb >> 8) & 0xFF)
+    rs = _signed8(r)
+
+    def cost_of(t: int, target_u: np.ndarray, src_s: np.ndarray) -> float:
+        resid = (target_u - ((t * src_s) >> 5)) & 0xFF
+        n = np.bincount(resid, minlength=256).astype(np.float64)
+        nz = n[n > 0]
+        return -(nz * np.log2(nz)).sum()  # = N·H(resid) − N·log2 N
+
+    def pick(target_u: np.ndarray, src_s: np.ndarray) -> np.ndarray:
+        best_cost, best_t = None, 0
+        for t in _COLOR_CANDS:
+            cost = cost_of(t, target_u, src_s)
+            if best_cost is None or cost < best_cost:
+                best_cost, best_t = cost, t
+        # fine search around the grid winner (non-multiple-of-8 slopes)
+        for t in range(max(-128, best_t - 7), min(128, best_t + 8)):
+            cost = cost_of(t, target_u, src_s)
+            if cost < best_cost:
+                best_cost, best_t = cost, t
+        return np.full(nblocks, best_t, dtype=np.int64)
+
+    g2r = pick(r, gs)
+    g2b = pick(b, gs)
+    # red-to-blue fits the blue residual AFTER green-to-blue, against the
+    # ORIGINAL signed red (forward-transform semantics)
+    b1 = (b - ((g2b[0] * gs) >> 5)) & 0xFF
+    r2b = pick(b1, rs)
+    return (
+        np.uint32(0xFF000000)
+        | (r2b.astype(np.uint32) & 0xFF) << 16
+        | (g2b.astype(np.uint32) & 0xFF) << 8
+        | (g2r.astype(np.uint32) & 0xFF)
+    ).astype(np.uint32)
+
+
+# --------------------------------------------------------- color indexing
+
+
+def _palette_width_bits(pal_size: int) -> int:
+    """VP8L pixel bundling: indices per byte grows as the palette
+    shrinks (≤2 → 8/byte, ≤4 → 4/byte, ≤16 → 2/byte, else 1/byte)."""
+    if pal_size <= 2:
+        return 3
+    if pal_size <= 4:
+        return 2
+    if pal_size <= 16:
+        return 1
+    return 0
+
+
+def _palette_pack(indices: np.ndarray, w: int, h: int, width_bits: int) -> np.ndarray:
+    """Bundle per-pixel palette indices into the green channel of a
+    reduced-width image (row-wise; rows pad with zero indices)."""
+    pack = 1 << width_bits
+    bits = 8 >> width_bits
+    packed_w = (w + pack - 1) // pack
+    padded = np.zeros((h, packed_w * pack), dtype=np.uint32)
+    padded[:, :w] = indices.reshape(h, w)
+    packed = np.zeros((h, packed_w), dtype=np.uint32)
+    for s in range(pack):
+        packed |= padded[:, s::pack] << (s * bits)
+    return (np.uint32(0xFF000000) | (packed.reshape(-1) << 8)).astype(np.uint32)
+
+
+def _palette_unpack(
+    argb: np.ndarray, full_w: int, h: int, width_bits: int, palette: np.ndarray
+) -> np.ndarray:
+    """Inverse of the color-indexing transform: split bundled green bytes
+    back into indices and map through the palette."""
+    pack = 1 << width_bits
+    bits = 8 >> width_bits
+    packed_w = (full_w + pack - 1) // pack
+    rows = ((argb >> 8) & 0xFF).reshape(h, packed_w)
+    xs = np.arange(full_w)
+    idx = (rows[:, xs >> width_bits] >> ((xs & (pack - 1)) * bits)) & ((1 << bits) - 1)
+    if (idx >= len(palette)).any():
+        raise ValueError("vp8l palette index out of range")
+    return palette[idx.reshape(-1)].astype(np.uint32)
+
+
 def encode_webp(
     pixels: np.ndarray,
     use_backrefs: bool = True,
     predictor: bool = False,
     subtract_green: bool = False,
+    color_transform: bool = False,
+    palette: bool = False,
+    cache_bits: int = 0,
 ) -> bytes:
     """RGB8 HxWx3 → lossless WebP (VP8L, subset profile above).
 
-    `predictor` enables the spatial-predictor transform (per-16x16-block
-    mode image, all-14-mode decoder support); `subtract_green` the
-    subtract-green transform. Both default off — the transform-free
-    profile is the fast path; the transforms demonstrate spec parity and
-    cut gradient-image sizes substantially."""
+    Transform flags (all default off — the transform-free profile is the
+    fast path; each transform demonstrates spec parity and cuts sizes on
+    its target content):
+
+    * `predictor` — spatial-predictor transform (per-16x16-block mode
+      image, all-14-mode decoder support); wins on gradients/photos.
+    * `subtract_green` — subtract-green transform.
+    * `color_transform` — per-block cross-channel transform (green→red,
+      green→blue, red→blue int8 multipliers chosen by residual-entropy
+      search); wins on channel-correlated content.
+    * `palette` — color-indexing transform with pixel bundling (≤16
+      colors pack 2-8 indices per byte); exclusive with the three
+      transforms above (libwebp practice); raises ValueError on images
+      with more than 256 distinct colors.
+    * `cache_bits` (0..11) — VP8L color cache: recently-seen colors are
+      emitted as single hash-indexed green symbols."""
     h, w = pixels.shape[:2]
     if h < 1 or w < 1 or h > 1 << 14 or w > 1 << 14:
         raise ValueError("vp8l dims out of range")
+    if not 0 <= cache_bits <= 11:
+        raise ValueError("vp8l cache_bits out of range (0..11)")
+    if palette and (predictor or subtract_green or color_transform):
+        raise ValueError("vp8l palette transform is exclusive")
     px = pixels.astype(np.uint32)
     argb = (
         (np.uint32(255) << 24)
@@ -565,6 +779,22 @@ def encode_webp(
 
     bw = _BitWriterLSB()
     SIZE_BITS = 4  # 16x16 predictor blocks
+    if palette:
+        colors, indices = np.unique(argb, return_inverse=True)
+        if len(colors) > 256:
+            raise ValueError("vp8l palette: more than 256 distinct colors")
+        bw.write(1, 1)  # a transform follows
+        bw.write(3, 2)  # type 3: color indexing
+        bw.write(len(colors) - 1, 8)
+        # palette stored with component-wise subtraction coding
+        prev = np.roll(colors, 1)
+        prev[0] = 0
+        diff = np.zeros_like(colors)
+        for sh in (0, 8, 16, 24):
+            diff |= ((((colors >> sh) - (prev >> sh)) & 0xFF) << sh).astype(np.uint32)
+        _write_image_data(bw, diff, use_backrefs=False, is_level0=False)
+        width_bits = _palette_width_bits(len(colors))
+        argb = _palette_pack(indices.astype(np.uint32), w, h, width_bits)
     if predictor:
         modes = _choose_predictor_modes(argb, w, h, SIZE_BITS)
         argb = _predictor_walk(argb, w, h, modes, SIZE_BITS, inverse=False)
@@ -580,8 +810,15 @@ def encode_webp(
         argb = (argb & 0xFF00FF00) | (r << 16) | b
         bw.write(1, 1)
         bw.write(2, 2)  # type 2: subtract green (no payload)
+    if color_transform:
+        elems = _choose_color_elements(argb, w, h, SIZE_BITS)
+        argb = _color_transform_apply(argb, w, h, elems, SIZE_BITS, inverse=False)
+        bw.write(1, 1)
+        bw.write(1, 2)  # type 1: color transform
+        bw.write(SIZE_BITS - 2, 3)
+        _write_image_data(bw, elems, use_backrefs=True, is_level0=False)
     bw.write(0, 1)  # no more transforms
-    _write_image_data(bw, argb, use_backrefs, is_level0=True)
+    _write_image_data(bw, argb, use_backrefs, is_level0=True, cache_bits=cache_bits)
 
     hdr = _BitWriterLSB()
     hdr.write(w - 1, 14)
@@ -607,11 +844,15 @@ def _read_image_data(
 ) -> np.ndarray:
     """Entropy-decode one image stream (main image or transform
     sub-image) to a flat uint32 ARGB array."""
+    cache_bits = 0
     if br.bits(1):
-        raise NotImplementedError("VP8L color cache not in subset")
+        cache_bits = br.bits(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("bad vp8l color-cache size")
     if is_level0 and br.bits(1):
         raise NotImplementedError("VP8L meta-huffman not in subset")
-    gdec = _read_huffman(br, GREEN_ALPHABET)
+    g_alphabet = GREEN_ALPHABET + ((1 << cache_bits) if cache_bits else 0)
+    gdec = _read_huffman(br, g_alphabet)
     rdec = _read_huffman(br, 256)
     bdec = _read_huffman(br, 256)
     adec = _read_huffman(br, 256)
@@ -619,6 +860,8 @@ def _read_image_data(
 
     n = w * h
     argb = np.zeros(n, dtype=np.uint32)
+    # decoder cache starts zeroed (spec); every decoded pixel is inserted
+    cache = [0] * (1 << cache_bits) if cache_bits else None
     pos = 0
     while pos < n:
         gs = gdec.read(br)
@@ -626,7 +869,10 @@ def _read_image_data(
             rv = rdec.read(br)
             bv = bdec.read(br)
             av = adec.read(br)
-            argb[pos] = (av << 24) | (rv << 16) | (gs << 8) | bv
+            px = (av << 24) | (rv << 16) | (gs << 8) | bv
+            argb[pos] = px
+            if cache_bits:
+                cache[_cache_key(px, cache_bits)] = px
             pos += 1
         elif gs < 256 + 24:
             length = _prefix_decode(gs - 256, br)
@@ -639,10 +885,16 @@ def _read_image_data(
             if dist > pos or pos + length > n:
                 raise ValueError("vp8l backref out of range")
             for k in range(length):  # may self-overlap (run semantics)
-                argb[pos + k] = argb[pos + k - dist]
+                px = int(argb[pos + k - dist])
+                argb[pos + k] = px
+                if cache_bits:
+                    cache[_cache_key(px, cache_bits)] = px
             pos += length
         else:
-            raise ValueError("vp8l color-cache symbol without a cache")
+            if not cache_bits:
+                raise ValueError("vp8l color-cache symbol without a cache")
+            argb[pos] = cache[gs - GREEN_ALPHABET]
+            pos += 1
     return argb
 
 
@@ -677,34 +929,66 @@ def decode_webp(data: bytes) -> np.ndarray:
     br.bits(1)  # alpha hint
     if br.bits(3) != 0:
         raise ValueError("unknown VP8L version")
-    # transforms (applied inversely, in reverse read order, after decode)
+    # transforms (applied inversely, in reverse read order, after decode).
+    # cur_w tracks the working width: a color-indexing transform bundles
+    # pixels, so everything read AFTER it (incl. the main image) uses the
+    # reduced width; its inverse restores the full width.
     transforms: list[tuple] = []
+    cur_w = w
+    seen_types: set[int] = set()
     while br.bits(1):
         ttype = br.bits(2)
+        if ttype in seen_types:
+            raise ValueError("vp8l transform repeated")
+        seen_types.add(ttype)
         if ttype == 0:  # predictor
             size_bits = br.bits(3) + 2
-            bw_blocks = (w + (1 << size_bits) - 1) >> size_bits
+            bw_blocks = (cur_w + (1 << size_bits) - 1) >> size_bits
             bh_blocks = (h + (1 << size_bits) - 1) >> size_bits
             mode_argb = _read_image_data(br, bw_blocks, bh_blocks, is_level0=False)
             modes = (mode_argb >> 8) & 0xFF
             if (modes > 13).any():
                 raise ValueError("bad vp8l predictor mode image")
-            transforms.append(("predictor", size_bits, modes))
+            transforms.append(("predictor", cur_w, size_bits, modes))
+        elif ttype == 1:  # cross-channel color transform
+            size_bits = br.bits(3) + 2
+            bw_blocks = (cur_w + (1 << size_bits) - 1) >> size_bits
+            bh_blocks = (h + (1 << size_bits) - 1) >> size_bits
+            elems = _read_image_data(br, bw_blocks, bh_blocks, is_level0=False)
+            transforms.append(("color_transform", cur_w, size_bits, elems))
         elif ttype == 2:  # subtract green (no payload)
             transforms.append(("subtract_green",))
-        else:
-            name = {1: "color transform", 3: "color indexing"}[ttype]
-            raise NotImplementedError(f"VP8L {name} transform not in subset")
-    argb = _read_image_data(br, w, h, is_level0=True)
+        else:  # color indexing (palette)
+            pal_size = br.bits(8) + 1
+            diff = _read_image_data(br, pal_size, 1, is_level0=False)
+            pal = np.zeros(pal_size, dtype=np.uint32)
+            prev = 0
+            for i in range(pal_size):  # component-wise cumulative sum
+                cur = 0
+                for sh in (0, 8, 16, 24):
+                    cur |= (((int(diff[i]) >> sh) + (prev >> sh)) & 0xFF) << sh
+                pal[i] = cur
+                prev = cur
+            width_bits = _palette_width_bits(pal_size)
+            transforms.append(("color_indexing", cur_w, width_bits, pal))
+            pack = 1 << width_bits
+            cur_w = (cur_w + pack - 1) // pack
+    argb = _read_image_data(br, cur_w, h, is_level0=True)
     for t in reversed(transforms):
         if t[0] == "subtract_green":
             g = (argb >> 8) & 0xFF
             r = (((argb >> 16) & 0xFF) + g) & 0xFF
             b = ((argb & 0xFF) + g) & 0xFF
             argb = (argb & 0xFF00FF00) | (r << 16) | b
+        elif t[0] == "color_transform":
+            _, t_w, size_bits, elems = t
+            argb = _color_transform_apply(argb, t_w, h, elems, size_bits, inverse=True)
+        elif t[0] == "color_indexing":
+            _, t_w, width_bits, pal = t
+            argb = _palette_unpack(argb, t_w, h, width_bits, pal)
         else:
-            _, size_bits, modes = t
-            argb = _predictor_walk(argb, w, h, modes, size_bits, inverse=True)
+            _, t_w, size_bits, modes = t
+            argb = _predictor_walk(argb, t_w, h, modes, size_bits, inverse=True)
     n = w * h
     out = np.empty((n, 3), dtype=np.uint8)
     out[:, 0] = (argb >> 16) & 0xFF

@@ -663,3 +663,65 @@ def test_webp_predictor_and_subtract_green_transforms():
     plain = len(encode_webp(grad))
     pred = len(encode_webp(grad, predictor=True))
     assert pred < plain / 5  # measured ~30x on pure gradients
+
+
+def test_webp_palette_color_cache_and_color_transform():
+    """The remaining three VP8L features: color-indexing (palette with
+    pixel bundling — 8/4/2 indices per byte at reduced width), the color
+    cache (hash-indexed recent colors as green symbols 280+key), and the
+    cross-channel color transform (per-block int8 multipliers, inverse
+    restores red before blue). Bit-exact roundtrips across sizes chosen
+    to hit every bundling width and non-divisible row widths; palette and
+    color-transform genuinely compress their target content."""
+    import numpy as np
+
+    from osmcoastline_spark.functions.webp import decode_webp, encode_webp
+
+    rng = np.random.default_rng(29)
+    pal_colors = {
+        2: np.array([[3, 200, 17], [250, 0, 99]], np.uint8),
+        4: rng.integers(0, 256, (4, 3)).astype(np.uint8),
+        16: rng.integers(0, 256, (16, 3)).astype(np.uint8),
+        200: rng.integers(0, 256, (200, 3)).astype(np.uint8),
+    }
+    for npal, colors in pal_colors.items():
+        # width 37 is not divisible by any bundling factor (8/4/2)
+        px = colors[rng.integers(0, npal, (13, 37))]
+        for kw in ({"palette": True}, {"palette": True, "cache_bits": 4},
+                   {"palette": True, "use_backrefs": False}):
+            out = decode_webp(encode_webp(px, **kw))
+            assert np.array_equal(out, px), (npal, kw)
+
+    # palette compresses small-palette content (bundling: 4 idx/byte at 16)
+    px16 = pal_colors[16][rng.integers(0, 16, (40, 64))]
+    assert len(encode_webp(px16, palette=True)) < len(encode_webp(px16)) / 1.3
+    # >256 distinct colors / combining with other transforms are refused
+    yy, xx = np.mgrid[0:64, 0:64]
+    many = np.stack([xx * 4 % 256, yy * 4 % 256, (xx + yy) % 256], -1).astype(np.uint8)
+    with pytest.raises(ValueError):
+        encode_webp(many, palette=True)
+    with pytest.raises(ValueError):
+        encode_webp(px16, palette=True, predictor=True)
+    with pytest.raises(ValueError):
+        encode_webp(px16, cache_bits=12)
+
+    # color cache: roundtrip at the extremes plus a repeated-color image
+    tiles = pal_colors[16][rng.integers(0, 16, (21, 19))]
+    for cb in (1, 6, 11):
+        out = decode_webp(encode_webp(tiles, cache_bits=cb))
+        assert np.array_equal(out, tiles), cb
+
+    # color transform: exact mod-256-linear channel relations collapse
+    g = rng.integers(0, 256, (32, 48)).astype(np.int32)
+    corr = np.stack(
+        [(g // 2).astype(np.uint8), g.astype(np.uint8), ((3 * g) % 256).astype(np.uint8)],
+        axis=-1,
+    )
+    ct = encode_webp(corr, color_transform=True)
+    assert np.array_equal(decode_webp(ct), corr)
+    assert len(ct) < len(encode_webp(corr)) / 2  # measured 2.47x
+    # all-transform stack (minus palette, which is exclusive) roundtrips
+    noise = rng.integers(0, 256, (23, 31, 3)).astype(np.uint8)
+    full = encode_webp(noise, predictor=True, subtract_green=True,
+                       color_transform=True, cache_bits=5)
+    assert np.array_equal(decode_webp(full), noise)
