@@ -9,9 +9,10 @@ Profile implemented (a strict, documented VP8L subset):
 * container: RIFF / WEBP / VP8L chunk (lossy `VP8 ` and extended `VP8X`
   raise NotImplementedError — VP8 arithmetic coding is out of scope);
 * encoder: per-channel canonical Huffman codes (DEFLATE bit conventions:
-  LSB-first packing, code bits MSB-first) + optional LZ77 run backrefs
-  (distance 1, emitted as prefix value 121 = 1+120 so the close-neighbor
-  plane mapping is never needed) + an optional COLOR CACHE (hash-indexed
+  LSB-first packing, code bits MSB-first) + optional LZ77 backrefs —
+  same-value runs (distance 1, close-neighbor code 2) and copy-row-above
+  matches (distance = width, close-neighbor code 1, values may vary
+  within the match) — + an optional COLOR CACHE (hash-indexed
   recent colors as single green symbols) + ALL FOUR spec transforms:
   SPATIAL-PREDICTOR (per-16x16-block mode image, entropy-coded as a VP8L
   sub-image; modes chosen per block by wrap-aware residual magnitude),
@@ -25,8 +26,11 @@ Profile implemented (a strict, documented VP8L subset):
   reverse read order at each transform's recorded working width (color
   indexing reduces the width of everything read after it) — plus simple
   1/2-symbol codes, code-length repeats (16/17/18), the max_symbol cap,
-  and general LZ77 backrefs with distance prefix values > 120. Only
-  meta-huffman (and lossy VP8 / extended VP8X) raise NotImplementedError.
+  and general LZ77 backrefs at ANY distance symbol: close-neighbor codes
+  1..120 go through the spec's 2-D plane-offset table (`_DIST_MAP`,
+  dist = dx + dy*width, clamped to ≥1), codes > 120 are scan-line
+  distances offset by 120. Only meta-huffman (and lossy VP8 / extended
+  VP8X) raise NotImplementedError.
 
 Validation: exhaustive encode→decode roundtrips (lossless: bit-equal
 pixels) over both literal and RLE paths plus corrupt-stream fuzzing —
@@ -307,6 +311,34 @@ def _prefix_decode(code: int, br: _BitReaderLSB) -> int:
     return offset + br.bits(e) + 1
 
 
+# Close-neighbor distance mapping (spec §"Distance Mapping"): distance
+# symbols 1..120 address a 2-D neighborhood of the current pixel as
+# (dx, dy) offsets; the scan-line distance is dx + dy*width (clamped to
+# ≥1).  Symbols beyond 120 are plain scan-line distances offset by 120.
+# Transcribed from the public bitstream spec; set membership (8 left-row
+# entries, 16 per row dy=1..7) is asserted by tests. Encoder and decoder
+# share this constant, so roundtrips are exact independent of listing
+# order; only foreign-stream ordering parity is unverifiable without
+# libwebp in this environment (same caveat as the predictor transform).
+_DIST_MAP = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (8, 5), (7, 6), (-7, 6), (8, 6), (7, 7), (-7, 7), (8, 7),
+]
+
+
 # ----------------------------------------------------------------- encode
 
 
@@ -321,6 +353,7 @@ def _write_image_data(
     use_backrefs: bool,
     is_level0: bool,
     cache_bits: int = 0,
+    img_w: int = 0,
 ) -> None:
     """Entropy-coded image data: [color-cache bit][meta bit (level0 only)]
     [5 huffman codes][tokens]. `argb` is the flat uint32 pixel array.
@@ -330,10 +363,14 @@ def _write_image_data(
     256+24+key). Cache decisions are made ONCE here in the token pass so
     the frequency and emission passes see identical state."""
     n = len(argb)
-    tokens: list[tuple] = []  # ("lit", idx) | ("ref", length) | ("cache", key)
+    # ("lit", idx) | ("ref", length, dist_symbol) | ("cache", key)
+    tokens: list[tuple] = []
     same = np.zeros(n, dtype=bool)
+    vert = np.zeros(n, dtype=bool)
     if use_backrefs:
         same[1:] = argb[1:] == argb[:-1]
+        if 0 < img_w < n:  # copy-row-above matches (values may differ)
+            vert[img_w:] = argb[img_w:] == argb[:-img_w]
     if cache_bits:
         cache: list[int | None] = [None] * (1 << cache_bits)
         keys = (
@@ -341,15 +378,21 @@ def _write_image_data(
         ) >> np.uint64(32 - cache_bits)
     i = 0
     while i < n:
-        if use_backrefs and same[i]:
+        if use_backrefs and (same[i] or vert[i]):
             j = i
             while j < n and same[j] and j - i < MAX_BACKREF_LEN:
                 j += 1
-            if j - i >= 3:
-                tokens.append(("ref", j - i))
-                if cache_bits:
-                    cache[int(keys[i])] = int(argb[i])  # run = one value
-                i = j
+            k = i
+            while k < n and vert[k] and k - i < MAX_BACKREF_LEN:
+                k += 1
+            # _DIST_MAP close-neighbor symbols: (1,0) = 2, (0,1) = 1
+            end, dsym = (j, 2) if j >= k else (k, 1)
+            if end - i >= 3:
+                tokens.append(("ref", end - i, dsym))
+                if cache_bits:  # decoder inserts every copied pixel
+                    for m in range(i, end):
+                        cache[int(keys[m])] = int(argb[m])
+                i = end
                 continue
         if cache_bits:
             key = int(keys[i])
@@ -385,8 +428,8 @@ def _write_image_data(
         else:
             code, _, _ = _prefix_encode(t[1])
             gfreq[256 + code] = gfreq.get(256 + code, 0) + 1
-            dcode, _, _ = _prefix_encode(1 + 120)  # distance 1, mapped past
-            dfreq[dcode] = dfreq.get(dcode, 0) + 1  # the plane-code range
+            dcode, _, _ = _prefix_encode(t[2])
+            dfreq[dcode] = dfreq.get(dcode, 0) + 1
     for fr in (rfreq, bfreq, afreq, dfreq):
         if not fr:
             fr[0] = 1  # unused code must still be present in the stream
@@ -425,7 +468,7 @@ def _write_image_data(
             bw.write_code(c, ln)
             if ebits:
                 bw.write(extra, ebits)
-            dcode, dextra, debits = _prefix_encode(121)
+            dcode, dextra, debits = _prefix_encode(t[2])
             c, ln = dcodes[dcode]
             bw.write_code(c, ln)
             if debits:
@@ -795,6 +838,10 @@ def encode_webp(
         _write_image_data(bw, diff, use_backrefs=False, is_level0=False)
         width_bits = _palette_width_bits(len(colors))
         argb = _palette_pack(indices.astype(np.uint32), w, h, width_bits)
+        pack = 1 << width_bits
+        w_eff = (w + pack - 1) // pack  # bundling reduces the working width
+    else:
+        w_eff = w
     if predictor:
         modes = _choose_predictor_modes(argb, w, h, SIZE_BITS)
         argb = _predictor_walk(argb, w, h, modes, SIZE_BITS, inverse=False)
@@ -818,7 +865,9 @@ def encode_webp(
         bw.write(SIZE_BITS - 2, 3)
         _write_image_data(bw, elems, use_backrefs=True, is_level0=False)
     bw.write(0, 1)  # no more transforms
-    _write_image_data(bw, argb, use_backrefs, is_level0=True, cache_bits=cache_bits)
+    _write_image_data(
+        bw, argb, use_backrefs, is_level0=True, cache_bits=cache_bits, img_w=w_eff
+    )
 
     hdr = _BitWriterLSB()
     hdr.write(w - 1, 14)
@@ -878,10 +927,12 @@ def _read_image_data(
             length = _prefix_decode(gs - 256, br)
             dval = _prefix_decode(ddec.read(br), br)
             if dval <= 120:
-                raise NotImplementedError(
-                    "VP8L close-neighbor distance mapping not in subset"
-                )
-            dist = dval - 120
+                dx, dy = _DIST_MAP[dval - 1]
+                dist = dx + dy * w
+                if dist < 1:
+                    dist = 1  # spec clamp
+            else:
+                dist = dval - 120
             if dist > pos or pos + length > n:
                 raise ValueError("vp8l backref out of range")
             for k in range(length):  # may self-overlap (run semantics)

@@ -725,3 +725,51 @@ def test_webp_palette_color_cache_and_color_transform():
     full = encode_webp(noise, predictor=True, subtract_green=True,
                        color_transform=True, cache_bits=5)
     assert np.array_equal(decode_webp(full), noise)
+
+
+def test_webp_close_neighbor_distance_mapping():
+    """LZ77 close-neighbor distance symbols: the decoder maps codes 1..120
+    through the spec's 2-D plane-offset table (dist = dx + dy*width,
+    clamped to >=1); the encoder exercises both emitted entries — (1,0)
+    as code 2 for same-value runs and (0,1) as code 1 for copy-row-above
+    matches whose pixel values VARY within the match."""
+    import numpy as np
+
+    from osmcoastline_spark.functions.webp import (
+        _DIST_MAP,
+        decode_webp,
+        encode_webp,
+    )
+
+    # structural invariants fully determine set membership (ordering is
+    # transcription-trust, shared by encoder+decoder so roundtrips are
+    # exact either way): 8 same-row lefts, 16 per row dy=1..7
+    assert len(_DIST_MAP) == 120 and len(set(_DIST_MAP)) == 120
+    assert sorted(dx for dx, dy in _DIST_MAP if dy == 0) == list(range(1, 9))
+    for row in range(1, 8):
+        assert sorted(dx for dx, dy in _DIST_MAP if dy == row) == sorted(
+            [0, 8] + [s * k for k in range(1, 8) for s in (1, -1)]
+        )
+    assert _DIST_MAP.index((1, 0)) + 1 == 2  # dist-1 runs
+    assert _DIST_MAP.index((0, 1)) + 1 == 1  # copy-row-above
+
+    rng = np.random.default_rng(31)
+    # vertically-tiled random rows: horizontally incompressible, so only
+    # the new (0,1) copy-above backref can shrink it
+    row = rng.integers(0, 256, (1, 64, 3)).astype(np.uint8)
+    tiled = np.repeat(row, 40, axis=0)
+    enc = encode_webp(tiled)
+    assert np.array_equal(decode_webp(enc), tiled)
+    assert len(enc) < len(encode_webp(tiled[:1])) * 4  # ~1 row + refs, not 40 rows
+    # copy-above interacts correctly with the color cache (decoder
+    # inserts every copied pixel; encoder mirrors that)
+    for cb in (3, 8):
+        enc_c = encode_webp(tiled, cache_bits=cb)
+        assert np.array_equal(decode_webp(enc_c), tiled), cb
+    # mixed content: runs, vertical repeats, noise, and every transform
+    mixed = rng.integers(0, 256, (37, 29, 3)).astype(np.uint8)
+    mixed[10:20] = mixed[10]  # vertical repeat block
+    mixed[25:30] = 77  # flat block
+    for kw in ({}, {"predictor": True}, {"subtract_green": True},
+               {"color_transform": True, "cache_bits": 6}):
+        assert np.array_equal(decode_webp(encode_webp(mixed, **kw)), mixed), kw
