@@ -29,8 +29,11 @@ Profile implemented (a strict, documented VP8L subset):
   and general LZ77 backrefs at ANY distance symbol: close-neighbor codes
   1..120 go through the spec's 2-D plane-offset table (`_DIST_MAP`,
   dist = dx + dy*width, clamped to ≥1), codes > 120 are scan-line
-  distances offset by 120. Only meta-huffman (and lossy VP8 / extended
-  VP8X) raise NotImplementedError.
+  distances offset by 120 — and META-HUFFMAN (a block-resolution entropy
+  sub-image selects one of N per-group five-code sets per pixel; the
+  encoder emits two groups split by per-block distinct-color count).
+  Only lossy VP8 / extended VP8X raise NotImplementedError: every VP8L
+  lossless feature in the public bitstream spec is implemented.
 
 Validation: exhaustive encode→decode roundtrips (lossless: bit-equal
 pixels) over both literal and RLE paths plus corrupt-stream fuzzing —
@@ -354,14 +357,25 @@ def _write_image_data(
     is_level0: bool,
     cache_bits: int = 0,
     img_w: int = 0,
+    meta_bits: int = 0,
+    meta_groups: np.ndarray | None = None,
 ) -> None:
-    """Entropy-coded image data: [color-cache bit][meta bit (level0 only)]
-    [5 huffman codes][tokens]. `argb` is the flat uint32 pixel array.
+    """Entropy-coded image data: [color-cache bit][meta bit (level0 only)
+    + entropy sub-image][5 huffman codes × groups][tokens]. `argb` is the
+    flat uint32 pixel array.
 
     With `cache_bits` > 0 a VP8L color cache is maintained: literals whose
     value sits at its hash slot are emitted as cache symbols (green code
     256+24+key). Cache decisions are made ONCE here in the token pass so
-    the frequency and emission passes see identical state."""
+    the frequency and emission passes see identical state.
+
+    With `meta_bits` > 0 (level0 only; requires `img_w`) the META-HUFFMAN
+    feature is emitted: `meta_groups` assigns each 2^meta_bits-square
+    block an entropy-code group; the group map is entropy-coded as a VP8L
+    sub-image whose pixels carry (group >> 8) in red and (group & 255) in
+    green, and each group gets its own 5 huffman codes. A token uses the
+    group of the pixel position where it STARTS (backrefs may span
+    blocks)."""
     n = len(argb)
     # ("lit", idx) | ("ref", length, dist_symbol) | ("cache", key)
     tokens: list[tuple] = []
@@ -410,29 +424,48 @@ def _write_image_data(
     r = (argb >> 16) & 0xFF
     g = (argb >> 8) & 0xFF
     b = argb & 0xFF
-    gfreq: dict[int, int] = {}
-    rfreq: dict[int, int] = {}
-    bfreq: dict[int, int] = {}
-    afreq: dict[int, int] = {}
-    dfreq: dict[int, int] = {}
+    if meta_bits:
+        if not (is_level0 and img_w):
+            raise ValueError("meta-huffman needs a level-0 image with a width")
+        ew = (img_w + (1 << meta_bits) - 1) >> meta_bits
+        ngroups = int(meta_groups.max()) + 1
+
+        def grp(pos: int) -> int:
+            y, x = divmod(pos, img_w)
+            return int(meta_groups[(y >> meta_bits) * ew + (x >> meta_bits)])
+
+    else:
+        ngroups = 1
+
+        def grp(pos: int) -> int:
+            return 0
+
+    freqs = [
+        {"g": {}, "r": {}, "b": {}, "a": {}, "d": {}} for _ in range(ngroups)
+    ]
+    pos = 0
     for t in tokens:
+        fr = freqs[grp(pos)]
         if t[0] == "lit":
             i = t[1]
-            gfreq[int(g[i])] = gfreq.get(int(g[i]), 0) + 1
-            rfreq[int(r[i])] = rfreq.get(int(r[i]), 0) + 1
-            bfreq[int(b[i])] = bfreq.get(int(b[i]), 0) + 1
-            afreq[int(a[i])] = afreq.get(int(a[i]), 0) + 1
+            for ch, arr in (("g", g), ("r", r), ("b", b), ("a", a)):
+                v = int(arr[i])
+                fr[ch][v] = fr[ch].get(v, 0) + 1
+            pos += 1
         elif t[0] == "cache":
             sym = GREEN_ALPHABET + t[1]
-            gfreq[sym] = gfreq.get(sym, 0) + 1
+            fr["g"][sym] = fr["g"].get(sym, 0) + 1
+            pos += 1
         else:
             code, _, _ = _prefix_encode(t[1])
-            gfreq[256 + code] = gfreq.get(256 + code, 0) + 1
+            fr["g"][256 + code] = fr["g"].get(256 + code, 0) + 1
             dcode, _, _ = _prefix_encode(t[2])
-            dfreq[dcode] = dfreq.get(dcode, 0) + 1
-    for fr in (rfreq, bfreq, afreq, dfreq):
-        if not fr:
-            fr[0] = 1  # unused code must still be present in the stream
+            fr["d"][dcode] = fr["d"].get(dcode, 0) + 1
+            pos += t[1]
+    for fr in freqs:
+        for ch in ("g", "r", "b", "a", "d"):
+            if not fr[ch]:
+                fr[ch][0] = 1  # unused code must still be present
 
     if cache_bits:
         bw.write(1, 1)
@@ -440,39 +473,69 @@ def _write_image_data(
     else:
         bw.write(0, 1)  # no color cache
     if is_level0:
-        bw.write(0, 1)  # no meta-huffman
+        if meta_bits:
+            bw.write(1, 1)
+            bw.write(meta_bits - 2, 3)
+            eh = (len(argb) // img_w + (1 << meta_bits) - 1) >> meta_bits
+            entropy_px = (
+                np.uint32(0xFF000000)
+                | ((meta_groups.astype(np.uint32) >> 8) << 16)
+                | ((meta_groups.astype(np.uint32) & 0xFF) << 8)
+            ).astype(np.uint32)
+            assert len(entropy_px) == ew * eh
+            _write_image_data(
+                bw, entropy_px, use_backrefs=True, is_level0=False, img_w=ew
+            )
+        else:
+            bw.write(0, 1)  # no meta-huffman
     g_alphabet = GREEN_ALPHABET + ((1 << cache_bits) if cache_bits else 0)
-    gcodes = _write_huffman(bw, _huffman_code_lengths(gfreq, MAX_HUFF_LEN), g_alphabet)
-    rcodes = _write_huffman(bw, _huffman_code_lengths(rfreq, MAX_HUFF_LEN), 256)
-    bcodes = _write_huffman(bw, _huffman_code_lengths(bfreq, MAX_HUFF_LEN), 256)
-    acodes = _write_huffman(bw, _huffman_code_lengths(afreq, MAX_HUFF_LEN), 256)
-    dcodes = _write_huffman(bw, _huffman_code_lengths(dfreq, MAX_HUFF_LEN), DIST_ALPHABET)
+    sets = []
+    for fr in freqs:
+        sets.append(
+            {
+                "g": _write_huffman(
+                    bw, _huffman_code_lengths(fr["g"], MAX_HUFF_LEN), g_alphabet
+                ),
+                "r": _write_huffman(
+                    bw, _huffman_code_lengths(fr["r"], MAX_HUFF_LEN), 256
+                ),
+                "b": _write_huffman(
+                    bw, _huffman_code_lengths(fr["b"], MAX_HUFF_LEN), 256
+                ),
+                "a": _write_huffman(
+                    bw, _huffman_code_lengths(fr["a"], MAX_HUFF_LEN), 256
+                ),
+                "d": _write_huffman(
+                    bw, _huffman_code_lengths(fr["d"], MAX_HUFF_LEN), DIST_ALPHABET
+                ),
+            }
+        )
 
+    pos = 0
     for t in tokens:
+        cs = sets[grp(pos)]
         if t[0] == "lit":
             i = t[1]
-            for codes, val in (
-                (gcodes, int(g[i])),
-                (rcodes, int(r[i])),
-                (bcodes, int(b[i])),
-                (acodes, int(a[i])),
-            ):
-                code, ln = codes[val]
+            for ch, arr in (("g", g), ("r", r), ("b", b), ("a", a)):
+                code, ln = cs[ch][int(arr[i])]
                 bw.write_code(code, ln)
+            pos += 1
         elif t[0] == "cache":
-            code, ln = gcodes[GREEN_ALPHABET + t[1]]
+            code, ln = cs["g"][GREEN_ALPHABET + t[1]]
             bw.write_code(code, ln)
+            pos += 1
         else:
             code, extra, ebits = _prefix_encode(t[1])
-            c, ln = gcodes[256 + code]
+            c, ln = cs["g"][256 + code]
             bw.write_code(c, ln)
             if ebits:
                 bw.write(extra, ebits)
             dcode, dextra, debits = _prefix_encode(t[2])
-            c, ln = dcodes[dcode]
+            c, ln = cs["d"][dcode]
             bw.write_code(c, ln)
             if debits:
                 bw.write(dextra, debits)
+            pos += t[1]
 
 
 # ------------------------------------------------------- spatial predictors
@@ -786,6 +849,7 @@ def encode_webp(
     color_transform: bool = False,
     palette: bool = False,
     cache_bits: int = 0,
+    meta: bool = False,
 ) -> bytes:
     """RGB8 HxWx3 → lossless WebP (VP8L, subset profile above).
 
@@ -804,7 +868,12 @@ def encode_webp(
       transforms above (libwebp practice); raises ValueError on images
       with more than 256 distinct colors.
     * `cache_bits` (0..11) — VP8L color cache: recently-seen colors are
-      emitted as single hash-indexed green symbols."""
+      emitted as single hash-indexed green symbols.
+    * `meta` — meta-huffman: 16x16 blocks are split into two entropy-code
+      groups by per-block distinct-color count (median threshold), the
+      group map is entropy-coded as a sub-image, and each group gets its
+      own five huffman codes; wins on images mixing flat and busy
+      regions. Applied to the final (post-transform) pixels."""
     h, w = pixels.shape[:2]
     if h < 1 or w < 1 or h > 1 << 14 or w > 1 << 14:
         raise ValueError("vp8l dims out of range")
@@ -865,8 +934,56 @@ def encode_webp(
         bw.write(SIZE_BITS - 2, 3)
         _write_image_data(bw, elems, use_backrefs=True, is_level0=False)
     bw.write(0, 1)  # no more transforms
+    meta_bits, meta_groups = 0, None
+    if meta:
+        meta_bits = 4  # 16x16 entropy blocks
+        ew = (w_eff + 15) >> 4
+        eh = (h + 15) >> 4
+        ys, xs = np.divmod(np.arange(len(argb)), w_eff)
+        bidx = ((ys >> 4) * ew + (xs >> 4)).astype(np.int64)
+        # distinct colors per block via one lexsort (no per-block loops)
+        order = np.lexsort((argb, bidx))
+        sb, sv = bidx[order], argb[order]
+        first = np.ones(len(sv), dtype=bool)
+        first[1:] = (sv[1:] != sv[:-1]) | (sb[1:] != sb[:-1])
+        counts = np.bincount(sb[first], minlength=ew * eh)
+        sums = np.bincount(bidx, weights=(argb >> 8) & 0xFF, minlength=ew * eh)
+        means = sums / np.maximum(np.bincount(bidx, minlength=ew * eh), 1)
+        chans = np.stack(
+            [(argb >> s) & 0xFF for s in (8, 16, 0, 24)]
+        ).astype(np.int64)
+
+        def est_bits(groups: np.ndarray) -> float:
+            # Shannon cost of the 4 raw channels under per-group codes
+            # (backref/cache effects ignored — a split ranking heuristic)
+            pg = groups[bidx]
+            total = 0.0
+            for gi in range(int(groups.max()) + 1):
+                sel = chans[:, pg == gi]
+                for ch in range(4):
+                    hist = np.bincount(sel[ch], minlength=256)
+                    nz = hist[hist > 0].astype(np.float64)
+                    total += nz.sum() * np.log2(nz.sum()) - (nz * np.log2(nz)).sum()
+            return total
+
+        # two candidate block splits; pick by estimated entropy cost
+        cands = [
+            (counts > np.median(counts)).astype(np.int64),
+            (means > np.median(means)).astype(np.int64),
+        ]
+        cands = [c for c in cands if c.max() > 0] or [
+            np.zeros(ew * eh, dtype=np.int64)
+        ]
+        meta_groups = min(cands, key=est_bits)
     _write_image_data(
-        bw, argb, use_backrefs, is_level0=True, cache_bits=cache_bits, img_w=w_eff
+        bw,
+        argb,
+        use_backrefs,
+        is_level0=True,
+        cache_bits=cache_bits,
+        img_w=w_eff,
+        meta_bits=meta_bits,
+        meta_groups=meta_groups,
     )
 
     hdr = _BitWriterLSB()
@@ -898,14 +1015,32 @@ def _read_image_data(
         cache_bits = br.bits(4)
         if not 1 <= cache_bits <= 11:
             raise ValueError("bad vp8l color-cache size")
+    meta = None
+    ngroups = 1
     if is_level0 and br.bits(1):
-        raise NotImplementedError("VP8L meta-huffman not in subset")
+        # meta-huffman: an entropy sub-image assigns each 2^mbits block an
+        # entropy-code group; pixel (red<<8)|green is the group index
+        mbits = br.bits(3) + 2
+        ew = (w + (1 << mbits) - 1) >> mbits
+        eh = (h + (1 << mbits) - 1) >> mbits
+        entropy = _read_image_data(br, ew, eh, is_level0=False)
+        groups = ((entropy >> 8) & 0xFFFF).astype(np.int64)
+        ngroups = int(groups.max()) + 1
+        if ngroups > ew * eh:
+            raise ValueError("bad vp8l meta-huffman group count")
+        meta = (mbits, ew, groups)
     g_alphabet = GREEN_ALPHABET + ((1 << cache_bits) if cache_bits else 0)
-    gdec = _read_huffman(br, g_alphabet)
-    rdec = _read_huffman(br, 256)
-    bdec = _read_huffman(br, 256)
-    adec = _read_huffman(br, 256)
-    ddec = _read_huffman(br, DIST_ALPHABET)
+    sets = [
+        (
+            _read_huffman(br, g_alphabet),
+            _read_huffman(br, 256),
+            _read_huffman(br, 256),
+            _read_huffman(br, 256),
+            _read_huffman(br, DIST_ALPHABET),
+        )
+        for _ in range(ngroups)
+    ]
+    gdec, rdec, bdec, adec, ddec = sets[0]
 
     n = w * h
     argb = np.zeros(n, dtype=np.uint32)
@@ -913,6 +1048,12 @@ def _read_image_data(
     cache = [0] * (1 << cache_bits) if cache_bits else None
     pos = 0
     while pos < n:
+        if meta is not None:
+            mbits, ew, groups = meta
+            y, x = divmod(pos, w)
+            gdec, rdec, bdec, adec, ddec = sets[
+                groups[(y >> mbits) * ew + (x >> mbits)]
+            ]
         gs = gdec.read(br)
         if gs < 256:
             rv = rdec.read(br)

@@ -773,3 +773,42 @@ def test_webp_close_neighbor_distance_mapping():
     for kw in ({}, {"predictor": True}, {"subtract_green": True},
                {"color_transform": True, "cache_bits": 6}):
         assert np.array_equal(decode_webp(encode_webp(mixed, **kw)), mixed), kw
+
+
+def test_webp_meta_huffman():
+    """Meta-huffman — the last VP8L lossless feature: a block-resolution
+    entropy sub-image assigns each 16x16 block one of two huffman-code
+    groups (split chosen between distinct-count and mean-value candidates
+    by estimated channel entropy); each group has its own five codes.
+    Roundtrips bit-exact alone, stacked with every transform + the cache,
+    at single-block sizes, and at palette-reduced width; genuinely
+    compresses two-statistics content."""
+    import numpy as np
+
+    from osmcoastline_spark.functions.webp import decode_webp, encode_webp
+
+    rng = np.random.default_rng(41)
+    # two busy regions with disjoint value ranges: per-group codes save
+    # ~1 bit/symbol/channel vs one global histogram
+    img = np.empty((64, 80, 3), np.uint8)
+    img[:32] = rng.integers(0, 32, (32, 80, 3))
+    img[32:] = rng.integers(224, 256, (32, 80, 3))
+    m = encode_webp(img, meta=True)
+    assert np.array_equal(decode_webp(m), img)
+    assert len(m) < len(encode_webp(img)) / 1.1  # measured 1.18x
+
+    for kw in ({"cache_bits": 5}, {"predictor": True},
+               {"subtract_green": True, "color_transform": True}):
+        enc = encode_webp(img, meta=True, **kw)
+        assert np.array_equal(decode_webp(enc), img), kw
+
+    # palette-reduced width: the entropy grid covers the BUNDLED image
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    pimg = pal[rng.integers(0, 16, (40, 50))]
+    pimg[:20] = pal[3]
+    enc = encode_webp(pimg, palette=True, meta=True)
+    assert np.array_equal(decode_webp(enc), pimg)
+
+    # single 16x16 block -> degenerate single-group map still decodes
+    tiny = rng.integers(0, 256, (5, 7, 3)).astype(np.uint8)
+    assert np.array_equal(decode_webp(encode_webp(tiny, meta=True)), tiny)
