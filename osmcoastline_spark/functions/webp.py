@@ -36,9 +36,12 @@ Profile implemented (a strict, documented VP8L subset):
   lossless feature in the public bitstream spec is implemented.
 
 Validation: exhaustive encode→decode roundtrips (lossless: bit-equal
-pixels) over both literal and RLE paths plus corrupt-stream fuzzing —
-libwebp is not present in this environment, so cross-validation against
-a reference decoder is documented as out of scope.
+pixels) over both literal and RLE paths plus corrupt-stream fuzzing, AND
+cross-validation against the system's real libwebp 1.2.4 via ctypes as a
+tests-only oracle (tests/test_webp_libwebp_oracle.py): every stream this
+encoder emits decodes bit-exactly in WebPDecodeRGBA across all transform/
+cache/meta flag combinations, and WebPEncodeLosslessRGB output decodes
+bit-exactly here. The implementation itself never loads libwebp.
 
 Spec: "WebP Lossless Bitstream Specification" (Google, public).
 Reference parity: this fills the G17 decode slot of SURVEY.md §2 for the
@@ -321,8 +324,8 @@ def _prefix_decode(code: int, br: _BitReaderLSB) -> int:
 # Transcribed from the public bitstream spec; set membership (8 left-row
 # entries, 16 per row dy=1..7) is asserted by tests. Encoder and decoder
 # share this constant, so roundtrips are exact independent of listing
-# order; only foreign-stream ordering parity is unverifiable without
-# libwebp in this environment (same caveat as the predictor transform).
+# order; foreign-stream ordering parity is additionally verified against
+# real libwebp streams in tests/test_webp_libwebp_oracle.py.
 _DIST_MAP = [
     (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
     (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
