@@ -634,6 +634,33 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs.unionByName(clones), k=8, threshold=0.2)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup clustering: MinHash-LSH candidate pairs -> connected
+    components (alternating large-star/small-star) -> min-id cluster
+    labels.  Two truncated clones per base doc (+1e6 / +2e6, -40 / -80
+    chars) guarantee transitive chains base~c1, base~c2, so components of
+    size >= 3 exist and the closure step is non-vacuous.  Oracle: the
+    same LSH pairs SQL as q_minhash_lsh_pairs feeding a recursive-CTE
+    min-label propagation."""
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id", "text")
+    )
+
+    def clone(offset: int, cut: int) -> DataFrame:
+        return docs.select(
+            (F.col("doc_id") + offset).alias("doc_id"),
+            F.substring(
+                "text", F.lit(1), F.greatest(F.length("text") - cut, F.lit(16))
+            ).alias("text"),
+        )
+
+    alldocs = docs.unionByName(clone(1000000, 40)).unionByName(clone(2000000, 80))
+    edges = D.minhash_lsh_pairs(alldocs, n_hashes=4, bands=2, k=5)
+    return D.dedup_clusters(edges, alldocs.select("doc_id"))
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     return D.simhash64(docs)
@@ -793,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_signatures": q_minhash_signatures,
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "q_ngram_jaccard": q_ngram_jaccard,
+        "q_dedup_clusters": q_dedup_clusters,
         "q_simhash": q_simhash,
         "q_text_features": q_text_features,
         "q_lang_guess": q_lang_guess,
@@ -1060,6 +1088,56 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b
             WHERE CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i) >= 0.2
+        """,
+        "q_dedup_clusters": """
+            WITH RECURSIVE
+            base AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+            alldocs AS (
+              SELECT doc_id, text FROM base
+              UNION ALL
+              SELECT doc_id + 1000000,
+                     substring(text, 1, greatest(length(text) - 40, 16))
+              FROM base
+              UNION ALL
+              SELECT doc_id + 2000000,
+                     substring(text, 1, greatest(length(text) - 80, 16))
+              FROM base
+            ),
+            sh AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+              FROM alldocs
+            ),
+            shingle AS (SELECT doc_id, substring(text, CAST(i AS INT), 5) AS s FROM sh),
+            bands AS (SELECT doc_id, s, unnest(generate_series(0, 3)) AS band FROM shingle),
+            sigs AS (
+              SELECT doc_id, band, min(md5(s || '#' || band)) AS sig
+              FROM bands GROUP BY doc_id, band
+            ),
+            keys AS (
+              SELECT doc_id, band // 2 AS lsh_band,
+                     string_agg(band || ':' || sig, '|' ORDER BY band || ':' || sig) AS key
+              FROM sigs GROUP BY doc_id, band // 2
+            ),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+              FROM keys a JOIN keys b ON a.lsh_band = b.lsh_band AND a.key = b.key
+              WHERE a.doc_id < b.doc_id
+            ),
+            edges AS (
+              SELECT a AS u, b AS v FROM pairs
+              UNION ALL SELECT b AS u, a AS v FROM pairs
+            ),
+            -- min-label propagation: the component minimum m is smaller
+            -- than every node on any path, so (node, m) is always reached;
+            -- the w.lbl < e.u guard only prunes non-minimal labels.
+            walk(id, lbl) AS (
+              SELECT doc_id, doc_id FROM alldocs
+              UNION
+              SELECT e.u, w.lbl FROM walk w JOIN edges e ON e.v = w.id
+              WHERE w.lbl < e.u
+            )
+            SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id
         """,
         "q_simhash": """
             WITH toks AS (

@@ -193,6 +193,110 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return sums.select("doc_id", total.alias("simhash"))
 
 
+# ------------------------------------------------- connected components
+
+
+def dedup_clusters(
+    edges: DataFrame, nodes: DataFrame, max_rounds: int = 32
+) -> DataFrame:
+    """Connected components over near-duplicate candidate edges via
+    alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14).
+
+    This is the canonical web-scale fuzzy-dedup step: LSH emits candidate
+    PAIRS, but keeping one representative per near-dup GROUP needs the
+    transitive closure (a~b, b~c => one cluster {a,b,c}).  Naive label
+    propagation needs O(diameter) joins; large-star/small-star converges
+    in O(log^2 n) rounds regardless of diameter, each round a groupBy +
+    a projection — no all-pairs step anywhere, so the shape survives
+    100 TB (per-round cost is O(|E|), and |E| only shrinks).
+
+    * large-star: every node u connects each STRICTLY LARGER neighbour to
+      m(u) = min(neighbours(u) + {u}).
+    * small-star: orient edges (hi, lo); every hi connects its smaller
+      neighbours and itself to the overall minimum.
+
+    Fixpoint = the edge set is a star forest (both steps are identity);
+    detected by an order-independent count+xxhash64 checksum aggregate —
+    one tiny job per round, no extra shuffle.  Every round
+    localCheckpoints to truncate lineage (same discipline as ring
+    assembly, rings.py:193).
+
+    `edges`: columns (a, b), undirected candidate pairs, any orientation.
+    `nodes`: one column `doc_id` — the full id universe, so isolated docs
+    come out as singleton clusters.
+    Returns (doc_id, cluster_id) with cluster_id = min doc_id of the
+    component — deterministic, engine-independent.
+    """
+    e = (
+        edges.select(F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _checksum(df: DataFrame) -> tuple[int, int]:
+        # bit_xor, not sum: summing 64-bit hashes overflows under ANSI mode
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)).alias("h"),
+        ).first()
+        return int(row["n"]), int(row["h"])
+
+    prev = _checksum(e)
+    for _ in range(max_rounds):
+        # Both stars are written as agg-then-self-join on the grouping key
+        # rather than collect_set: a hub node (one giant LSH bucket clique)
+        # would materialize its whole neighbourhood in one executor's
+        # memory under collect_set, while the join form streams it and AQE
+        # skew-split can break the hot key.  The join is co-partitioned
+        # with the groupBy that feeds it (same key), so it costs no extra
+        # exchange of the big side.
+        #
+        # large-star: each u connects every neighbour w > u to
+        # m(u) = min(neighbours + {u}).
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star over edges oriented (lo=a, hi=b): hi links itself and
+        # every smaller neighbour to the overall minimum.
+        mins2 = ls.groupBy("b").agg(F.min("a").alias("m"))
+        ss = (
+            ls.join(mins2, "b")
+            .filter(F.col("a") != F.col("m"))
+            .select(F.col("m").alias("a"), F.col("a").alias("b"))
+            .unionByName(mins2.select(F.col("m").alias("a"), F.col("b").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = _checksum(ss)
+        e = ss
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"dedup_clusters: no fixpoint after {max_rounds} large/small-star rounds"
+        )
+    # star forest: edge (root, w).  Singletons map to themselves.
+    roots = e.select(F.col("b").alias("doc_id"), F.col("a").alias("root"))
+    return nodes.select(F.col("doc_id").cast("long").alias("doc_id")).join(
+        roots, "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("root", "doc_id").alias("cluster_id")
+    )
+
+
 def simhash_band_pairs(sims: DataFrame, band_bits: int = 16) -> DataFrame:
     """Hamming-near candidates: docs sharing any 16-bit band of the sketch."""
     bands = sims.select(

@@ -44,6 +44,29 @@ def test_ngram_jaccard(spark, docs):
     assert (0, 2) in d and 0.5 <= d[(0, 2)] < 1.0
 
 
+def test_dedup_clusters_transitive(spark):
+    """Connected components over candidate edges: a 3-chain (1-2, 2-3)
+    must land in ONE cluster even though (1,3) is not an edge — the whole
+    point of the closure step.  A 32-node path exercises the
+    O(log^2 n) large/small-star convergence far past naive one-hop
+    propagation; isolated node 7 stays a singleton."""
+    edges = [(2, 1), (2, 3), (5, 6)] + [(i, i + 1) for i in range(100, 131)]
+    e = spark.createDataFrame(edges, "a long, b long")
+    node_ids = [1, 2, 3, 5, 6, 7] + list(range(100, 132))
+    nodes = spark.createDataFrame([(x,) for x in node_ids], "doc_id long")
+    got = {r.doc_id: r.cluster_id for r in D.dedup_clusters(e, nodes).collect()}
+    exp = {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7}
+    exp.update({i: 100 for i in range(100, 132)})
+    assert got == exp
+
+
+def test_dedup_clusters_no_edges(spark):
+    nodes = spark.createDataFrame([(1,), (9,)], "doc_id long")
+    e = spark.createDataFrame([], "a long, b long")
+    got = {r.doc_id: r.cluster_id for r in D.dedup_clusters(e, nodes).collect()}
+    assert got == {1: 1, 9: 9}
+
+
 def test_simhash_near_dup_closer_than_random(spark, docs):
     sims = {r.doc_id: r.simhash for r in D.simhash64(docs).collect()}
     assert sims[0] == sims[1]
