@@ -4,10 +4,11 @@ Per BASELINE.json input_hint the payload rides as an opaque binary column
 with typed metadata (w, h, fmt). All operators are `mapInPandas` over Arrow
 batches — the Spark-side plumbing (schema, partitioning, batch shape) is
 real and tested. Codecs: 'raw' (C-order RGB bytes), 'png' (RGB8,
-from-scratch stdlib-zlib + numpy) and 'jpeg' (baseline JFIF, from-scratch
-huffman + numpy DCT — functions/jpeg.py) are REAL; webp remains stubbed
-(VP8 without a codec lib is out of scope — decode_image raises
-NotImplementedError).
+from-scratch stdlib-zlib + numpy), 'jpeg' (baseline JFIF, from-scratch
+huffman + numpy DCT — functions/jpeg.py) and 'webp' (lossless VP8L —
+functions/webp.py — AND lossy VP8 keyframes via the from-scratch RFC 6386
+decoder in functions/vp8.py, bit-exact with libwebp's YUV planes) are all
+REAL; only the extended VP8X container raises NotImplementedError.
 
 The per-row invariant vs the reference (decoded-pixel PSNR ≥ 40 dB for
 lossy formats + caption equality) is implemented in verify_payloads and run
@@ -224,8 +225,8 @@ def decode_png(data: bytes) -> np.ndarray:
 
 def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     """Decode to HxWx3 uint8. 'raw', 'png', 'jpeg' and 'webp' (VP8L
-    lossless subset — see functions/webp.py; lossy VP8 remains out of
-    scope) are real codecs.
+    lossless + lossy VP8 keyframes — functions/webp.py, functions/vp8.py)
+    are real codecs.
 
     Malformed/truncated payloads raise ValueError (never IndexError/
     zlib.error/struct.error) so callers can distinguish "bad bytes in this

@@ -6,8 +6,10 @@ batch math + an explicit bit-level entropy coder, no image libraries.
 
 Profile implemented (a strict, documented VP8L subset):
 
-* container: RIFF / WEBP / VP8L chunk (lossy `VP8 ` and extended `VP8X`
-  raise NotImplementedError — VP8 arithmetic coding is out of scope);
+* container: RIFF / WEBP / VP8L chunk; lossy `VP8 ` chunks are decoded
+  by the from-scratch RFC 6386 keyframe decoder in ``vp8.py`` (bit-exact
+  with libwebp at the YUV plane level); only extended `VP8X` containers
+  (animation/alpha/EXIF) raise NotImplementedError;
 * encoder: per-channel canonical Huffman codes (DEFLATE bit conventions:
   LSB-first packing, code bits MSB-first) + optional LZ77 backrefs —
   same-value runs (distance 1, close-neighbor code 2) and copy-row-above
@@ -32,8 +34,9 @@ Profile implemented (a strict, documented VP8L subset):
   distances offset by 120 — and META-HUFFMAN (a block-resolution entropy
   sub-image selects one of N per-group five-code sets per pixel; the
   encoder emits two groups split by per-block distinct-color count).
-  Only lossy VP8 / extended VP8X raise NotImplementedError: every VP8L
-  lossless feature in the public bitstream spec is implemented.
+  Only extended VP8X raises NotImplementedError: every VP8L lossless
+  feature in the public bitstream spec is implemented, and lossy VP8
+  still images decode through ``vp8.decode_vp8``.
 
 Validation: exhaustive encode→decode roundtrips (lossless: bit-equal
 pixels) over both literal and RLE paths plus corrupt-stream fuzzing, AND
@@ -1109,9 +1112,16 @@ def decode_webp(data: bytes) -> np.ndarray:
         if tag == b"VP8L":
             vp8l = body
             break
-        if tag in (b"VP8 ", b"VP8X"):
+        if tag == b"VP8 ":
+            # lossy still image: a single VP8 keyframe (RFC 6386),
+            # decoded by the from-scratch keyframe decoder in vp8.py
+            # (bit-exact with libwebp at the YUV plane level).
+            from .vp8 import decode_vp8, yuv_to_rgb
+
+            return yuv_to_rgb(*decode_vp8(body))
+        if tag == b"VP8X":
             raise NotImplementedError(
-                f"webp subtype {tag.decode().strip()!r} (lossy VP8 / extended) not in the VP8L subset"
+                "webp subtype 'VP8X' (extended: animation/alpha/EXIF container) not supported"
             )
         pos += 8 + ln + (ln & 1)
     if vp8l is None:

@@ -168,12 +168,17 @@ def test_image_stub_codec(spark):
     # error (per-row drop), not a capability gap
     with pytest.raises(ValueError):
         I.decode_image(b"xx", 1, 1, "webp")
-    # lossy VP8 stays out of scope, surfaced as NotImplementedError
+    # lossy VP8 decodes for real since round 5; a truncated/garbage VP8
+    # chunk is therefore a ValueError (per-row drop), while the extended
+    # VP8X container stays a NotImplementedError capability gap
     import struct
 
     vp8 = b"RIFF" + struct.pack("<I", 16) + b"WEBP" + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         I.decode_image(vp8, 1, 1, "webp")
+    vp8x = b"RIFF" + struct.pack("<I", 16) + b"WEBP" + b"VP8X" + struct.pack("<I", 4) + b"\x00" * 4
+    with pytest.raises(NotImplementedError):
+        I.decode_image(vp8x, 1, 1, "webp")
 
 
 def test_ivf_topk_recall(spark):

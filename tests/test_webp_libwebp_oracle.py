@@ -153,3 +153,122 @@ def test_libwebp_streams_decode_in_our_decoder():
         data = _lib_encode_rgb(img)
         got = decode_webp(data)
         assert np.array_equal(got, img), f"pixel mismatch decoding libwebp: {name}"
+
+
+# ---------------------------------------------------------------- lossy VP8
+#
+# The from-scratch RFC 6386 keyframe decoder (functions/vp8.py) is
+# oracle-checked the same way: libwebp's LOSSY encoder produces real VP8
+# arithmetic-coded streams (with segmentation, B_PRED mode trees, token
+# probability updates and the normal loop filter all exercised at default
+# encoder settings), and our YUV output planes must equal WebPDecodeYUV's
+# byte-for-byte.  The comparison point is YUV deliberately: RGB conversion
+# is an implementation choice outside the spec (libwebp's "fancy" chroma
+# upsampler), while the YUV planes are fully normative.
+
+
+def _load_lossy_symbols():
+    if _LIB is None:
+        return False
+    try:
+        _LIB.WebPEncodeRGB.restype = ctypes.c_size_t
+        _LIB.WebPEncodeRGB.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_float,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ]
+        _LIB.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_uint8)
+        _LIB.WebPDecodeYUV.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+    except AttributeError:
+        return False
+    return True
+
+
+_HAVE_LOSSY = _load_lossy_symbols()
+
+
+def _lib_encode_lossy(arr: np.ndarray, quality: float) -> bytes:
+    h, w, _ = arr.shape
+    buf = np.ascontiguousarray(arr, dtype=np.uint8)
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = _LIB.WebPEncodeRGB(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        w, h, w * 3, quality, ctypes.byref(out),
+    )
+    assert n > 0, "libwebp lossy encode failed"
+    data = ctypes.string_at(out, n)
+    _LIB.WebPFree(out)
+    return data
+
+
+def _lib_decode_yuv(data: bytes):
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    u = ctypes.POINTER(ctypes.c_uint8)()
+    v = ctypes.POINTER(ctypes.c_uint8)()
+    stride = ctypes.c_int()
+    uv_stride = ctypes.c_int()
+    p = _LIB.WebPDecodeYUV(
+        data, len(data), ctypes.byref(w), ctypes.byref(h),
+        ctypes.byref(u), ctypes.byref(v),
+        ctypes.byref(stride), ctypes.byref(uv_stride),
+    )
+    assert p, "libwebp YUV decode failed"
+    W, H, S, US = w.value, h.value, stride.value, uv_stride.value
+    cw, ch = (W + 1) // 2, (H + 1) // 2
+    Y = np.frombuffer(ctypes.string_at(p, S * H), np.uint8).reshape(H, S)[:, :W].copy()
+    U = np.frombuffer(ctypes.string_at(u, US * ch), np.uint8).reshape(ch, US)[:, :cw].copy()
+    V = np.frombuffer(ctypes.string_at(v, US * ch), np.uint8).reshape(ch, US)[:, :cw].copy()
+    _LIB.WebPFree(p)
+    return Y, U, V
+
+
+def _vp8_chunk(data: bytes) -> bytes:
+    off = 12
+    while off + 8 <= len(data):
+        tag = data[off:off + 4]
+        n = int.from_bytes(data[off + 4:off + 8], "little")
+        if tag == b"VP8 ":
+            return data[off + 8:off + 8 + n]
+        off += 8 + n + (n & 1)
+    raise AssertionError("no VP8 chunk in lossy stream")
+
+
+@pytest.mark.skipif(not _HAVE_LOSSY, reason="libwebp lossy symbols unavailable")
+def test_vp8_lossy_yuv_planes_match_libwebp():
+    """Bit-exact YUV parity across content types, sizes (incl. odd,
+    non-MB-aligned dims) and the full quality range."""
+    from osmcoastline_spark.functions.vp8 import decode_vp8
+
+    for name, img in _images().items():
+        for q in (0.0, 20.0, 50.0, 75.0, 90.0, 100.0):
+            data = _lib_encode_lossy(img, q)
+            ref = _lib_decode_yuv(data)
+            got = decode_vp8(_vp8_chunk(data))
+            for plane, (g, r) in zip("YUV", zip(got, ref)):
+                assert np.array_equal(g, r), f"{name} q={q} plane {plane}"
+
+
+@pytest.mark.skipif(not _HAVE_LOSSY, reason="libwebp lossy symbols unavailable")
+def test_vp8_lossy_through_dataframe_surface(spark):
+    """Lossy webp end-to-end through decode_webp + with_image_features: the
+    RGB output must be near the original (same PSNR posture as jpeg)."""
+    from osmcoastline_spark.functions.image import decode_image, psnr
+
+    img = _images()["photo_64x48"]
+    data = _lib_encode_lossy(img, 90.0)
+    out = decode_image(data, img.shape[1], img.shape[0], "webp")
+    assert out.shape == img.shape
+    assert psnr(out, img) > 30.0
