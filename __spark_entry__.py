@@ -12,7 +12,8 @@ the DuckDB oracle can verify spatial operators without a spatial extension):
                 F7/F8 edge filters, F4/F5 routing
   training    : exact dedup, minhash signatures + LSH pairs, simhash,
                 n-gram jaccard, text features, fingerprints, language guess,
-                embedding cosine top-k (brute force + LSH rows-only)
+                corpus-LM familiarity, stratified mixing sampler, Gopher
+                rule gates, embedding cosine top-k (brute force + LSH)
   streaming   : tumbling-window agg (batch twin of the streaming plan)
 
 Column names are aliased identically in Spark and SQL (the driver hashes
@@ -31,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from osmcoastline_spark.cells import cell_id_expr
+from osmcoastline_spark.functions import curate as C
 from osmcoastline_spark.functions import dedup as D
 from osmcoastline_spark.functions import similarity as S
 from osmcoastline_spark.functions import text as T
@@ -678,6 +680,32 @@ def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.lang_guess(F.col("text")).alias("lang_guess"))
 
 
+def q_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM familiarity (curate.lm_familiarity): train an add-one
+    char-trigram model on the corpus itself, score each doc by mean
+    smoothed trigram probability. Exact BIGINT numerators, one IEEE
+    division at the end — engine-identical, full value-hash oracle."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return C.lm_familiarity(docs)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified mixing sampler (curate.stratified_sample):
+    keep iff substr(md5('mix:'||doc_id),1,8) < per-lang 8-hex threshold.
+    No floats, no RNG state — the sample is a pure function of (salt, id,
+    rates), reproducible across engines, runs, and partitionings."""
+    docs = _read(spark, sf_dir, "documents")
+    return C.stratified_sample(docs).select("doc_id", "lang")
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gates (curate.gopher_rules): length floor,
+    mean-word-length band, stopword floor, language recognised — each a
+    named 0/1 column plus the conjunction, all pure Catalyst."""
+    docs = _read(spark, sf_dir, "documents")
+    return C.gopher_rules(docs)
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
@@ -824,6 +852,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": q_simhash,
         "q_text_features": q_text_features,
         "q_lang_guess": q_lang_guess,
+        "q_lm_familiarity": q_lm_familiarity,
+        "q_stratified_sample": q_stratified_sample,
+        "q_gopher_rules": q_gopher_rules,
         "q_embedding_topk": q_embedding_topk,
         "q_embedding_lsh_topk": q_embedding_lsh_topk,
         "q_embedding_lsh_exact": q_embedding_lsh_exact,
@@ -1170,6 +1201,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_lang_guess": _LANG_SQL,
         "q_text_features": _TEXT_FEATURES_SQL,
+        "q_lm_familiarity": _LM_FAMILIARITY_SQL,
+        "q_stratified_sample": _STRATIFIED_SAMPLE_SQL,
+        "q_gopher_rules": _GOPHER_RULES_SQL,
         "q_embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 100 = 0),
             v AS (SELECT vec_id AS nbr_id, embedding::DOUBLE[] AS nv FROM embeddings),
@@ -1462,4 +1496,86 @@ SELECT f.doc_id,
               + least(f.sraw * 5.0, 1.0)) / 3.0, 6) AS quality,
        coalesce(fp.fingerprint, 0) AS fingerprint
 FROM feat f LEFT JOIN fp USING (doc_id)
+"""
+
+# corpus-LM familiarity twin: identical trigram model + exact BIGINT numer
+# (DuckDB sum() returns HUGEINT -> cast back so the division operands match)
+_LM_FAMILIARITY_SQL = """
+WITH g AS (
+  SELECT doc_id, substring(text, CAST(i AS INT), 3) AS gram
+  FROM (
+    SELECT doc_id, text, unnest(generate_series(1, length(text) - 2)) AS i
+    FROM documents WHERE length(text) >= 3
+  )
+),
+model AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+totals AS (SELECT CAST(sum(c) AS BIGINT) AS t_total, count(*) AS vocab FROM model),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_grams, CAST(sum(c + 1) AS BIGINT) AS numer
+  FROM g JOIN model USING (gram)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_grams,
+       round(numer * 1000000 / (n_grams * (t_total + vocab)), 9) AS mean_p_ppm
+FROM per_doc CROSS JOIN totals
+"""
+
+# stratified-sampler twin: thresholds generated from the SAME rate table the
+# Spark operator uses (curate.DEFAULT_MIX), so the two can never drift
+_MIX_CASE = "CASE lang " + " ".join(
+    f"WHEN '{stratum}' THEN '{C._mix_threshold_hex(rate)}'"
+    for stratum, rate in sorted(C.DEFAULT_MIX.items())
+) + " ELSE '00000000' END"
+
+_STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) < {_MIX_CASE}
+"""
+
+# gopher-rules twin: thresholds mirror curate.gopher_rules (150 / [3.0,4.6]
+# / 0.04); r_lang is "any marker language scores > 0", i.e. lang != 'und'
+_GOPHER_RULES_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+tokstats AS (
+  SELECT doc_id,
+         count(*) AS tokens,
+         sum(CASE WHEN lower(tok) IN ({_STOP_LIST}) THEN 1 ELSE 0 END) AS stops
+  FROM toks WHERE length(tok) > 0 GROUP BY doc_id
+),
+feat AS (
+  SELECT d.doc_id,
+         length(d.text) AS n,
+         coalesce(t.tokens, 0) AS tokens,
+         CASE WHEN coalesce(t.tokens, 0) = 0 THEN 0.0
+              ELSE CAST(coalesce(t.stops, 0) AS DOUBLE) / t.tokens END AS sraw,
+         length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) AS alpha,
+         CASE WHEN length(d.text) = 0 THEN 0.0
+              ELSE CAST(length(regexp_replace(d.text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+                   / length(d.text) END AS praw,
+         greatest({_LANG_SCORES['de']}, {_LANG_SCORES['en']},
+                  {_LANG_SCORES['es']}, {_LANG_SCORES['fr']}) AS lang_m
+  FROM documents d LEFT JOIN tokstats t USING (doc_id)
+),
+rules AS (
+  SELECT doc_id,
+         CASE WHEN tokens > 0 THEN CAST(alpha AS DOUBLE) / tokens ELSE 0.0 END AS mwl,
+         praw, sraw, n, lang_m
+  FROM feat
+)
+SELECT doc_id,
+       round(mwl, 9) AS mean_word_len,
+       round(praw, 9) AS punct_ratio,
+       CASE WHEN n >= 150 THEN 1 ELSE 0 END AS r_len,
+       CASE WHEN mwl >= 3.0 AND mwl <= 4.6 THEN 1 ELSE 0 END AS r_mwl,
+       CASE WHEN sraw >= 0.04 THEN 1 ELSE 0 END AS r_stop,
+       CASE WHEN lang_m > 0 THEN 1 ELSE 0 END AS r_lang,
+       (CASE WHEN n >= 150 THEN 1 ELSE 0 END)
+       * (CASE WHEN mwl >= 3.0 AND mwl <= 4.6 THEN 1 ELSE 0 END)
+       * (CASE WHEN sraw >= 0.04 THEN 1 ELSE 0 END)
+       * (CASE WHEN lang_m > 0 THEN 1 ELSE 0 END) AS pass_all
+FROM rules
 """

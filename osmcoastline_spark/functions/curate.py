@@ -1,0 +1,174 @@
+"""Corpus curation operators for training-data pipelines.
+
+Three canonical curation steps a 100 TB text pipeline runs between raw
+ingest and training: a corpus-trained n-gram LM familiarity score
+(the CCNet-perplexity-style "does this read like the corpus" filter), a
+deterministic stratified mixing sampler (per-stratum rates for data
+mixing / rebalancing), and a Gopher-style rule filter (compositions of
+cheap text statistics into named pass/fail gates).
+
+All three are pure Catalyst column expressions / DataFrame ops (JVM-side,
+whole-stage codegen) with ANSI-SQL twins in __spark_entry__.oracle_sql(),
+so DuckDB verifies every value bit-for-bit. Design notes for parity and
+scale:
+
+* the LM score deliberately avoids transcendentals: rounds 1-2 showed
+  ln/sin ULP drift between engines survives quantization, so the score is
+  the MEAN SMOOTHED TRIGRAM PROBABILITY — an exact BIGINT sum of
+  (count+1) numerators divided once at the end (IEEE division is
+  correctly rounded, hence engine-identical). -log of it is a monotone
+  transform, so filtering thresholds are equivalent.
+* the char-trigram model is BOUNDED (≤ charset³ rows) regardless of
+  corpus size, so the score join is a broadcast: at 100 TB the document
+  side never shuffles for scoring — only the tiny (doc_id, partial sums)
+  aggregate moves, and map-side partial aggregation applies.
+* the sampler derives its uniform from md5 hex-string comparison (the
+  repo's established engine-portable idiom, cf. similarity.py planes):
+  keep iff substr(md5('salt:doc_id'), 1, 8) < per-stratum 8-hex
+  threshold floor(rate·2³²). No floats anywhere, stable under
+  re-partitioning, re-runs and engine choice — the property a
+  reproducible training mix actually needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import lang_guess, punct_ratio, stopword_ratio, token_count
+
+# default mixing rates per language stratum (exercised by q_stratified_sample;
+# callers pass their own)
+DEFAULT_MIX = {"en": 0.5, "de": 1.0, "fr": 0.75, "es": 0.25, "zh": 0.125}
+
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """Array of overlapping character n-grams (empty below n chars).
+
+    Guarded: Spark's sequence(1, 0) generates a DESCENDING [1, 0] rather
+    than an empty array, so short strings must short-circuit."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(text) - (n - 1)),
+        lambda i: F.substring(text, i, n),
+    )
+    return F.when(F.length(text) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def lm_familiarity(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Corpus-LM familiarity score per document.
+
+    Trains an add-one-smoothed char n-gram unigram model ON THE CORPUS
+    ITSELF (one groupBy over exploded n-grams), then scores each document
+    by the mean smoothed probability of its n-grams:
+
+        mean_p = Σ_g (count(g) + 1)  /  (n_grams_doc · (T + V))
+
+    with T = total n-gram occurrences and V = vocabulary size. High =
+    built from common corpus n-grams (fluent/typical); low = rare or
+    garbled text. The numerator sum is exact BIGINT arithmetic; the one
+    double division at the end is IEEE-correctly-rounded, so the value is
+    engine-identical (see module docstring for why no logs are taken).
+
+    Returns doc_id, n_grams, mean_p (×1e6, rounded to 9 — the familiar
+    magnitude for thresholding); docs shorter than n chars are omitted
+    (no n-grams ⇒ no model evidence).
+    """
+    grams = docs.select("doc_id", F.explode(char_ngrams(F.col(text_col), n)).alias("gram"))
+    model = grams.groupBy("gram").agg(F.count("*").alias("c"))
+    totals = model.agg(
+        F.sum("c").alias("t_total"), F.count("*").alias("vocab")
+    )
+    per_doc = (
+        grams.join(F.broadcast(model), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.col("c") + F.lit(1)).alias("numer"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(totals)).select(
+        "doc_id",
+        "n_grams",
+        F.round(
+            F.col("numer")
+            * F.lit(1_000_000)
+            / (F.col("n_grams") * (F.col("t_total") + F.col("vocab"))),
+            9,
+        ).alias("mean_p_ppm"),
+    )
+
+
+def _mix_threshold_hex(rate: float) -> str:
+    """8-hex-digit keep threshold for a [0,1] rate; 1.0 ⇒ 'g' (above any
+    hex digit, keeps everything), 0.0 ⇒ '00000000' (keeps nothing)."""
+    if rate >= 1.0:
+        return "g"
+    if rate <= 0.0:
+        return "00000000"
+    return format(int(rate * (1 << 32)), "08x")
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float] | None = None,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic per-stratum sampler for training-data mixing.
+
+    Keeps a row iff the first 8 hex digits of md5("salt:id") compare
+    below the stratum's threshold floor(rate·2³²) — hex-string order IS
+    numeric order at fixed width, so no int conversion (or float) is
+    needed and any md5-capable engine reproduces the exact sample.
+    Unknown strata default to rate 0 (dropped) — a mixing config that
+    silently passes unlisted strata through would corrupt the mix.
+    """
+    rates = DEFAULT_MIX if rates is None else rates
+    u = F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 8
+    )
+    thr = F.lit("00000000")
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(F.col(stratum_col) == stratum, F.lit(_mix_threshold_hex(rate))).otherwise(thr)
+    return docs.filter(u < thr)
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style quality gates as named boolean columns (0/1 ints for
+    engine-portable comparison) + the conjunction `pass_all`.
+
+    r_len   — document length ≥ 150 chars (fragment filter);
+    r_mwl   — mean word length (alpha chars / whitespace tokens) in
+              [3.0, 4.6]: below = symbol soup, above = run-together text;
+    r_stop  — stopword ratio ≥ 0.04 (natural-language evidence);
+    r_lang  — the marker-phrase language heuristic recognises SOME
+              language (lang_guess != 'und').
+
+    All thresholds chosen to split the synthetic corpus non-vacuously
+    (each rule fails a real subset at sf0.01); punct-ratio is omitted as
+    a rule because the corpus is punctuation-free (it would be vacuous)
+    but still reported as a feature column.
+    """
+    t = F.col(text_col)
+    words = token_count(t)
+    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    mwl = F.when(
+        words > 0, alpha.cast("double") / words.cast("double")
+    ).otherwise(F.lit(0.0))
+    r_len = (F.length(t) >= 150).cast("int")
+    r_mwl = ((mwl >= 3.0) & (mwl <= 4.6)).cast("int")
+    r_stop = (stopword_ratio(t) >= 0.04).cast("int")
+    r_lang = (lang_guess(t) != "und").cast("int")
+    return docs.select(
+        "doc_id",
+        F.round(mwl, 9).alias("mean_word_len"),
+        F.round(punct_ratio(t), 9).alias("punct_ratio"),
+        r_len.alias("r_len"),
+        r_mwl.alias("r_mwl"),
+        r_stop.alias("r_stop"),
+        r_lang.alias("r_lang"),
+        (r_len * r_mwl * r_stop * r_lang).alias("pass_all"),
+    )

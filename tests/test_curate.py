@@ -1,0 +1,117 @@
+"""Unit tests for corpus-curation operators (LM familiarity, stratified
+mixing sampler, Gopher-style rule gates)."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmcoastline_spark.functions import curate as C
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat and the dog barked near the barn door", "en"),
+        (1, "the cat sat on the mat and the dog barked near the barn door", "en"),
+        (2, "zq", "en"),  # shorter than a trigram
+        (3, "xqzkj vwpqg zzzzz qqqqq kkkkk jjjjj wwwww", "zz"),  # garbled
+        (4, "der hund und die katze und der vogel singen gern", "de"),
+        (5, "", "fr"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+# --------------------------------------------------------------- n-grams
+
+
+def test_char_ngrams_basic_and_short(spark):
+    df = spark.createDataFrame([("abcd",), ("ab",), ("",)], "t string")
+    out = [r.g for r in df.select(C.char_ngrams(F.col("t")).alias("g")).collect()]
+    assert out == [["abc", "bcd"], [], []]
+
+
+# --------------------------------------------------- LM familiarity score
+
+
+def test_lm_familiarity_hand_computed(spark):
+    # corpus: "aaab" -> grams aaa, aab ; "aaaa" -> aaa, aaa
+    # model: aaa:3, aab:1 ; T=4, V=2 ; denominator per gram slot = T+V = 6
+    df = spark.createDataFrame([(1, "aaab"), (2, "aaaa"), (3, "x")], "doc_id long, text string")
+    out = {r.doc_id: r for r in C.lm_familiarity(df).collect()}
+    assert set(out) == {1, 2}  # doc 3 has no trigrams -> omitted
+    # doc 1: ((3+1) + (1+1)) / (2*6) = 0.5 ; doc 2: ((3+1)*2) / (2*6) = 2/3
+    assert out[1].n_grams == 2 and out[2].n_grams == 2
+    assert math.isclose(out[1].mean_p_ppm, 0.5e6)
+    assert math.isclose(out[2].mean_p_ppm, round(2e6 / 3, 9))
+
+
+def test_lm_familiarity_orders_fluent_above_garbled(spark, docs):
+    out = {r.doc_id: r.mean_p_ppm for r in C.lm_familiarity(docs).collect()}
+    # the duplicated fluent doc shares all trigrams with its twin; the
+    # garbled doc's grams are mostly singletons
+    assert out[0] == out[1] > out[3]
+    assert 2 not in out and 5 not in out  # too short for trigrams
+
+
+# ----------------------------------------------------- stratified sampler
+
+
+def _keeps(doc_id: int, rate: float, salt: str = "mix") -> bool:
+    u = hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()[:8]
+    return u < (format(int(rate * (1 << 32)), "08x") if rate < 1.0 else "g")
+
+
+def test_stratified_sample_matches_md5_reference(spark):
+    rows = [(i, "t", ["en", "de", "zh"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    rates = {"en": 0.5, "de": 1.0, "zh": 0.125}
+    got = {r.doc_id for r in C.stratified_sample(df, rates).collect()}
+    want = {i for i, _, lang in rows if _keeps(i, rates[lang])}
+    assert got == want
+    # de kept wholesale; en/zh thinned
+    assert all(i in got for i in range(300) if i % 3 == 1)
+    n_en = sum(1 for i in got if i % 3 == 0)
+    assert 0 < n_en < 100
+
+
+def test_stratified_sample_drops_unknown_strata(spark, docs):
+    out = C.stratified_sample(docs, {"en": 1.0}).collect()
+    assert {r.doc_id for r in out} == {0, 1, 2}  # de/fr/zz strata dropped
+
+
+def test_stratified_sample_deterministic(spark, docs):
+    a = sorted(r.doc_id for r in C.stratified_sample(docs).collect())
+    b = sorted(r.doc_id for r in C.stratified_sample(docs.repartition(7)).collect())
+    assert a == b
+
+
+# --------------------------------------------------------- gopher rules
+
+
+def test_gopher_rules_gates(spark):
+    fluent = (
+        "the quick brown fox jumps over the lazy dog and the cat naps in "
+        "the warm sun while the birds sing of the morning light above the "
+        "green field and the old barn"
+    )
+    rows = [
+        (1, fluent),  # passes everything
+        (2, "short text"),  # fails r_len
+        (3, "zz qq kk " * 30),  # fails r_mwl (mean word len 2) + r_stop + r_lang
+        (4, ""),  # fails all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in C.gopher_rules(df).collect()}
+    assert out[1].pass_all == 1
+    assert (out[1].r_len, out[1].r_mwl, out[1].r_stop, out[1].r_lang) == (1, 1, 1, 1)
+    assert out[2].r_len == 0 and out[2].pass_all == 0
+    assert out[3].r_mwl == 0 and out[3].r_stop == 0 and out[3].r_lang == 0
+    assert out[3].r_len == 1  # long enough, still rejected
+    assert out[4].pass_all == 0 and out[4].mean_word_len == 0.0
+
+
+def test_gopher_rules_pass_all_is_conjunction(spark, docs):
+    for r in C.gopher_rules(docs).collect():
+        assert r.pass_all == r.r_len * r.r_mwl * r.r_stop * r.r_lang
