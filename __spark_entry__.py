@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from osmcoastline_spark.cells import cell_id_expr
+from osmcoastline_spark.functions import audio as A
 from osmcoastline_spark.functions import curate as C
 from osmcoastline_spark.functions import dedup as D
 from osmcoastline_spark.functions import similarity as S
@@ -722,6 +723,67 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.decontaminate(docs)
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio: synthesize one deterministic ±amp square-wave WAV
+    per document (params are pure functions of doc_id), decode through the
+    REAL from-scratch RIFF/PCM parser (functions/audio.py), extract
+    rms/zcr/peak/duration over Arrow batches. The oracle is closed-form:
+    a square wave's rms IS amp (exact in float64), its zero-crossing count
+    is (n-1) // half_period, so DuckDB verifies the entire decode+feature
+    path without parsing a single byte — the q_water_tiles lattice trick
+    applied to audio."""
+    import pandas as pd
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                amp = 1000 + (did % 9) * 1000
+                half = 1 + did % 7
+                n = 400 + (did % 5) * 80
+                wav = A.encode_wav(A.square_wave(amp, half, n), 8000)
+                rows.append((did, wav, "wav"))
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes", "fmt"])
+
+    clips = docs.mapInPandas(synth, "audio_id long, bytes binary, fmt string")
+    return A.with_audio_features(clips)
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video: synthesize one RV01 clip per document (2-5 solid
+    8x8 frames whose gray value is a pure function of (doc_id, frame)),
+    decode + sample every 2nd frame via functions/video.sample_frames,
+    report exact per-frame mean luminance. Closed-form oracle: a constant
+    frame's mean IS its gray value."""
+    import pandas as pd
+
+    from osmcoastline_spark.functions import video as V
+    import numpy as np
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nf = 2 + did % 4
+                frames = np.stack(
+                    [
+                        np.full((8, 8, 3), (did * 7 + 31 * k) % 256, dtype=np.uint8)
+                        for k in range(nf)
+                    ]
+                )
+                rows.append((did, V.encode_rv01(frames, 10), "rv01"))
+            yield pd.DataFrame(rows, columns=["video_id", "bytes", "fmt"])
+
+    clips = docs.mapInPandas(synth, "video_id long, bytes binary, fmt string")
+    return V.sample_frames(clips, every=2).select("video_id", "frame_idx", "mean_luma")
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
@@ -873,6 +935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gopher_rules": q_gopher_rules,
         "q_repetition_stats": q_repetition_stats,
         "q_decontaminate": q_decontaminate,
+        "q_audio_features": q_audio_features,
+        "q_video_frames": q_video_frames,
         "q_embedding_topk": q_embedding_topk,
         "q_embedding_lsh_topk": q_embedding_lsh_topk,
         "q_embedding_lsh_exact": q_embedding_lsh_exact,
@@ -1224,6 +1288,8 @@ def oracle_sql() -> dict[str, str]:
         "q_gopher_rules": _GOPHER_RULES_SQL,
         "q_repetition_stats": _REPETITION_SQL,
         "q_decontaminate": _DECONTAMINATE_SQL,
+        "q_audio_features": _AUDIO_FEATURES_SQL,
+        "q_video_frames": _VIDEO_FRAMES_SQL,
         "q_embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 100 = 0),
             v AS (SELECT vec_id AS nbr_id, embedding::DOUBLE[] AS nv FROM embeddings),
@@ -1663,4 +1729,37 @@ hits AS (
 SELECT doc_id, n_grams, hit_grams,
        CASE WHEN hit_grams > 0 THEN 1 ELSE 0 END AS contaminated
 FROM hits
+"""
+
+# audio twin: closed-form square-wave features — the synth params are pure
+# functions of doc_id, so DuckDB never parses a byte of WAV
+_AUDIO_FEATURES_SQL = """
+WITH p AS (
+  SELECT doc_id AS audio_id,
+         1000 + (doc_id % 9) * 1000 AS amp,
+         1 + doc_id % 7 AS half,
+         400 + (doc_id % 5) * 80 AS n
+  FROM documents
+)
+SELECT audio_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       n AS n_samples,
+       CAST(n AS DOUBLE) / 8000 AS duration_s,
+       CAST(amp AS DOUBLE) AS rms,
+       (n - 1) // half AS zcr,
+       amp AS peak
+FROM p
+"""
+
+# video twin: constant 8x8 frames, sampled every 2nd — mean luma is the
+# frame's gray value exactly
+_VIDEO_FRAMES_SQL = """
+WITH p AS (SELECT doc_id AS video_id, 2 + doc_id % 4 AS nf FROM documents),
+f AS (
+  SELECT video_id, unnest(generate_series(0, CAST(nf - 1 AS BIGINT), 2)) AS frame_idx
+  FROM p
+)
+SELECT video_id, frame_idx,
+       CAST((video_id * 7 + 31 * frame_idx) % 256 AS DOUBLE) AS mean_luma
+FROM f
 """
