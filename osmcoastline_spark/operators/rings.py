@@ -95,12 +95,13 @@ def _driver_finish_plan(endpoints: list[tuple[int, int, int]]) -> tuple[list, li
     rows for apply_merge_plan. State is O(open chains)."""
 
     class Obj:
-        __slots__ = ("parts", "first", "last")
+        __slots__ = ("parts", "first", "last", "dead")
 
         def __init__(self, rid, first, last):
             self.parts = [rid]
             self.first = first
             self.last = last
+            self.dead = False
 
         @property
         def closed(self):
@@ -131,7 +132,10 @@ def _driver_finish_plan(endpoints: list[tuple[int, int, int]]) -> tuple[list, li
                 prev.parts.extend(nxt.parts)
                 prev.last = nxt.last
                 start_nodes.pop(last, None)
-                objs.remove(nxt)
+                # tombstone, not list.remove: remove() is O(live objects)
+                # per merge, i.e. O(n²) at a raised driver_threshold —
+                # the dead flag keeps the whole finish O(n log n)
+                nxt.dead = True
                 if prev.closed:
                     if start_nodes.get(prev.first) is prev:
                         start_nodes.pop(prev.first, None)
@@ -152,6 +156,8 @@ def _driver_finish_plan(endpoints: list[tuple[int, int, int]]) -> tuple[list, li
     plan = []
     finalize = []
     for o in objs:
+        if o.dead:
+            continue
         gid = min(o.parts)
         for seq, rid in enumerate(o.parts):
             plan.append((rid, gid, seq, seq > 0))
@@ -163,11 +169,20 @@ def assemble_rings(
     ways_loc: DataFrame,
     max_rounds: int = 64,
     checkpoint_every: int = 1,
-    driver_threshold: int = 200_000,
+    driver_threshold: int = 2_000_000,
     assume_materialized: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (closed_rings, open_rings) with schema
     ring_id, node_ids, xs, ys, nways, fixed, lead.
+
+    driver_threshold default (2M, raised from 200k in round 5): the
+    sequential finish moves only (ring_id, first, last) triples — ~24
+    bytes/chain, so 2M chains is ~58 MB of Arrow transfer plus an
+    O(n log n) chain walk. Measured A/B at 2M islands / 2.4M open chains
+    (BENCH/run_assembly_knob.py): immediate driver finish 29.8 s / 13
+    jobs vs distributed-rounds-first 36.7 s / 77 jobs, outputs
+    bit-identical — the distributed mating rounds remain the fallback
+    for inputs whose open-chain count exceeds what the driver holds.
 
     Endpoint-only fixpoint: the coordinate arrays NEVER ride an iterative
     shuffle. The mating rounds operate on (ring_id, members, first_node,
@@ -215,10 +230,17 @@ def assemble_rings(
         if n_open == 0:
             break
         if n_open <= driver_threshold:
-            eps = [
-                (r["ring_id"], r["first_node"], r["last_node"])
-                for r in ep.select("ring_id", "first_node", "last_node").collect()
-            ]
+            # Arrow toPandas, not collect(): py4j row materialization is
+            # ~10× slower at the default threshold and dominates at a
+            # raised one; the bound on this transfer is driver_threshold
+            pdf = ep.select("ring_id", "first_node", "last_node").toPandas()
+            eps = list(
+                zip(
+                    pdf["ring_id"].tolist(),
+                    pdf["first_node"].tolist(),
+                    pdf["last_node"].tolist(),
+                )
+            )
             driver_plan = _driver_finish_plan(eps)
             break
         # Endpoint OWNERSHIP: the reference's endpoint maps are assignments
