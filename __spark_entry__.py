@@ -1602,7 +1602,8 @@ per_doc AS (
   GROUP BY doc_id
 )
 SELECT doc_id, n_grams,
-       round(numer * 1000000 / (n_grams * (t_total + vocab)), 9) AS mean_p_ppm
+       CAST(numer AS DOUBLE) * 1000000
+         / (CAST(n_grams AS DOUBLE) * CAST(t_total + vocab AS DOUBLE)) AS mean_p_ppm
 FROM per_doc CROSS JOIN totals
 """
 
@@ -1653,8 +1654,8 @@ rules AS (
   FROM feat
 )
 SELECT doc_id,
-       round(mwl, 9) AS mean_word_len,
-       round(praw, 9) AS punct_ratio,
+       mwl AS mean_word_len,
+       praw AS punct_ratio,
        CASE WHEN n >= 150 THEN 1 ELSE 0 END AS r_len,
        CASE WHEN mwl >= 3.0 AND mwl <= 4.6 THEN 1 ELSE 0 END AS r_mwl,
        CASE WHEN sraw >= 0.04 THEN 1 ELSE 0 END AS r_stop,
@@ -1698,8 +1699,8 @@ fr AS (
   FROM wagg w LEFT JOIN bagg b USING (doc_id)
 )
 SELECT doc_id, tokens, distinct_tokens,
-       round(dup, 9) AS dup_word_frac,
-       round(top2, 9) AS top_bigram_frac,
+       dup AS dup_word_frac,
+       top2 AS top_bigram_frac,
        CASE WHEN dup <= 0.5 THEN 1 ELSE 0 END AS r_dup_word,
        CASE WHEN top2 <= 0.08 THEN 1 ELSE 0 END AS r_top_bigram,
        CASE WHEN dup <= 0.5 AND top2 <= 0.08 THEN 1 ELSE 0 END AS pass_repetition

@@ -71,9 +71,9 @@ def lm_familiarity(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataF
     double division at the end is IEEE-correctly-rounded, so the value is
     engine-identical (see module docstring for why no logs are taken).
 
-    Returns doc_id, n_grams, mean_p (×1e6, rounded to 9 — the familiar
-    magnitude for thresholding); docs shorter than n chars are omitted
-    (no n-grams ⇒ no model evidence).
+    Returns doc_id, n_grams, mean_p (×1e6 — the familiar magnitude for
+    thresholding); docs shorter than n chars are omitted (no n-grams ⇒ no
+    model evidence).
     """
     grams = docs.select("doc_id", F.explode(char_ngrams(F.col(text_col), n)).alias("gram"))
     model = grams.groupBy("gram").agg(F.count("*").alias("c"))
@@ -88,14 +88,21 @@ def lm_familiarity(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataF
             F.sum(F.col("c") + F.lit(1)).alias("numer"),
         )
     )
+    # double math end-to-end, NO decimal rounding: int64→double casts and
+    # each */ are correctly rounded, hence engine-identical — whereas
+    # round(x, 9) disagrees between engines in the last digit (Spark
+    # BigDecimal HALF_UP vs DuckDB's multiply-round; bit at sf0.1), and an
+    # integer numer·1e6 would overflow int64 at real corpus scale
     return per_doc.crossJoin(F.broadcast(totals)).select(
         "doc_id",
         "n_grams",
-        F.round(
-            F.col("numer")
+        (
+            F.col("numer").cast("double")
             * F.lit(1_000_000)
-            / (F.col("n_grams") * (F.col("t_total") + F.col("vocab"))),
-            9,
+            / (
+                F.col("n_grams").cast("double")
+                * (F.col("t_total") + F.col("vocab")).cast("double")
+            )
         ).alias("mean_p_ppm"),
     )
 
@@ -157,8 +164,8 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         "tokens",
         "distinct_tokens",
-        F.round(dup, 9).alias("dup_word_frac"),
-        F.round(top2, 9).alias("top_bigram_frac"),
+        dup.alias("dup_word_frac"),
+        top2.alias("top_bigram_frac"),
         (dup <= 0.5).cast("int").alias("r_dup_word"),
         (top2 <= 0.08).cast("int").alias("r_top_bigram"),
         ((dup <= 0.5) & (top2 <= 0.08)).cast("int").alias("pass_repetition"),
@@ -275,8 +282,8 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
     r_lang = (lang_guess(t) != "und").cast("int")
     return docs.select(
         "doc_id",
-        F.round(mwl, 9).alias("mean_word_len"),
-        F.round(punct_ratio(t), 9).alias("punct_ratio"),
+        mwl.alias("mean_word_len"),
+        punct_ratio(t).alias("punct_ratio"),
         r_len.alias("r_len"),
         r_mwl.alias("r_mwl"),
         r_stop.alias("r_stop"),
