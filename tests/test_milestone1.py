@@ -136,3 +136,53 @@ def test_fake_close_preserves_gap_vertex(spark):
     assert merged.node_ids == [50, 60, 50]  # last id aliased
     assert merged.xs == [0.0, 1.0, 2.0]  # last coordinate NOT touched
     assert merged.ys == [0.0, 0.5, 0.9]
+
+
+def test_driver_finish_plan_property_random_fragments():
+    """Pure-python property check of _driver_finish_plan after the round-5
+    tombstone rewrite (list.remove was O(n^2) at a raised threshold): for
+    random rings fragmented into chains with shuffled ids, every closed
+    ring must come out as exactly one group containing all its fragments,
+    and no tombstoned (merged-away) object may leak into the plan."""
+    import random
+
+    from osmcoastline_spark.operators.rings import _driver_finish_plan
+
+    rng = random.Random(1234)
+    for trial in range(25):
+        endpoints = []
+        want_groups = []
+        next_node = 1
+        next_rid = 1
+        for ring in range(rng.randint(1, 40)):
+            k = rng.randint(1, 6)
+            ring_nodes = list(range(next_node, next_node + k))
+            next_node += k
+            closed = rng.random() < 0.7
+            rids = []
+            for i in range(k if closed or k > 1 else 1):
+                first = ring_nodes[i]
+                last = ring_nodes[(i + 1) % k] if (closed or i + 1 < k) else -next_node
+                if not closed and i == k - 1:
+                    last = -ring_nodes[0] - 10_000_000  # dangling end
+                endpoints.append((next_rid, first, last))
+                rids.append(next_rid)
+                next_rid += 1
+            want_groups.append((frozenset(rids), closed))
+        rng.shuffle(endpoints)
+        plan, finalize = _driver_finish_plan(endpoints)
+        # every input chain appears in the plan exactly once
+        assert sorted(r for r, _, _, _ in plan) == sorted(r for r, _, _ in endpoints)
+        groups = {}
+        for rid, gid, seq, _ in plan:
+            groups.setdefault(gid, set()).add(rid)
+        got = {frozenset(v) for v in groups.values()}
+        # each ring's fragments end up in one group (closed rings always;
+        # open rings may stay split only at genuinely unmatched endpoints)
+        for want, closed in want_groups:
+            covering = [g for g in got if g & want]
+            assert set().union(*covering) >= want
+            if closed:
+                assert covering == [want]
+        # finalize rows correspond 1:1 to surviving groups
+        assert sorted(g for g, *_ in finalize) == sorted(groups)
