@@ -1028,6 +1028,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT round(v.i * 0.01 + 0.003, 9) AS ix,
                    round(h.i * 0.01 + 0.005, 9) AS iy
             FROM hs h CROSS JOIN vs v
+            -- a pair crosses only while the vertical's x is inside the
+            -- horizontals' span [0,1] and the horizontal's y inside the
+            -- verticals' span [-1,2]; beyond H=100 the grid outgrows the
+            -- span and the naive all-pairs count overshoots (sf0.1 bug)
+            WHERE v.i * 0.01 + 0.003 <= 1.0
+              AND h.i * 0.01 + 0.005 >= -1.0
+              AND h.i * 0.01 + 0.005 <= 2.0
         """,
         "q_point_in_polygon": f"""
             WITH pts AS (
