@@ -67,8 +67,13 @@ def main() -> None:
             [sys.executable, "-c", CHILD, str(cpus), str(amp)],
             capture_output=True, text=True, env=lenv, timeout=3600,
         )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        return json.loads(line)["kernels"]
+        lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        if out.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"text-kernel child (cpus={cpus}) failed rc={out.returncode}:\n"
+                + out.stderr[-2000:]
+            )
+        return json.loads(lines[-1])["kernels"]
 
     attempts = {lo: [], hi: []}
     for _ in range(repeats):

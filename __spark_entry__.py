@@ -781,7 +781,7 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["video_id", "bytes", "fmt"])
 
     clips = docs.mapInPandas(synth, "video_id long, bytes binary, fmt string")
-    return V.sample_frames(clips, every=2).select("video_id", "frame_idx", "mean_luma")
+    return V.sample_frames(clips, every=2, with_hash=False)
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

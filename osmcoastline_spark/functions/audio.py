@@ -70,6 +70,10 @@ def decode_wav(b: bytes) -> tuple[int, np.ndarray]:
                 raise ValueError(f"unsupported WAV bit depth {bits} (16-bit only)")
             if ch < 1:
                 raise ValueError("bad channel count")
+            if rate == 0:
+                # a zero rate would make duration_s divide by zero in the
+                # feature extractor — fail the ROW here, never the task
+                raise ValueError("bad sample rate 0")
         elif tag == b"data":
             data = b[pos : pos + size]
         pos += size + (size & 1)  # chunks are word-aligned

@@ -61,7 +61,7 @@ def decode_video(b: bytes, fmt: str) -> tuple[int, np.ndarray]:
 
 
 def sample_frames(
-    video: DataFrame, every: int = 2, id_col: str = "video_id"
+    video: DataFrame, every: int = 2, id_col: str = "video_id", with_hash: bool = True
 ) -> DataFrame:
     """Frame sampling + per-frame features, batched over Arrow: one output
     row per kept frame (indices 0, every, 2·every, …) with the frame's
@@ -86,16 +86,18 @@ def sample_frames(
                     continue
                 for idx in range(0, frames.shape[0], every):
                     fr = frames[idx]
-                    rows.append(
-                        (
-                            getattr(r, id_col),
-                            idx,
-                            float(fr.astype(np.float64).mean()),
-                            average_hash(fr),
-                        )
+                    row = (
+                        getattr(r, id_col),
+                        idx,
+                        float(fr.astype(np.float64).mean()),
                     )
-            yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "mean_luma", "phash"])
+                    # hash only on request: a .select() downstream cannot
+                    # prune work done inside the Python batch
+                    rows.append(row + (average_hash(fr),) if with_hash else row)
+            yield pd.DataFrame(rows, columns=cols)
 
-    return video.select(id_col, "bytes", "fmt").mapInPandas(
-        run, f"{id_col} long, frame_idx long, mean_luma double, phash long"
+    cols = [id_col, "frame_idx", "mean_luma"] + (["phash"] if with_hash else [])
+    schema = f"{id_col} long, frame_idx long, mean_luma double" + (
+        ", phash long" if with_hash else ""
     )
+    return video.select(id_col, "bytes", "fmt").mapInPandas(run, schema)

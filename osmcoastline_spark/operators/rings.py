@@ -139,7 +139,11 @@ def _driver_finish_plan(endpoints: list[tuple[int, int, int]]) -> tuple[list, li
                 if prev.closed:
                     if start_nodes.get(prev.first) is prev:
                         start_nodes.pop(prev.first, None)
-                    if end_nodes.get(prev.last) is prev:
+                    # the end_nodes slot at prev.last may still hold the
+                    # just-tombstoned nxt (its old entry) — leaving it
+                    # would route a later chain into a dead object and
+                    # silently drop its ways from the plan
+                    if end_nodes.get(prev.last) in (prev, nxt):
                         end_nodes.pop(prev.last, None)
                     continue
             end_nodes[prev.last] = prev

@@ -144,3 +144,21 @@ def test_sample_frames_every_k_and_drop(spark):
     out = sorted(V.sample_frames(df, every=2).collect(), key=lambda r: r.frame_idx)
     assert {r.video_id for r in out} == {1}
     assert [(r.frame_idx, r.mean_luma) for r in out] == [(0, 0.0), (2, 20.0), (4, 40.0)]
+
+
+def test_wav_decoder_rejects_zero_sample_rate():
+    b = bytearray(A.encode_wav(np.arange(4, dtype=np.int16), 8000))
+    b[24:28] = struct.pack("<I", 0)  # fmt sample rate = 0
+    with pytest.raises(ValueError, match="sample rate"):
+        A.decode_wav(bytes(b))
+
+
+def test_sample_frames_without_hash(spark):
+    frames = np.stack([np.full((8, 8, 3), 7, dtype=np.uint8)] * 3)
+    df = spark.createDataFrame(
+        [(1, bytearray(V.encode_rv01(frames, 10)), "rv01")],
+        "video_id long, bytes binary, fmt string",
+    )
+    out = V.sample_frames(df, every=1, with_hash=False)
+    assert out.columns == ["video_id", "frame_idx", "mean_luma"]
+    assert out.count() == 3

@@ -186,3 +186,17 @@ def test_driver_finish_plan_property_random_fragments():
                 assert covering == [want]
         # finalize rows correspond 1:1 to surviving groups
         assert sorted(g for g, *_ in finalize) == sorted(groups)
+
+
+def test_driver_finish_plan_no_chain_lost_at_duplicate_endpoints():
+    """Regression (round-5 self-review): when a both-sided merge closes a
+    ring, the end_nodes map could keep pointing at the tombstoned object;
+    a later chain attaching at that node was appended to the dead object
+    and silently vanished from the plan. Every input chain must appear in
+    the plan exactly once, whatever the (bad-data) endpoint sharing."""
+    from osmcoastline_spark.operators.rings import _driver_finish_plan
+
+    K, W, X, Y, M = 100, 200, 300, 400, 500
+    endpoints = [(1, K, X), (2, K, W), (3, W, K), (4, Y, K), (5, X, Y), (6, K, M)]
+    plan, finalize = _driver_finish_plan(endpoints)
+    assert sorted(r for r, _, _, _ in plan) == [1, 2, 3, 4, 5, 6]
