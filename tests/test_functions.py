@@ -37,6 +37,20 @@ def test_minhash_lsh_finds_near_dup(spark, docs):
     assert (3, 4) not in pairs
 
 
+def test_minhash_plan_shape(spark, docs):
+    """The narrow minhash formulation must stay shuffle-free: signatures plan
+    with ZERO Exchange (per-row F.aggregate over the shingle array), and LSH
+    pairs with only the candidate equi-join's two exchanges.  A regression
+    here means someone reintroduced the explode+groupBy shape, which costs
+    2 extra exchanges for identical output (BENCH/run_minhash_ab.py: 1.7x)."""
+    sig_plan = D.minhash_signatures(docs, 8, 5)._jdf.queryExecution().executedPlan().toString()
+    assert sig_plan.count("Exchange") == 0
+    pair_plan = D.minhash_lsh_pairs(docs, 8, 4, 5)._jdf.queryExecution().executedPlan().toString()
+    # candidate join (2 sides) + output distinct — the old explode+groupBy
+    # shape planned 2 more (a signature groupBy and a key groupBy per side)
+    assert pair_plan.count("Exchange") <= 3
+
+
 def test_ngram_jaccard(spark, docs):
     pairs = D.ngram_jaccard_pairs(docs, k=5, threshold=0.5).collect()
     d = {(r.a, r.b): r.jaccard for r in pairs}
