@@ -17,7 +17,7 @@ Kernels:
   intersect  — cell-binned self-join + exact crossing kernel (J5)
   polygonize — batched point-in-polygon cell classification (G6 backbone)
   water      — per-tile even-odd difference (R5)
-  minhash    — shingle explode -> per-band min signature (16x docs)
+  minhash    — per-row narrow band-min signatures (zero-shuffle, 16x docs)
 
 Writes BENCH/KERNELS.md and prints one JSON line.
 """
@@ -113,6 +113,18 @@ def shuffle_write_bytes():
 
 res = {}
 sw = {}
+
+def act(df):
+    # noop sink, not .count(): count() lets Catalyst prune computed columns
+    # that don't change cardinality — the historical minhash kernel numbers
+    # (rounds 2-5) timed a plan with ALL md5/min work pruned out (verified:
+    # the count() executedPlan contains no md5). noop materializes every
+    # column. Only the noop is timed; the row count (reported for table
+    # identity, not timing) runs after, on the count()-optimized plan.
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    dt = round(time.time() - t0, 2)
+    return dt, df.count()
 # Bucketed-vs-flat J2 A/B over IDENTICAL files (the bucketed dirs read as
 # plain parquet when scanned by path — only catalog metadata differs).
 # Bucketed first: any OS page-cache warming then favors the FLAT variant,
@@ -125,21 +137,21 @@ nb = register_bucketed(spark, "nodes_b", os.path.join(src, "nodes_b"),
 rb = register_bucketed(spark, "refs_b", os.path.join(src, "refs_b"),
                        "way_id long, pos int, node_id long", buckets=64)
 w0 = shuffle_write_bytes()
-t0 = time.time(); n = ways_with_locations_from_refs(rb, nb).count(); res["locjoin_bucketed"] = [round(time.time()-t0, 2), n]
+dt, n = act(ways_with_locations_from_refs(rb, nb)); res["locjoin_bucketed"] = [dt, n]
 w1 = shuffle_write_bytes(); sw["locjoin_bucketed"] = w1 - w0
 refs_p = spark.read.parquet(os.path.join(src, "refs_b"))
 nodes_p = spark.read.parquet(os.path.join(src, "nodes_b"))
-t0 = time.time(); n = collect_locations(refs_p.join(nodes_p.hint("SHUFFLE_HASH"), "node_id")).count(); res["locjoin_flat"] = [round(time.time()-t0, 2), n]
+dt, n = act(collect_locations(refs_p.join(nodes_p.hint("SHUFFLE_HASH"), "node_id"))); res["locjoin_flat"] = [dt, n]
 w2 = shuffle_write_bytes(); sw["locjoin_flat"] = w2 - w1
 # historical variant (explode + checkpointed inputs), before the 1.2 GB
 # segs checkpoint enters the block manager: measuring it with that
 # storage resident showed 3× worse times purely from heap pressure (GC)
-t0 = time.time(); n = ways_with_locations(coastline_ways(ways), nodes).count(); res["locjoin"] = [round(time.time()-t0, 2), n]
+dt, n = act(ways_with_locations(coastline_ways(ways), nodes)); res["locjoin"] = [dt, n]
 w3 = shuffle_write_bytes(); sw["locjoin"] = w3 - w2
 segs = ring_segments(rings).localCheckpoint(eager=True)  # input for intersect
-t0 = time.time(); n = intersection_pairs(segs, 0.5).count(); res["intersect"] = [round(time.time()-t0, 2), n]
-t0 = time.time(); n = classify_container_cells(polys.selectExpr("poly_id as ring_id", "shell_x as xs", "shell_y as ys"), 1.0).count(); res["polygonize"] = [round(time.time()-t0, 2), n]
-t0 = time.time(); n = water_polygons(polys, 4.0).count(); res["water"] = [round(time.time()-t0, 2), n]
+dt, n = act(intersection_pairs(segs, 0.5)); res["intersect"] = [dt, n]
+dt, n = act(classify_container_cells(polys.selectExpr("poly_id as ring_id", "shell_x as xs", "shell_y as ys"), 1.0)); res["polygonize"] = [dt, n]
+dt, n = act(water_polygons(polys, 4.0)); res["water"] = [dt, n]
 # 16x-amplified documents (id-offset copies) so the minhash kernel outruns
 # job latency; built HERE so its checkpoint storage never pressures the
 # geometry kernels' heap (same reason segs builds after locjoin)
@@ -148,7 +160,7 @@ docs = docs0
 for k in range(1, 16):
     docs = docs.unionByName(docs0.withColumn("doc_id", F.col("doc_id") + F.lit(k * 1_000_000_000)))
 docs = docs.localCheckpoint(eager=True)
-t0 = time.time(); n = minhash_signatures(docs, n_hashes=8, k=5).count(); res["minhash"] = [round(time.time()-t0, 2), n]
+dt, n = act(minhash_signatures(docs, n_hashes=8, k=5)); res["minhash"] = [dt, n]
 print(json.dumps({"cpus": cpus, "kernels": res, "shuffle_write": sw}))
 spark.stop()
 """

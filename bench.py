@@ -79,12 +79,19 @@ def main() -> None:
     # q_segment_intersections: 3.7 → 2.2 → 1.9 → 1.75 s over consecutive
     # identical runs, which is exactly the r2→r4 "drift" the round-4
     # verdict flagged. Both attempts are recorded; min is the steady state.
+    # noop sink, NOT .count(): count() lets Catalyst prune computed columns
+    # that don't affect cardinality — q_text_features' count() plan timed a
+    # bare parquet scan (0.83 s) while the full feature computation costs
+    # ~25 s pre-vectorization, and q_simhash's count() dropped all 64 bit
+    # sums. The noop write materializes every output column, so the number
+    # measures what the query claims to compute (round-5 correction,
+    # BENCH/BASELINE.md §4; /tmp-diagnosed per-query deltas recorded there).
     query_attempts: dict[str, list[float]] = {}
     for name in bench_queries:
         at = []
         for _ in range(2):
             t0 = time.time()
-            qfns[name](spark, sf_dir).count()
+            qfns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             at.append(round(time.time() - t0, 3))
         query_attempts[name] = at
         times[name] = min(at)

@@ -1,14 +1,23 @@
 """Text analysis for large-scale training-data pipelines.
 
-All of these are pure Catalyst column expressions (JVM-side, whole-stage
-codegen) — no Python in the hot path. Each has an ANSI-SQL twin in
+These are pure Catalyst column expressions (JVM-side, whole-stage codegen)
+— no Python in the hot path — with ONE measured exception: the rolling
+fingerprint ships as an Arrow-vectorized pandas_udf, because its Catalyst
+formulation is quadratic (element_at(split(text,''), i) re-evaluates the
+split per lambda element) and HOF lambdas are interpreted — measured 25 s
+for 5k docs at sf0.1 vs <0.5 s vectorized. The Catalyst form is kept as
+the definitional twin (it IS the oracle SQL), equality-tested against the
+fast path. Each feature has an ANSI-SQL twin in
 __spark_entry__.oracle_sql() so DuckDB can verify results bit-for-bit.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 # tiny per-language stopword marker sets for the n-gram language heuristic
 LANG_MARKERS = {
@@ -109,6 +118,37 @@ def rolling_fingerprint(text: Column) -> Column:
     return F.when(n == 0, F.lit(0).cast("long")).otherwise(agg)
 
 
+_FP_POWS = np.array([31**k for k in range(8)], dtype=np.int64)
+_FP_MOD = 1_000_000_007
+
+
+def _fp_one(t: str | None) -> int | None:
+    """Exact twin of rolling_fingerprint for one value. Code points via
+    UTF-32 decode (== Spark ascii(): 'é'→233, '€'→8364); per-64-term chunk
+    sums stay < 2^62 (term < 2^56: codepoint ≤ 0x10FFFF × 31^7), chunk
+    totals are summed as Python ints, so the pre-mod sum is exact even
+    where the int64 Catalyst accumulator would overflow."""
+    if t is None:
+        return None
+    if not t:
+        return 0
+    cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    terms = cp * np.resize(_FP_POWS, cp.size)
+    pad = (-terms.size) % 64
+    if pad:
+        terms = np.concatenate([terms, np.zeros(pad, dtype=np.int64)])
+    return int(sum(int(c) for c in terms.reshape(-1, 64).sum(axis=1)) % _FP_MOD)
+
+
+# DataType object, not a "long" DDL string: parsing the string needs an
+# active SparkContext, which doesn't exist at import time
+@F.pandas_udf(LongType())
+def rolling_fingerprint_vec(texts: pd.Series) -> pd.Series:
+    """Arrow-vectorized rolling_fingerprint (see module docstring: the
+    Catalyst form is quadratic + interpreted; this is the hot path)."""
+    return texts.map(_fp_one, na_action="ignore").astype("Int64")
+
+
 def with_text_features(docs: DataFrame, col: str = "text") -> DataFrame:
     c = F.col(col)
     return (
@@ -118,5 +158,5 @@ def with_text_features(docs: DataFrame, col: str = "text") -> DataFrame:
         .withColumn("stopword_ratio", F.round(stopword_ratio(c), 6))
         .withColumn("quality", quality_score(c))
         .withColumn("lang_guess", lang_guess(c))
-        .withColumn("fingerprint", rolling_fingerprint(c))
+        .withColumn("fingerprint", rolling_fingerprint_vec(c))
     )

@@ -141,6 +141,30 @@ def test_text_features(spark, docs):
     assert out[0].fingerprint != out[2].fingerprint
 
 
+def test_fingerprint_vec_matches_catalyst_twin(spark):
+    """The Arrow-vectorized fingerprint must equal the Catalyst/oracle-SQL
+    definitional form on every input class: ascii, multibyte unicode (code
+    points, not bytes), empty, whitespace, null, and a string long enough
+    to exercise the chunked exact summation."""
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, ""),
+        (2, None),
+        (3, "héllo wörld € ünïcode é€\U0001F600"),
+        (4, " \t\n "),
+        (5, "x" * 5000),
+        (6, "".join(chr(33 + (i * 7) % 90) for i in range(1234))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        T.rolling_fingerprint(F.col("text")).alias("slow"),
+        T.rolling_fingerprint_vec(F.col("text")).alias("fast"),
+    ).collect()
+    for r in out:
+        assert r.slow == r.fast, f"doc {r.doc_id}: {r.slow} != {r.fast}"
+
+
 def test_image_roundtrip_and_psnr(spark):
     from osmcoastline_spark.synth import IMG_H, IMG_W, encode_raw
 
