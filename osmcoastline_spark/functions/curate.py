@@ -133,33 +133,46 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
                       ≤ 0.08 — both split the synthetic corpus
                       non-vacuously (219 and 467 of 500 pass at sf0.01).
 
-    Shape at scale: two per-doc partial aggregations (map-side combine)
-    plus one doc_id-keyed join of two doc-sized aggregates — never wider
-    than one row per document after the first agg. All exact integer
-    counts; the two fractions are single IEEE divisions (engine-identical).
+    Shape at scale: ZERO shuffles — a document's words and bigrams all
+    live in its own input row, so both signals are per-row array
+    computations (the round-5 narrow-formulation treatment, same as
+    minhash in dedup.py; the original explode + two-level-agg + join form
+    paid 4 hash exchanges for identical output). The top-bigram count is
+    the longest equal-neighbour run of the array_sort'ed bigram array,
+    found by one F.aggregate pass carrying (prev, run, best). All exact
+    integer counts; the two fractions are single IEEE divisions
+    (engine-identical).
     """
     t = F.col(text_col)
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.trim(t), r"\s+")).alias("tok")
-    ).filter(F.length("tok") > 0)
-    wagg = (
-        toks.groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.sum("c").alias("tokens"), F.count("*").alias("distinct_tokens"))
+    toks_f = F.filter(F.split(F.trim(t), r"\s+"), lambda x: F.length(x) > 0)
+    grams = word_ngrams(t, 2)
+    # '' sorts before every real bigram (grams are non-empty: tokens are
+    # non-empty post-trim), so it is a safe "no previous" sentinel
+    run0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
     )
-    grams = docs.select("doc_id", F.explode(word_ngrams(t, 2)).alias("gram"))
-    bagg = (
-        grams.groupBy("doc_id", "gram")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_bigram"), F.sum("c").alias("bigrams"))
-    )
+
+    def step(acc, g):
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            g.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    out = docs.select(
+        "doc_id",
+        F.size(toks_f).cast("long").alias("tokens"),  # long: old sum(c) parity
+        F.size(F.array_distinct(toks_f)).cast("long").alias("distinct_tokens"),
+        F.size(grams).cast("long").alias("bigrams"),
+        F.aggregate(F.array_sort(grams), run0, step, lambda acc: acc["best"]).alias(
+            "top_bigram"
+        ),
+    ).filter(F.col("tokens") > 0)  # old wagg base: docs with >=1 real token
     dup = F.lit(1.0) - F.col("distinct_tokens").cast("double") / F.col("tokens").cast("double")
     top2 = F.when(
         F.col("bigrams").isNull() | (F.col("bigrams") == 0), F.lit(0.0)
     ).otherwise(F.col("top_bigram").cast("double") / F.col("bigrams").cast("double"))
-    out = wagg.join(bagg, "doc_id", "left")
     return out.select(
         "doc_id",
         "tokens",

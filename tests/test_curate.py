@@ -149,6 +149,14 @@ def test_repetition_pass_is_conjunction(spark, docs):
         assert r.pass_repetition == r.r_dup_word * r.r_top_bigram
 
 
+def test_repetition_stats_plan_shape(spark, docs):
+    """Both repetition signals are per-row array computations — the plan
+    must stay shuffle-free (zero Exchange), like the narrow minhash. A
+    regression here reintroduces the 4-exchange explode+agg+join shape."""
+    plan = C.repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0
+
+
 # ------------------------------------------------------- decontamination
 
 
