@@ -133,42 +133,38 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
                       ≤ 0.08 — both split the synthetic corpus
                       non-vacuously (219 and 467 of 500 pass at sf0.01).
 
-    Shape at scale: ZERO shuffles — a document's words and bigrams all
-    live in its own input row, so both signals are per-row array
-    computations (the round-5 narrow-formulation treatment, same as
-    minhash in dedup.py; the original explode + two-level-agg + join form
-    paid 4 hash exchanges for identical output). The top-bigram count is
-    the longest equal-neighbour run of the array_sort'ed bigram array,
-    found by one F.aggregate pass carrying (prev, run, best). All exact
+    Shape at scale (hybrid — picked by measurement, BENCH/run_repgates_ab.py):
+    the word-side signals are per-row array computations (size /
+    array_distinct over the token array — whole-stage-codegen'd, zero
+    extra exchange), while the top-bigram count keeps the explode +
+    two-level partial aggregation. A fully narrow form (top-bigram as the
+    longest equal-neighbour run of the array_sort'ed bigram array via one
+    F.aggregate pass) removes all four exchanges but loses 1.4–1.7× wall
+    time at both 2 and 8 cores on the 32× corpus: F.aggregate's lambda is
+    interpreted per array element, and a string compare + struct rebuild
+    per bigram doesn't amortize that the way minhash's 8-hash lambda does.
+    The exchanges that remain are map-side-combined partial aggs keyed by
+    (doc_id, gram) then doc_id — skew-free at 100 TB (a doc's grams hash
+    across the cluster; the per-doc rollup is one row per doc). All exact
     integer counts; the two fractions are single IEEE divisions
-    (engine-identical).
+    (engine-identical). All three formulations are checksum-identical
+    (xxhash64/bit_xor over every output column, 160k docs).
     """
     t = F.col(text_col)
     toks_f = F.filter(F.split(F.trim(t), r"\s+"), lambda x: F.length(x) > 0)
-    grams = word_ngrams(t, 2)
-    # '' sorts before every real bigram (grams are non-empty: tokens are
-    # non-empty post-trim), so it is a safe "no previous" sentinel
-    run0 = F.struct(
-        F.lit("").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("best"),
-    )
-
-    def step(acc, g):
-        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
-        return F.struct(
-            g.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
-        )
-
-    out = docs.select(
+    base = docs.select(
         "doc_id",
         F.size(toks_f).cast("long").alias("tokens"),  # long: old sum(c) parity
         F.size(F.array_distinct(toks_f)).cast("long").alias("distinct_tokens"),
-        F.size(grams).cast("long").alias("bigrams"),
-        F.aggregate(F.array_sort(grams), run0, step, lambda acc: acc["best"]).alias(
-            "top_bigram"
-        ),
     ).filter(F.col("tokens") > 0)  # old wagg base: docs with >=1 real token
+    grams = docs.select("doc_id", F.explode(word_ngrams(t, 2)).alias("gram"))
+    bagg = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram"), F.sum("c").alias("bigrams"))
+    )
+    out = base.join(bagg, "doc_id", "left")
     dup = F.lit(1.0) - F.col("distinct_tokens").cast("double") / F.col("tokens").cast("double")
     top2 = F.when(
         F.col("bigrams").isNull() | (F.col("bigrams") == 0), F.lit(0.0)

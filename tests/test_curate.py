@@ -150,11 +150,16 @@ def test_repetition_pass_is_conjunction(spark, docs):
 
 
 def test_repetition_stats_plan_shape(spark, docs):
-    """Both repetition signals are per-row array computations — the plan
-    must stay shuffle-free (zero Exchange), like the narrow minhash. A
-    regression here reintroduces the 4-exchange explode+agg+join shape."""
+    """Pins the measured-winning hybrid shape (BENCH/run_repgates_ab.py):
+    the word-side signals come from per-row array functions — exactly ONE
+    Generate (the bigram explode) may appear, never a token explode — and
+    the exchanges are only the bigram partial-agg chain + the doc_id join
+    (≤4). A second Generate or a fifth Exchange reintroduces the old
+    4-exchange double-explode form; zero Exchange would mean the fully
+    narrow F.aggregate form, which measured 1.4–1.7× slower."""
     plan = C.repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") == 0
+    assert plan.count("Generate") == 1
+    assert 1 <= plan.count("Exchange") <= 4
 
 
 # ------------------------------------------------------- decontamination
