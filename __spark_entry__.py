@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from osmcoastline_spark.cells import cell_id_expr
 from osmcoastline_spark.functions import audio as A
+from osmcoastline_spark.functions import clean as CL
 from osmcoastline_spark.functions import curate as C
 from osmcoastline_spark.functions import dedup as D
 from osmcoastline_spark.functions import similarity as S
@@ -723,6 +724,57 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.decontaminate(docs)
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact line dedup, keep-first (clean.line_dedup — the
+    CCNet paragraph-dedup stage). The synthetic corpus has no newlines,
+    so the oracle row runs the operator at word granularity (sep=' '):
+    the same code path, shuffles, and keep-first semantics, with the
+    heavily repeated word soup making it non-vacuous. Real multi-line
+    behavior is pinned by tests/test_clean.py fixtures."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return CL.line_dedup(docs, sep=" ")
+
+
+def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 per-line quality filters (clean.c4_line_filters). Lines are
+    synthesized deterministically per doc_id inside the query (the
+    established closed-form-oracle trick, cf. q_audio_features): six
+    lines per doc exercising every rule — terminal punctuation,
+    min-words, '{', lorem ipsum, javascript — so each rule fires
+    non-vacuously and DuckDB verifies the kept text byte-for-byte."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    nl = F.lit("\n")
+    synth = F.concat(
+        F.lit("Sentence number one has five words."), nl,
+        F.substring("text", 1, 40), nl,
+        F.lit("Too short."), nl,
+        F.concat(F.lit("Document "), F.col("doc_id").cast("string"),
+                 F.lit(" keeps this varied content line.")), nl,
+        F.lit("Lorem ipsum dolor sit amet filler text."), nl,
+        F.lit("A curly { brace drops this whole line."),
+    )
+    return CL.c4_line_filters(docs.select("doc_id", synth.alias("text")))
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (clean.pii_redact): emails / IPv4s / phones
+    synthesized deterministically from doc_id (every doc gets an email;
+    doc_id%3==0 adds an IP, doc_id%5==0 adds a phone), then redacted and
+    counted. Pure Catalyst regex — identical Java/RE2 subset in the
+    DuckDB twin."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    synth = F.concat(
+        F.lit("user"), d.cast("string"), F.lit("@example.com "),
+        F.col("text"),
+        F.when(d % 3 == 0,
+               F.concat(F.lit(" 10.0.0."), (d % 256).cast("string"))
+               ).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit(" +1 555 867 5309")).otherwise(F.lit("")),
+    )
+    return CL.pii_redact(docs.select("doc_id", synth.alias("text")))
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal audio: synthesize one deterministic ±amp square-wave WAV
     per document (params are pure functions of doc_id), decode through the
@@ -935,6 +987,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gopher_rules": q_gopher_rules,
         "q_repetition_stats": q_repetition_stats,
         "q_decontaminate": q_decontaminate,
+        "q_line_dedup": q_line_dedup,
+        "q_c4_line_filters": q_c4_line_filters,
+        "q_pii_redact": q_pii_redact,
         "q_audio_features": q_audio_features,
         "q_video_frames": q_video_frames,
         "q_embedding_topk": q_embedding_topk,
@@ -1295,6 +1350,9 @@ def oracle_sql() -> dict[str, str]:
         "q_gopher_rules": _GOPHER_RULES_SQL,
         "q_repetition_stats": _REPETITION_SQL,
         "q_decontaminate": _DECONTAMINATE_SQL,
+        "q_line_dedup": _LINE_DEDUP_SQL,
+        "q_c4_line_filters": _C4_LINE_FILTERS_SQL,
+        "q_pii_redact": _PII_REDACT_SQL,
         "q_audio_features": _AUDIO_FEATURES_SQL,
         "q_video_frames": _VIDEO_FRAMES_SQL,
         "q_embedding_topk": """
@@ -1741,6 +1799,107 @@ FROM hits
 
 # audio twin: closed-form square-wave features — the synth params are pure
 # functions of doc_id, so DuckDB never parses a byte of WAV
+# line-dedup twin: keep-first at word granularity (sep=' ', the corpus
+# has no newlines — clean.line_dedup docstring + q_line_dedup explain).
+# Same shape as the Spark plan: explode with 1-based ordinality, per-line
+# min(struct(doc_id,pos)) first-occurrence agg, join back, reassemble.
+_LINE_DEDUP_SQL = """
+WITH exploded AS (
+  SELECT doc_id, unnest(list_transform(string_split(text, ' '),
+         (x, i) -> struct_pack(line := x, pos := i))) AS s
+  FROM documents
+),
+lines AS (SELECT doc_id, s.line AS line, s.pos AS pos FROM exploded),
+firsts AS (
+  SELECT line, min(struct_pack(d := doc_id, p := pos)) AS fo
+  FROM lines WHERE length(line) > 0 GROUP BY line
+),
+kept AS (
+  SELECT l.doc_id, l.line, l.pos
+  FROM lines l LEFT JOIN firsts f USING (line)
+  WHERE length(l.line) = 0 OR (f.fo.d = l.doc_id AND f.fo.p = l.pos)
+),
+base AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_lines
+  FROM documents
+),
+kagg AS (
+  SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text_dedup,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, coalesce(k.text_dedup, '') AS text_dedup, b.n_lines,
+       coalesce(k.n_kept, 0) AS n_kept
+FROM base b LEFT JOIN kagg k USING (doc_id)
+"""
+
+# C4 line-filter twin: same six synthesized lines per doc, same five
+# rules in the shared Java/RE2 regex subset.
+_C4_LINE_FILTERS_SQL = """
+WITH synth AS (
+  SELECT doc_id,
+         'Sentence number one has five words.' || chr(10) ||
+         substr(text, 1, 40) || chr(10) ||
+         'Too short.' || chr(10) ||
+         'Document ' || CAST(doc_id AS VARCHAR) ||
+           ' keeps this varied content line.' || chr(10) ||
+         'Lorem ipsum dolor sit amet filler text.' || chr(10) ||
+         'A curly { brace drops this whole line.' AS text
+  FROM documents
+),
+f AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls,
+         list_filter(string_split(text, chr(10)), l ->
+            regexp_matches(l, '[.!?"]$')
+            AND len(list_filter(string_split_regex(trim(l), '\\s+'),
+                                w -> length(w) > 0)) >= 5
+            AND NOT contains(l, '{')
+            AND NOT contains(lower(l), 'lorem ipsum')
+            AND NOT contains(lower(l), 'javascript')) AS ks
+  FROM synth
+)
+SELECT doc_id, array_to_string(ks, chr(10)) AS text_clean,
+       CAST(len(ls) AS BIGINT) AS n_lines, CAST(len(ks) AS BIGINT) AS n_kept
+FROM f
+"""
+
+# PII twin: identical regex strings (clean.EMAIL_RE/IPV4_RE/PHONE_RE
+# spliced below), identical email->IP->phone order; DuckDB replace needs
+# the explicit 'g' flag to match Spark's global regexp_replace.
+_PII_REDACT_SQL = """
+WITH synth AS (
+  SELECT doc_id,
+         'user' || CAST(doc_id AS VARCHAR) || '@example.com ' || text ||
+         CASE WHEN doc_id % 3 = 0
+              THEN ' 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) ELSE '' END ||
+         CASE WHEN doc_id % 5 = 0 THEN ' +1 555 867 5309' ELSE '' END AS text
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '@EMAIL@')) AS BIGINT) AS n_emails,
+         regexp_replace(text, '@EMAIL@', '<EMAIL>', 'g') AS t1
+  FROM synth
+),
+s2 AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(t1, '@IPV4@')) AS BIGINT) AS n_ips,
+         regexp_replace(t1, '@IPV4@', '<IP>', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_emails, n_ips,
+         CAST(len(regexp_extract_all(t2, '@PHONE@')) AS BIGINT) AS n_phones,
+         regexp_replace(t2, '@PHONE@', '<PHONE>', 'g') AS t3
+  FROM s2
+)
+SELECT doc_id, t3 AS text_redacted, n_emails, n_ips, n_phones,
+       CASE WHEN n_emails + n_ips + n_phones > 0 THEN 1 ELSE 0 END AS has_pii
+FROM s3
+""".replace("@EMAIL@", CL.EMAIL_RE).replace("@IPV4@", CL.IPV4_RE).replace(
+    "@PHONE@", CL.PHONE_RE
+)
+
 _AUDIO_FEATURES_SQL = """
 WITH p AS (
   SELECT doc_id AS audio_id,

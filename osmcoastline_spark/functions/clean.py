@@ -1,0 +1,189 @@
+"""Document-cleaning operators for training-data pipelines.
+
+Three cleaning stages every large text-corpus pipeline runs before
+training, re-expressed Spark-first with ANSI-SQL twins in
+__spark_entry__.oracle_sql() so DuckDB verifies every value:
+
+* line_dedup       — corpus-level exact line/paragraph deduplication,
+                     keep-first (the CCNet paragraph-dedup stage: strip
+                     boilerplate lines — nav bars, cookie banners,
+                     license headers — that repeat across millions of
+                     pages, keeping the globally first occurrence);
+* c4_line_filters  — the C4 per-line heuristics (Raffel et al. 2020,
+                     public): keep a line only if it ends in terminal
+                     punctuation, has >= min_words words, and contains
+                     no '{', no "lorem ipsum", no "javascript";
+* pii_redact       — regex redaction of emails / IPv4s / phone numbers
+                     with per-category match counts.
+
+Scale shapes (the part that matters at 100 TB):
+
+* line_dedup is inherently corpus-level, so it pays exactly three
+  shuffles and nothing else: (1) the per-line first-occurrence
+  aggregate — min(struct(doc_id, pos)) with map-side partial
+  aggregation, so a boilerplate line occurring a billion times
+  combines to one row per map task before the exchange (no hot-key
+  blowup — this is why it is an agg+join, NOT a row_number window,
+  which would move every instance of a hot line into one task);
+  (2) the join of lines back to the survivors keyed by the line text
+  (co-partitioned with (1)'s output; residual skew on the probe side
+  is AQE skew-join territory); (3) the per-doc reassembly groupBy.
+* c4_line_filters is per-document: ZERO shuffles, one narrow
+  projection using array HOFs. Per the repgates A/B lesson
+  (BENCH/KERNELS.md) HOF lambdas pay interpretation overhead, but the
+  per-line work here (a regex + substring scans) is heavy enough to
+  amortize it, and the alternative explode+reassemble shape pays a
+  full shuffle of the corpus text for no semantic gain.
+* pii_redact is pure Catalyst regexp_replace / regexp_extract_all —
+  zero shuffles, whole-stage codegen.
+
+Engine-parity notes: every regex used is in the common Java-regex /
+RE2 subset (no lookaround, no backreferences, \\b and \\d mean the
+same); redaction order (email, then IP, then phone) is fixed so both
+engines see the same intermediate strings; counts are exact integers;
+split separators are literal strings that are also regex-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Shared regexes — the common Java/RE2 dialect subset (oracle twins use
+# the identical strings; keep in sync with __spark_entry__).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]\d{3,4}"
+TERMINAL_PUNCT_RE = r'[.!?"]$'
+
+
+def line_dedup(
+    docs: DataFrame,
+    sep: str = "\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level exact line dedup, keep-first.
+
+    A non-empty line instance survives iff its (doc_id, pos) equals the
+    corpus-wide minimum for that exact line text — so the globally first
+    occurrence (ordering by document id, then position within the
+    document) is kept and every later repetition, including repetitions
+    inside the same document, is dropped. Empty lines are structure, not
+    content: they are always kept. Output per document:
+
+      doc_id, text_dedup (surviving lines joined by `sep`, '' if none
+      survive), n_lines (total lines incl. empties), n_kept (surviving
+      lines incl. empties).
+
+    `sep` must be a literal string that is also a regex-safe pattern
+    (it is used as the split pattern and the join separator; '\\n' and
+    ' ' both qualify). See the module docstring for the three-shuffle
+    scale argument and why this is agg+join rather than a window.
+    """
+    t = F.col(text_col)
+    base = docs.select(
+        id_col, F.size(F.split(t, sep, -1)).cast("long").alias("n_lines")
+    )
+    lines = docs.select(
+        id_col, F.posexplode(F.split(t, sep, -1)).alias("pos0", "line")
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "line")
+
+    firsts = (
+        lines.filter(F.length("line") > 0)
+        .groupBy("line")
+        .agg(
+            F.min(
+                F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+            ).alias("first_occ")
+        )
+    )
+    kept = lines.join(firsts, "line", "left").filter(
+        (F.length("line") == 0)
+        | (
+            (F.col("first_occ.d") == F.col(id_col))
+            & (F.col("first_occ.p") == F.col("pos"))
+        )
+    )
+    kagg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("text_dedup"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    return base.join(kagg, id_col, "left").select(
+        id_col,
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+    )
+
+
+def _c4_keep(line: Column, min_words: int) -> Column:
+    words = F.filter(
+        F.split(F.trim(line), r"\s+"), lambda w: F.length(w) > 0
+    )
+    return (
+        line.rlike(TERMINAL_PUNCT_RE)
+        & (F.size(words) >= min_words)
+        & ~line.contains("{")
+        & ~F.lower(line).contains("lorem ipsum")
+        & ~F.lower(line).contains("javascript")
+    )
+
+
+def c4_line_filters(
+    docs: DataFrame,
+    sep: str = "\n",
+    min_words: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style per-line quality filters (keep a line iff it ends in
+    terminal punctuation [.!?"], has >= min_words whitespace words, and
+    contains no '{', no "lorem ipsum", no "javascript", the latter two
+    case-insensitive). Output per document: doc_id, text_clean (kept
+    lines joined by `sep`), n_lines, n_kept. Per-document and
+    shuffle-free — one narrow projection over the line array.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, sep, -1)
+    kept = F.filter(lines, lambda l: _c4_keep(l, min_words))
+    return docs.select(
+        id_col,
+        F.array_join(kept, sep).alias("text_clean"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+    )
+
+
+def pii_redact(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails, IPv4 addresses and international phone numbers,
+    in that fixed order, and count matches per category. Output:
+    doc_id, text_redacted, n_emails, n_ips, n_phones, has_pii (0/1).
+    Counts use regexp_extract_all (leftmost non-overlapping, identical
+    semantics in Spark and DuckDB); replacement is global in both
+    engines (DuckDB twin passes the 'g' flag). Pure Catalyst — zero
+    shuffles, whole-stage codegen.
+    """
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).cast("long")
+    t1 = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(t1, F.lit(IPV4_RE), 0)).cast("long")
+    t2 = F.regexp_replace(t1, IPV4_RE, "<IP>")
+    n_phones = F.size(F.regexp_extract_all(t2, F.lit(PHONE_RE), 0)).cast("long")
+    t3 = F.regexp_replace(t2, PHONE_RE, "<PHONE>")
+    return docs.select(
+        id_col,
+        t3.alias("text_redacted"),
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+        ((n_emails + n_ips + n_phones) > 0).cast("int").alias("has_pii"),
+    )
