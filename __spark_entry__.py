@@ -724,6 +724,19 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.decontaminate(docs)
 
 
+def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (dedup.duplicated_spans): maximal
+    token spans covered by word 8-grams occurring more than once in the
+    corpus — the Spark-native equivalent of the Lee et al. suffix-array
+    substring-dedup stage. Non-vacuous on the synthetic corpus via the
+    round-3 truncated-clone docs (47 docs carry duplicated 8-gram runs at
+    sf0.01). Spark groups by a 128-bit xxhash64 pair; the oracle groups
+    by the window string itself, so a hash collision would surface as a
+    value diff."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.duplicated_spans(docs, k=8)
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level exact line dedup, keep-first (clean.line_dedup — the
     CCNet paragraph-dedup stage). The synthetic corpus has no newlines,
@@ -987,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gopher_rules": q_gopher_rules,
         "q_repetition_stats": q_repetition_stats,
         "q_decontaminate": q_decontaminate,
+        "q_duplicated_spans": q_duplicated_spans,
         "q_line_dedup": q_line_dedup,
         "q_c4_line_filters": q_c4_line_filters,
         "q_pii_redact": q_pii_redact,
@@ -1350,6 +1364,7 @@ def oracle_sql() -> dict[str, str]:
         "q_gopher_rules": _GOPHER_RULES_SQL,
         "q_repetition_stats": _REPETITION_SQL,
         "q_decontaminate": _DECONTAMINATE_SQL,
+        "q_duplicated_spans": _DUPLICATED_SPANS_SQL,
         "q_line_dedup": _LINE_DEDUP_SQL,
         "q_c4_line_filters": _C4_LINE_FILTERS_SQL,
         "q_pii_redact": _PII_REDACT_SQL,
@@ -1799,6 +1814,44 @@ FROM hits
 
 # audio twin: closed-form square-wave features — the synth params are pure
 # functions of doc_id, so DuckDB never parses a byte of WAV
+# duplicated-spans twin: same window/island arithmetic, but grouped by
+# the window STRING (no hashes anywhere in the output), so an xxhash64
+# pair collision on the Spark side would surface as a value diff.
+_DUPLICATED_SPANS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     w -> length(w) > 0) AS t
+  FROM documents
+),
+w AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(t[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS win
+  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+  WHERE len(t) >= 8
+),
+c AS (SELECT win FROM w GROUP BY win HAVING count(*) > 1),
+fl AS (SELECT doc_id, pos FROM w JOIN c USING (win)),
+g AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+              THEN 1 ELSE 0 END AS brk
+  FROM fl
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM g
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 7 AS BIGINT) AS span_end,
+       CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_tokens,
+       CAST(count(*) AS BIGINT) AS n_dup_windows
+FROM isl GROUP BY doc_id, island
+"""
+
 # line-dedup twin: keep-first at word granularity (sep=' ', the corpus
 # has no newlines — clean.line_dedup docstring + q_line_dedup explain).
 # Same shape as the Spark plan: explode with 1-based ordinality, per-line

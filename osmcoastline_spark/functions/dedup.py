@@ -368,3 +368,98 @@ def simhash_band_pairs(sims: DataFrame, band_bits: int = 16) -> DataFrame:
     a = bands.select(F.col("doc_id").alias("a"), "band", "key")
     b = bands.select(F.col("doc_id").alias("b"), "band", "key")
     return a.join(b, ["band", "key"]).filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+
+
+def duplicated_spans(
+    docs: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicated-substring detection: maximal token spans covered
+    by at least one word k-gram that occurs more than once in the corpus
+    (counting all occurrences, including within the same document).
+
+    This is the Spark-native equivalent of the suffix-array
+    substring-dedup stage (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better" — public): a suffix array finds
+    arbitrary-length repeated substrings but does not distribute; fixed-k
+    window hashing finds every repeated run of length >= k EXACTLY (a
+    duplicated run of L >= k tokens flags all its L-k+1 windows, whose
+    union reconstructs the maximal span; runs shorter than k are below
+    the detection threshold by design, matching the paper's min-length).
+
+    Output: one row per maximal span — doc_id, span_start, span_end
+    (1-based token indices, inclusive), span_tokens, n_dup_windows.
+    Overlapping or adjacent flagged windows (gap <= k between starts)
+    merge, so spans are the union of duplicated regions.
+
+    Shape at 100 TB: one row per token position leaves each map task as
+    a (doc_id, pos, h1, h2) quad — the k-token window string is
+    materialized transiently and hashed to a 128-bit pair (two
+    independent xxhash64 inputs) BEFORE any exchange, so the shuffles
+    move 8-byte hashes, never window text. The occurrence count is a
+    map-side-combined partial agg (a billion-fold hot window collapses
+    per task); the flag join is co-partitioned on the hash pair with a
+    count side of one row per distinct window. The island/merge step
+    windows over (doc_id, pos) — but only over FLAGGED rows, a small
+    fraction of the corpus. 128-bit keys make hash-collision spans
+    vanishingly unlikely (~2^-128 per pair); the oracle twin groups by
+    the window string itself, so a collision would surface as a
+    correctness diff.
+    """
+    t = F.col(text_col)
+    toks = F.filter(F.split(F.trim(t), r"\s+"), lambda w: F.length(w) > 0)
+    n = F.size(toks)
+    # sequence(1, 0) would generate a DESCENDING range — guard short docs
+    starts = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    win = lambda i: F.array_join(F.slice(toks, i, k), " ")  # noqa: E731
+    wh = (
+        docs.select(
+            id_col,
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda i: F.struct(
+                        i.cast("long").alias("pos"),
+                        F.xxhash64(win(i)).alias("h1"),
+                        F.xxhash64(win(i), F.lit("dup2")).alias("h2"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select(id_col, "w.pos", "w.h1", "w.h2")
+    )
+    dup_keys = (
+        wh.groupBy("h1", "h2").agg(F.count("*").alias("cnt")).filter(F.col("cnt") > 1)
+    )
+    flagged = wh.join(dup_keys.select("h1", "h2"), ["h1", "h2"]).select(id_col, "pos")
+
+    from pyspark.sql.window import Window
+
+    ww = Window.partitionBy(id_col).orderBy("pos")
+    isl = flagged.withColumn(
+        "brk",
+        F.when((F.col("pos") - F.lag("pos").over(ww)) > k, F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn(
+        "island",
+        F.sum("brk").over(ww.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            F.count("*").cast("long").alias("n_dup_windows"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).cast("long").alias(
+                "span_tokens"
+            ),
+            "n_dup_windows",
+        )
+    )

@@ -878,3 +878,67 @@ def test_webp_meta_huffman():
     # single 16x16 block -> degenerate single-group map still decodes
     tiny = rng.integers(0, 256, (5, 7, 3)).astype(np.uint8)
     assert np.array_equal(decode_webp(encode_webp(tiny, meta=True)), tiny)
+
+
+# -------------------------------------------------------- duplicated_spans
+
+
+def test_duplicated_spans_cross_doc_exact_region(spark):
+    shared = "one two three four five six seven eight nine ten"  # 10 tokens
+    rows = [
+        (1, f"aaa bbb {shared} ccc ddd"),
+        (2, f"xxx yyy zzz {shared} www"),
+        (3, "totally unrelated words that repeat nowhere at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_dup_windows)
+        for r in D.duplicated_spans(df, k=8).collect()
+    )
+    # the shared 10-token run flags 3 windows (10-8+1) in each doc, whose
+    # union is exactly the shared region: tokens 3..12 in doc 1, 4..13 in 2
+    assert out == [(1, 3, 12, 10, 3), (2, 4, 13, 10, 3)]
+
+
+def test_duplicated_spans_within_one_doc(spark):
+    # the 4-gram "a b c d" occurs at pos 1 and pos 5; island gap 4 <= k
+    df = spark.createDataFrame(
+        [(9, "a b c d a b c d")], "doc_id long, text string"
+    )
+    out = D.duplicated_spans(df, k=4).collect()
+    assert [(r.span_start, r.span_end, r.n_dup_windows) for r in out] == [(1, 8, 2)]
+
+
+def test_duplicated_spans_separate_islands(spark):
+    shared1 = "alpha beta gamma delta"
+    shared2 = "omega psi chi phi"
+    filler = " ".join(f"u{i}" for i in range(10))
+    rows = [
+        (1, f"{shared1} {filler} {shared2}"),
+        (2, f"{shared2} mid1 mid2 mid3 mid4 mid5 {shared1}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        (r.doc_id, r.span_start, r.span_end) for r in D.duplicated_spans(df, k=4).collect()
+    )
+    # two distinct spans per doc (gap between islands > k)
+    assert out == [(1, 1, 4), (1, 15, 18), (2, 1, 4), (2, 10, 13)]
+
+
+def test_duplicated_spans_no_dups_and_short_docs(spark):
+    rows = [(1, "only a few words"), (2, "entirely different tokens here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert D.duplicated_spans(df, k=8).count() == 0  # docs shorter than k
+    rows2 = [(1, " ".join(f"w{i}" for i in range(20)))]
+    assert D.duplicated_spans(
+        spark.createDataFrame(rows2, "doc_id long, text string"), k=8
+    ).count() == 0  # long enough but nothing repeats
+
+
+def test_duplicated_spans_deterministic_under_repartition(spark):
+    shared = "p q r s t u v w x y"
+    rows = [(i, f"head{i} {shared} tail{i}") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, D.duplicated_spans(df, k=8).collect()))
+    b = sorted(map(tuple, D.duplicated_spans(df.repartition(5, "text"), k=8).collect()))
+    assert a == b and len(a) == 12
