@@ -769,6 +769,15 @@ def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CL.c4_line_filters(docs.select("doc_id", synth.alias("text")))
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (clean.chunk_documents): 16-token chunks
+    with 4-token overlap (step 12); a chunk after the first is emitted
+    only if it adds new tokens. Zero-shuffle narrow projection; exact
+    integer arithmetic throughout — full value-hash oracle."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return CL.chunk_documents(docs, chunk_tokens=16, overlap=4)
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (clean.pii_redact): emails / IPv4s / phones
     synthesized deterministically from doc_id (every doc gets an email;
@@ -1003,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_duplicated_spans": q_duplicated_spans,
         "q_line_dedup": q_line_dedup,
         "q_c4_line_filters": q_c4_line_filters,
+        "q_chunk_documents": q_chunk_documents,
         "q_pii_redact": q_pii_redact,
         "q_audio_features": q_audio_features,
         "q_video_frames": q_video_frames,
@@ -1367,6 +1377,7 @@ def oracle_sql() -> dict[str, str]:
         "q_duplicated_spans": _DUPLICATED_SPANS_SQL,
         "q_line_dedup": _LINE_DEDUP_SQL,
         "q_c4_line_filters": _C4_LINE_FILTERS_SQL,
+        "q_chunk_documents": _CHUNK_DOCUMENTS_SQL,
         "q_pii_redact": _PII_REDACT_SQL,
         "q_audio_features": _AUDIO_FEATURES_SQL,
         "q_video_frames": _VIDEO_FRAMES_SQL,
@@ -1913,6 +1924,32 @@ f AS (
 )
 SELECT doc_id, array_to_string(ks, chr(10)) AS text_clean,
        CAST(len(ls) AS BIGINT) AS n_lines, CAST(len(ks) AS BIGINT) AS n_kept
+FROM f
+"""
+
+# chunking twin: same start lattice (1-based, step 12), same
+# adds-new-tokens rule for chunks after the first; DuckDB list slicing
+# is 1-based inclusive, so t[s : s+15] is the 16-token window.
+_CHUNK_DOCUMENTS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     w -> length(w) > 0) AS t
+  FROM documents
+),
+st AS (
+  SELECT doc_id, t, len(t) AS n, unnest(generate_series(1, len(t), 12)) AS s
+  FROM toks WHERE len(t) > 0
+),
+f AS (
+  SELECT doc_id, t, n, s, CAST((s - 1) / 12 + 1 AS BIGINT) AS chunk_id
+  FROM st WHERE s = 1 OR s + 4 <= n
+)
+SELECT doc_id, chunk_id,
+       array_to_string(t[CAST(s AS INT):CAST(least(s + 15, n) AS INT)], ' ')
+         AS chunk_text,
+       CAST(least(16, n - s + 1) AS BIGINT) AS n_tokens,
+       CAST(n AS BIGINT) AS doc_tokens
 FROM f
 """
 

@@ -187,3 +187,49 @@ def pii_redact(
         n_phones.alias("n_phones"),
         ((n_emails + n_ips + n_phones) > 0).cast("int").alias("has_pii"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size training chunks with overlap —
+    the context-window sequence-prep stage between cleaning and
+    tokenization. Chunk i starts at token 1 + i*(chunk_tokens-overlap);
+    a chunk after the first is emitted only if it contributes at least
+    one NEW token (start + overlap <= doc_tokens), so the final chunk
+    may be short but is never pure overlap, and a document shorter than
+    chunk_tokens yields exactly one chunk. Documents with zero tokens
+    yield no rows.
+
+    Output: doc_id, chunk_id (1-based), chunk_text, n_tokens (tokens in
+    this chunk), doc_tokens. Per-document and shuffle-free — one narrow
+    projection (explode only amplifies by ~1/(chunk_tokens-overlap) of
+    token count, and the chunk text is built map-side).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    t = F.col(text_col)
+    toks = F.filter(F.split(F.trim(t), r"\s+"), lambda w: F.length(w) > 0)
+    n = F.size(toks)
+    starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(step))).otherwise(
+        F.array().cast("array<int>")
+    )
+    starts = F.filter(starts, lambda s: (s == 1) | ((s + overlap) <= n))
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            (i + 1).cast("long").alias("chunk_id"),
+            F.array_join(F.slice(toks, s, chunk_tokens), " ").alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), n - s + 1).cast("long").alias("n_tokens"),
+        ),
+    )
+    return docs.select(
+        id_col, n.cast("long").alias("doc_tokens"), F.explode(chunks).alias("c")
+    ).select(
+        id_col, "c.chunk_id", "c.chunk_text", "c.n_tokens", "doc_tokens"
+    )

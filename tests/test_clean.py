@@ -126,3 +126,50 @@ def test_pii_redact_multiple_and_idempotent(spark):
         out.select("doc_id", out.text_redacted.alias("text"))
     ).collect()[0]
     assert again.has_pii == 0 and again.text_redacted == r.text_redacted
+
+
+# ------------------------------------------------------ chunk_documents
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    words = " ".join(f"w{i}" for i in range(1, 21))  # 20 tokens
+    df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    out = sorted(
+        (r.chunk_id, r.chunk_text, r.n_tokens, r.doc_tokens)
+        for r in CL.chunk_documents(df, chunk_tokens=8, overlap=2).collect()
+    )
+    # step 6: starts 1,7,13; start 19 contributes only overlap -> dropped
+    assert [c[0] for c in out] == [1, 2, 3]
+    assert out[0][1] == " ".join(f"w{i}" for i in range(1, 9))
+    assert out[1][1] == " ".join(f"w{i}" for i in range(7, 15))
+    assert out[2][1] == " ".join(f"w{i}" for i in range(13, 21))
+    assert [c[2] for c in out] == [8, 8, 8] and out[0][3] == 20
+
+
+def test_chunk_documents_short_tail_and_short_doc(spark):
+    words21 = " ".join(f"w{i}" for i in range(1, 22))  # 21 tokens
+    df = spark.createDataFrame(
+        [(1, words21), (2, "a b c"), (3, "  ")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in CL.chunk_documents(df, 8, 2).collect()
+           if r.chunk_id == 4 or r.doc_id != 1}
+    rows1 = [r for r in CL.chunk_documents(df, 8, 2).collect() if r.doc_id == 1]
+    assert max(r.chunk_id for r in rows1) == 4
+    tail = [r for r in rows1 if r.chunk_id == 4][0]
+    assert tail.chunk_text == "w19 w20 w21" and tail.n_tokens == 3
+    assert out[2].chunk_text == "a b c" and out[2].n_tokens == 3
+    assert 3 not in out  # empty doc yields no rows
+
+
+def test_chunk_documents_zero_shuffle_plan(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        CL.chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 0
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        CL.chunk_documents(df, chunk_tokens=8, overlap=8)
