@@ -1,7 +1,7 @@
 """Document-cleaning operators for training-data pipelines.
 
-Three cleaning stages every large text-corpus pipeline runs before
-training, re-expressed Spark-first with ANSI-SQL twins in
+The cleaning stages a large text-corpus pipeline runs before training,
+re-expressed Spark-first with ANSI-SQL twins in
 __spark_entry__.oracle_sql() so DuckDB verifies every value:
 
 * line_dedup       — corpus-level exact line/paragraph deduplication,
@@ -14,20 +14,24 @@ __spark_entry__.oracle_sql() so DuckDB verifies every value:
                      punctuation, has >= min_words words, and contains
                      no '{', no "lorem ipsum", no "javascript";
 * pii_redact       — regex redaction of emails / IPv4s / phone numbers
-                     with per-category match counts.
+                     with per-category match counts;
+* chunk_documents  — fixed-size context-window chunks with overlap,
+                     the sequence-prep stage before tokenization.
 
 Scale shapes (the part that matters at 100 TB):
 
 * line_dedup is inherently corpus-level, so it pays exactly three
   shuffles and nothing else: (1) the per-line first-occurrence
-  aggregate — min(struct(doc_id, pos)) with map-side partial
-  aggregation, so a boilerplate line occurring a billion times
-  combines to one row per map task before the exchange (no hot-key
-  blowup — this is why it is an agg+join, NOT a row_number window,
-  which would move every instance of a hot line into one task);
-  (2) the join of lines back to the survivors keyed by the line text
-  (co-partitioned with (1)'s output; residual skew on the probe side
-  is AQE skew-join territory); (3) the per-doc reassembly groupBy.
+  aggregate — min over a packed (doc_id, pos) BIGINT with map-side
+  partial HASH aggregation, so a boilerplate line occurring a billion
+  times combines to one row per map task before the exchange (no
+  hot-key blowup — this is why it is an agg+join, NOT a row_number
+  window, which would move every instance of a hot line into one
+  task); (2) the join of lines back to the survivors keyed by the
+  line text (co-partitioned with (1)'s output; residual skew on the
+  probe side is AQE skew-join territory); (3) the per-doc reassembly
+  groupBy, which carries only integer positions — text is rebuilt
+  narrowly from the original document row.
 * c4_line_filters is per-document: ZERO shuffles, one narrow
   projection using array HOFs. Per the repgates A/B lesson
   (BENCH/KERNELS.md) HOF lambdas pay interpretation overhead, but the
@@ -56,6 +60,16 @@ IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PHONE_RE = r"\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]\d{3,4}"
 TERMINAL_PUNCT_RE = r'[.!?"]$'
 
+# line_dedup packs (doc_id, pos) into one BIGINT so the first-occurrence
+# aggregate is a HashAggregate (min over a struct is not a mutable agg
+# buffer type and forces a SortAggregate that sorts every line instance
+# by line text — measured 1.4× slower at 2 cores, BENCH/run_linededup_ab.py).
+# Lexicographic (doc_id, pos) order == packed order while pos <= 2^20 and
+# 0 <= doc_id < 2^42; out-of-range rows raise loudly rather than corrupt.
+_POS_BITS = 20
+_MAX_POS = 1 << _POS_BITS
+_MAX_DOC = 1 << (62 - _POS_BITS)
+
 
 def line_dedup(
     docs: DataFrame,
@@ -80,45 +94,59 @@ def line_dedup(
     (it is used as the split pattern and the join separator; '\\n' and
     ' ' both qualify). See the module docstring for the three-shuffle
     scale argument and why this is agg+join rather than a window.
+
+    Formulation (3-way A/B, BENCH/run_linededup_ab.py, checksum-
+    identical outputs): first-occurrence keys are the packed BIGINT
+    (HashAggregate, not the struct-min SortAggregate — 1.4× at 2
+    cores), and reassembly ships only (doc_id, pos) INTEGERS through
+    the exchange, rebuilding text narrowly from the original document
+    row (element_at over the re-split array). Line text therefore
+    crosses the wire exactly once (the explode feeding the count agg
+    and flag join) — at real paragraph sizes (100-1000 bytes/line) the
+    reassembly exchange shrinks by that factor.
     """
     t = F.col(text_col)
-    base = docs.select(
-        id_col, F.size(F.split(t, sep, -1)).cast("long").alias("n_lines")
-    )
+    arr = F.split(t, sep, -1)
     lines = docs.select(
-        id_col, F.posexplode(F.split(t, sep, -1)).alias("pos0", "line")
+        id_col, F.posexplode(arr).alias("pos0", "line")
     ).select(id_col, (F.col("pos0") + 1).alias("pos"), "line")
-
+    ok = (
+        (F.col("pos") <= F.lit(_MAX_POS))
+        & (F.col(id_col) < F.lit(_MAX_DOC))
+        & (F.col(id_col) >= 0)
+    )
+    packed = F.when(
+        ok, F.col(id_col) * F.lit(_MAX_POS) + (F.col("pos") - 1)
+    ).otherwise(
+        F.raise_error(
+            F.lit("line_dedup packed-key overflow: pos or doc_id out of range")
+        ).cast("long")
+    )
+    keyed = lines.withColumn("pk", packed)
     firsts = (
-        lines.filter(F.length("line") > 0)
+        keyed.filter(F.length("line") > 0)
         .groupBy("line")
-        .agg(
-            F.min(
-                F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
-            ).alias("first_occ")
-        )
+        .agg(F.min("pk").alias("fo"))
     )
-    kept = lines.join(firsts, "line", "left").filter(
-        (F.length("line") == 0)
-        | (
-            (F.col("first_occ.d") == F.col(id_col))
-            & (F.col("first_occ.p") == F.col("pos"))
-        )
+    kept_pos = (
+        keyed.join(firsts, "line", "left")
+        .filter((F.length("line") == 0) | (F.col("pk") == F.col("fo")))
+        .select(id_col, "pos")
     )
-    kagg = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s["line"],
-            ),
-            sep,
-        ).alias("text_dedup"),
+    kagg = kept_pos.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("keep_pos"),
         F.count("*").cast("long").alias("n_kept"),
     )
-    return base.join(kagg, id_col, "left").select(
+    return docs.join(kagg, id_col, "left").select(
         id_col,
-        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
-        "n_lines",
+        F.coalesce(
+            F.array_join(
+                F.transform(F.col("keep_pos"), lambda p: F.element_at(arr, p)),
+                sep,
+            ),
+            F.lit(""),
+        ).alias("text_dedup"),
+        F.size(arr).cast("long").alias("n_lines"),
         F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
     )
 
