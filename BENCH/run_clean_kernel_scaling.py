@@ -30,6 +30,7 @@ sys.path.insert(0, os.environ["REPO"])
 from pyspark.sql import functions as F
 from osmcoastline_spark.session import get_spark
 from osmcoastline_spark.functions import clean as CL
+from osmcoastline_spark.functions import dedup as D
 
 cpus = int(sys.argv[1])
 amp = int(sys.argv[2])
@@ -55,6 +56,10 @@ def act(df):
 dt, n = act(CL.line_dedup(docs, sep=" ")); res["linededup"] = [dt, n]
 dt, n = act(CL.c4_line_filters(docs, sep=" ", min_words=3)); res["c4filters"] = [dt, n]
 dt, n = act(CL.pii_redact(docs)); res["pii"] = [dt, n]
+# dupspans: every window is duplicated across the id-offset copies, so
+# ALL positions flag and the island window sees the full corpus — the
+# operator's worst-case regime, measured deliberately.
+dt, n = act(D.duplicated_spans(docs, k=8)); res["dupspans"] = [dt, n]
 print(json.dumps({"cpus": cpus, "kernels": res}))
 spark.stop()
 """

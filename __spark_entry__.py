@@ -724,6 +724,15 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.decontaminate(docs)
 
 
+def q_vocab_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary table (text.vocab_counts): word + occurrence +
+    document frequencies with a deterministic rank (count desc, word
+    asc). Exact integers; the rank window sorts the vocabulary, not the
+    corpus."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.vocab_counts(docs)
+
+
 def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring spans (dedup.duplicated_spans): maximal
     token spans covered by word 8-grams occurring more than once in the
@@ -1009,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gopher_rules": q_gopher_rules,
         "q_repetition_stats": q_repetition_stats,
         "q_decontaminate": q_decontaminate,
+        "q_vocab_counts": q_vocab_counts,
         "q_duplicated_spans": q_duplicated_spans,
         "q_line_dedup": q_line_dedup,
         "q_c4_line_filters": q_c4_line_filters,
@@ -1374,6 +1384,7 @@ def oracle_sql() -> dict[str, str]:
         "q_gopher_rules": _GOPHER_RULES_SQL,
         "q_repetition_stats": _REPETITION_SQL,
         "q_decontaminate": _DECONTAMINATE_SQL,
+        "q_vocab_counts": _VOCAB_COUNTS_SQL,
         "q_duplicated_spans": _DUPLICATED_SPANS_SQL,
         "q_line_dedup": _LINE_DEDUP_SQL,
         "q_c4_line_filters": _C4_LINE_FILTERS_SQL,
@@ -1825,6 +1836,20 @@ FROM hits
 
 # audio twin: closed-form square-wave features — the synth params are pure
 # functions of doc_id, so DuckDB never parses a byte of WAV
+_VOCAB_COUNTS_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents
+),
+a AS (
+  SELECT word, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+  FROM w WHERE length(word) > 0 GROUP BY word
+)
+SELECT word, CAST(n_occ AS BIGINT) AS n_occ, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(row_number() OVER (ORDER BY n_occ DESC, word ASC) AS BIGINT) AS rank
+FROM a
+"""
+
 # duplicated-spans twin: same window/island arithmetic, but grouped by
 # the window STRING (no hashes anywhere in the output), so an xxhash64
 # pair collision on the Spark side would surface as a value diff.

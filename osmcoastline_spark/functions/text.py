@@ -160,3 +160,44 @@ def with_text_features(docs: DataFrame, col: str = "text") -> DataFrame:
         .withColumn("lang_guess", lang_guess(c))
         .withColumn("fingerprint", rolling_fingerprint_vec(c))
     )
+
+
+def vocab_counts(
+    docs: DataFrame,
+    top_n: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus vocabulary table — the tokenizer-training prep stage
+    (word frequency + document frequency + deterministic rank).
+
+    Output: word, n_occ (total occurrences), n_docs (documents
+    containing the word), rank (row_number over count desc, then word
+    asc — a deterministic total order, so top_n cuts are reproducible
+    across engines and partitionings). top_n=None returns the full
+    vocabulary.
+
+    Shape at 100 TB: word explode → one two-level aggregate keyed by
+    word (map-side partial for n_occ; n_docs expands to the standard
+    two-phase distinct — keyed by (word, doc_id) then word, both
+    skew-free). The rank window is a single-task sort, but over the
+    VOCABULARY — bounded by the language, not the corpus (the same
+    bounded-output argument as curate.lm_familiarity's trigram model).
+    """
+    t = F.col(text_col)
+    words = docs.select(
+        id_col, F.explode(F.split(F.trim(t), r"\s+")).alias("word")
+    ).filter(F.length("word") > 0)
+    agg = words.groupBy("word").agg(
+        F.count("*").alias("n_occ"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )
+    from pyspark.sql.window import Window
+
+    rank = F.row_number().over(
+        Window.orderBy(F.col("n_occ").desc(), F.col("word").asc())
+    )
+    out = agg.select("word", "n_occ", "n_docs", rank.cast("long").alias("rank"))
+    if top_n is not None:
+        out = out.filter(F.col("rank") <= top_n)
+    return out

@@ -942,3 +942,31 @@ def test_duplicated_spans_deterministic_under_repartition(spark):
     a = sorted(map(tuple, D.duplicated_spans(df, k=8).collect()))
     b = sorted(map(tuple, D.duplicated_spans(df.repartition(5, "text"), k=8).collect()))
     assert a == b and len(a) == 12
+
+
+# ------------------------------------------------------------ vocab_counts
+
+
+def test_vocab_counts_exact_and_ranked(spark):
+    rows = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "apple"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.word: r for r in T.vocab_counts(df).collect()}
+    assert (out["apple"].n_occ, out["apple"].n_docs) == (3, 2)
+    assert (out["banana"].n_occ, out["banana"].n_docs) == (2, 2)
+    assert (out["cherry"].n_occ, out["cherry"].n_docs) == (1, 1)
+    # rank: count desc, then word asc -> apple(3), banana(2), cherry(1)
+    assert [out[w].rank for w in ("apple", "banana", "cherry")] == [1, 2, 3]
+    top2 = T.vocab_counts(df, top_n=2).collect()
+    assert sorted(r.word for r in top2) == ["apple", "banana"]
+
+
+def test_vocab_counts_tie_break_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "zeta alpha"), (2, "alpha zeta")], "doc_id long, text string"
+    )
+    ranks = {r.word: r.rank for r in T.vocab_counts(df).collect()}
+    assert ranks == {"alpha": 1, "zeta": 2}  # equal counts -> word asc
