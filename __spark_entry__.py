@@ -787,6 +787,34 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CL.chunk_documents(docs, chunk_tokens=16, overlap=4)
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED cleaning+curation chain (clean.curation_pipeline):
+    C4 line filters → corpus keep-first line dedup → Gopher + repetition
+    gates on the cleaned text → final keep flag. Each stage is already
+    independently oracled; this row pins the composition itself (stage
+    outputs feeding stage inputs, empty-text and missing-row
+    interactions included). Lines are synthesized per doc_id: constant
+    lines exercise the dedup steal, rule-breaking lines exercise C4,
+    and a doc_id-length-varying sentence makes the r_len/r_mwl gates
+    split non-vacuously. The SQL twin reuses the gopher/repetition twin
+    bodies verbatim, re-pointed at the cleaned CTE."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    nl = F.lit("\n")
+    d = F.col("doc_id")
+    synth = F.concat(
+        F.lit("Sentence number one has five words."), nl,
+        F.substring(F.col("text"), F.lit(1), F.lit(40)), nl,
+        F.lit("Too short."), nl,
+        F.concat(F.lit("Document "), d.cast("string"),
+                 F.lit(" keeps this varied content line.")), nl,
+        F.lit("Lorem ipsum dolor sit amet filler text."), nl,
+        F.lit("A curly { brace drops this whole line."), nl,
+        F.concat(F.substring(F.col("text"), F.lit(1), F.lit(60) + (d % 80)),
+                 F.lit(" and so it ends.")),
+    )
+    return CL.curation_pipeline(docs.select("doc_id", synth.alias("text")))
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (clean.pii_redact): emails / IPv4s / phones
     synthesized deterministically from doc_id (every doc gets an email;
@@ -1023,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_line_dedup": q_line_dedup,
         "q_c4_line_filters": q_c4_line_filters,
         "q_chunk_documents": q_chunk_documents,
+        "q_curation_pipeline": q_curation_pipeline,
         "q_pii_redact": q_pii_redact,
         "q_audio_features": q_audio_features,
         "q_video_frames": q_video_frames,
@@ -1389,6 +1418,7 @@ def oracle_sql() -> dict[str, str]:
         "q_line_dedup": _LINE_DEDUP_SQL,
         "q_c4_line_filters": _C4_LINE_FILTERS_SQL,
         "q_chunk_documents": _CHUNK_DOCUMENTS_SQL,
+        "q_curation_pipeline": _CURATION_PIPELINE_SQL,
         "q_pii_redact": _PII_REDACT_SQL,
         "q_audio_features": _AUDIO_FEATURES_SQL,
         "q_video_frames": _VIDEO_FRAMES_SQL,
@@ -1977,6 +2007,81 @@ SELECT doc_id, chunk_id,
        CAST(n AS BIGINT) AS doc_tokens
 FROM f
 """
+
+# curation-pipeline twin: the composed chain. The gopher/repetition twin
+# BODIES are reused verbatim with their source re-pointed from the
+# `documents` view to the cleaned CTE (string-level FROM rewrite — safer
+# than shadowing the view with a same-named CTE, which DuckDB would
+# resolve circularly for the synth stage).
+_CURATION_PIPELINE_SQL = (
+    """
+WITH synth AS (
+  SELECT doc_id,
+         'Sentence number one has five words.' || chr(10) ||
+         substr(text, 1, 40) || chr(10) ||
+         'Too short.' || chr(10) ||
+         'Document ' || CAST(doc_id AS VARCHAR) ||
+           ' keeps this varied content line.' || chr(10) ||
+         'Lorem ipsum dolor sit amet filler text.' || chr(10) ||
+         'A curly { brace drops this whole line.' || chr(10) ||
+         substr(text, 1, 60 + doc_id % 80) || ' and so it ends.' AS text
+  FROM documents
+),
+c4 AS (
+  SELECT doc_id,
+         array_to_string(list_filter(string_split(text, chr(10)), l ->
+            regexp_matches(l, '[.!?"]$')
+            AND len(list_filter(string_split_regex(trim(l), '\\s+'),
+                                w -> length(w) > 0)) >= 5
+            AND NOT contains(l, '{')
+            AND NOT contains(lower(l), 'lorem ipsum')
+            AND NOT contains(lower(l), 'javascript')), chr(10)) AS text
+  FROM synth
+),
+expl AS (
+  SELECT doc_id, unnest(list_transform(string_split(text, chr(10)),
+         (x, i) -> struct_pack(line := x, pos := i))) AS s
+  FROM c4
+),
+lns AS (SELECT doc_id, s.line AS line, s.pos AS pos FROM expl),
+firsts AS (
+  SELECT line, min(struct_pack(d := doc_id, p := pos)) AS fo
+  FROM lns WHERE length(line) > 0 GROUP BY line
+),
+keptl AS (
+  SELECT l.doc_id, l.line, l.pos
+  FROM lns l LEFT JOIN firsts f USING (line)
+  WHERE length(l.line) = 0 OR (f.fo.d = l.doc_id AND f.fo.p = l.pos)
+),
+basec AS (
+  SELECT doc_id, CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
+  FROM c4
+),
+kaggc AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM keptl GROUP BY doc_id
+),
+cleaned_docs AS (
+  SELECT b.doc_id, coalesce(k.text_dedup, '') AS text, b.n_lines,
+         coalesce(k.n_kept, 0) AS n_kept
+  FROM basec b LEFT JOIN kaggc k USING (doc_id)
+),
+g_out AS ("""
+    + _GOPHER_RULES_SQL.replace("FROM documents", "FROM cleaned_docs")
+    + """),
+r_out AS ("""
+    + _REPETITION_SQL.replace("FROM documents", "FROM cleaned_docs")
+    + """)
+SELECT d.doc_id, d.text AS text_final, d.n_lines, d.n_kept,
+       g.r_len, g.r_mwl, g.r_stop, g.r_lang, g.pass_all,
+       coalesce(r.pass_repetition, 0) AS pass_repetition,
+       g.pass_all * coalesce(r.pass_repetition, 0) *
+         (CASE WHEN d.n_kept > 0 THEN 1 ELSE 0 END) AS keep
+FROM cleaned_docs d JOIN g_out g USING (doc_id)
+LEFT JOIN r_out r USING (doc_id)
+"""
+)
 
 # PII twin: identical regex strings (clean.EMAIL_RE/IPV4_RE/PHONE_RE
 # spliced below), identical email->IP->phone order; DuckDB replace needs

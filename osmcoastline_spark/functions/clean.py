@@ -261,3 +261,69 @@ def chunk_documents(
     ).select(
         id_col, "c.chunk_id", "c.chunk_text", "c.n_tokens", "doc_tokens"
     )
+
+
+def curation_pipeline(
+    docs: DataFrame,
+    sep: str = "\n",
+    min_words: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The composed cleaning+curation chain a corpus actually runs:
+    C4 line filters → corpus keep-first line dedup → Gopher rule gates
+    + repetition gates on the CLEANED text → one final keep flag.
+
+    Each stage exists (and is independently oracled) on its own; this
+    operator pins the composition — stage outputs feeding stage inputs,
+    including the interactions that only appear when chained (a doc
+    whose every line is C4-dropped or dedup-stolen reaches the gates as
+    empty text and must fail r_len, not crash; a doc whose repetition
+    row vanishes because the cleaned text has zero tokens must coalesce
+    to pass_repetition=0).
+
+    Output: doc_id, text_final, n_lines, n_kept (line-dedup stats over
+    the C4-cleaned text), the four Gopher 0/1 rules + pass_all,
+    pass_repetition (0 when the cleaned text has no tokens), keep =
+    pass_all · pass_repetition · (n_kept > 0). Only integer flags and
+    the final text — the float features stay in their per-stage
+    operators where they are already value-hash verified.
+
+    Scale shape: the composition adds NO shuffles beyond its stages —
+    c4 is narrow, line_dedup pays its three exchanges, the gates are
+    narrow/self-joined on doc_id, and Catalyst pipelines the narrow
+    stages into the dedup explode map-side.
+    """
+    from .curate import gopher_rules, repetition_stats
+
+    c4 = c4_line_filters(
+        docs, sep=sep, min_words=min_words, text_col=text_col, id_col=id_col
+    )
+    ld = line_dedup(
+        c4.select(F.col(id_col), F.col("text_clean").alias("text")),
+        sep=sep,
+        id_col=id_col,
+    )
+    cleaned = ld.select(
+        F.col(id_col), F.col("text_dedup").alias("text"), "n_lines", "n_kept"
+    )
+    g = gopher_rules(cleaned).select(
+        id_col, "r_len", "r_mwl", "r_stop", "r_lang", "pass_all"
+    )
+    r = repetition_stats(cleaned).select(id_col, "pass_repetition")
+    out = cleaned.join(g, id_col).join(r, id_col, "left")
+    passrep = F.coalesce(F.col("pass_repetition"), F.lit(0))
+    keep = F.col("pass_all") * passrep * (F.col("n_kept") > 0).cast("int")
+    return out.select(
+        id_col,
+        F.col("text").alias("text_final"),
+        "n_lines",
+        "n_kept",
+        "r_len",
+        "r_mwl",
+        "r_stop",
+        "r_lang",
+        "pass_all",
+        passrep.alias("pass_repetition"),
+        keep.alias("keep"),
+    )

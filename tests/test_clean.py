@@ -173,3 +173,51 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError):
         CL.chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+# ----------------------------------------------------- curation_pipeline
+
+
+def test_curation_pipeline_composition(spark):
+    boiler = "Subscribe to our newsletter for the latest updates and offers today."
+    good = "\n".join([
+        "The quick brown fox jumps over the lazy dog near the river bank today.",
+        "Many people walk along the shore and watch boats of every size pass slowly.",
+        "Fresh bread and warm soup taste good after a long cold morning of work.",
+        boiler,
+    ])
+    loser = "\n".join([
+        "no punctuation here so c4 drops it",
+        boiler,  # dedup-stolen by doc 1
+    ])
+    hopeless = "just words\nwithout any terminal punctuation at all"
+    df = spark.createDataFrame(
+        [(1, good), (2, loser), (3, hopeless)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in CL.curation_pipeline(df).collect()}
+
+    # doc 1: keeps all four lines (c4 passes, it owns the boilerplate),
+    # clears every gate -> keep=1
+    assert out[1].n_kept == 4 and out[1].keep == 1 and out[1].pass_all == 1
+    assert boiler in out[1].text_final
+
+    # doc 2: c4 drops the unpunctuated line, dedup steals the boilerplate
+    # -> empty text -> r_len fails, repetition row coalesces to 0, keep=0
+    assert out[2].text_final == "" and out[2].n_kept == 0
+    assert out[2].pass_all == 0 and out[2].pass_repetition == 0
+    assert out[2].keep == 0
+
+    # doc 3: every line fails c4 -> empty text, keep=0 (and no crash)
+    assert out[3].text_final == "" and out[3].keep == 0
+
+
+def test_curation_pipeline_single_line_gate_interaction(spark):
+    # a doc whose cleaned text is ONE short line still flows through the
+    # gates: repetition's top-bigram fraction is 1/(n-1) = 0.2 > 0.08 on
+    # six words (the gate is calibrated for documents, not fragments)
+    df = spark.createDataFrame(
+        [(5, "Short but valid sentence with words.")], "doc_id long, text string"
+    )
+    r = CL.curation_pipeline(df).collect()[0]
+    assert r.n_kept == 1 and r.pass_repetition == 0
+    assert r.r_len == 0 and r.keep == 0  # < 150 chars
