@@ -965,6 +965,42 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KM.semantic_dedup(emb.unionByName(copies), k=8, iters=3, threshold=0.95)
 
 
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup pairs via multi-index Hamming
+    (image.phash_near_dup_pairs): 15-bit bands → 4-band lossless candidate
+    index for distance ≤ 3 (pigeonhole), exact bit_count(xor) verify.
+    pHashes are synthesized arithmetically from doc_id (4 × 15-bit
+    multiplicative pieces — overflow-free under ANSI); every 7th image
+    gets a copy with two deterministic bit flips, so the planted pairs
+    (hamming ≤ 2) are exactly the expected drop set and the oracle is the
+    brute-force all-pairs scan DuckDB can afford at sf scale."""
+    from osmcoastline_spark.functions import image as IM
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def piece(p: int, q: int):
+        return (F.col("doc_id") * F.lit(p) + F.lit(q)) % 32768
+
+    phash = (
+        piece(2654435761, 97)
+        + piece(2246822519, 193) * F.lit(32768)
+        + piece(3266489917, 389) * F.lit(1073741824)
+        + piece(668265263, 769) * F.lit(35184372088832)
+    )
+    mask = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 60 AS INT)) ^ "
+        "shiftleft(CAST(1 AS BIGINT), CAST((doc_id * 13 + 7) % 60 AS INT))"
+    )
+    base = docs.select(F.col("doc_id").alias("image_id"), phash.alias("phash"))
+    copies = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 500000).alias("image_id"),
+        phash.bitwiseXOR(mask).alias("phash"),
+    )
+    return IM.phash_near_dup_pairs(
+        base.unionByName(copies), max_distance=3, band_bits=15
+    )
+
+
 def q_water_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R5/A5 water derivation vs a closed-form oracle (round-4 VERDICT #6).
 
@@ -1096,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_ivf_topk": q_embedding_ivf_topk,
         "q_kmeans": q_kmeans,
         "q_semantic_dedup": q_semantic_dedup,
+        "q_phash_neardup": q_phash_neardup,
     }
 
 
@@ -1659,6 +1696,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_kmeans": _KMEANS_SQL,
         "q_semantic_dedup": _SEMANTIC_DEDUP_SQL,
+        "q_phash_neardup": _PHASH_NEARDUP_SQL,
     }
 
 
@@ -1750,6 +1788,34 @@ _SEMANTIC_DEDUP_SQL = (
     FROM pj p LEFT JOIN dropped d ON p.vec_id = d.vid
 """
 )
+
+
+# phash near-dup twin: the banded multi-index is LOSSLESS for d < n_bands,
+# so the oracle is the definitional brute-force all-pairs Hamming scan.
+_PH_PIECES = (
+    "( (doc_id * 2654435761 + 97) % 32768"
+    " + ((doc_id * 2246822519 + 193) % 32768) * 32768"
+    " + ((doc_id * 3266489917 + 389) % 32768) * 1073741824"
+    " + ((doc_id * 668265263 + 769) % 32768) * 35184372088832 )"
+)
+
+_PHASH_NEARDUP_SQL = f"""
+    WITH base AS (
+      SELECT doc_id AS image_id, {_PH_PIECES} AS phash FROM documents
+    ),
+    cp AS (
+      SELECT doc_id + 500000 AS image_id,
+             xor({_PH_PIECES},
+                 xor(CAST(1 AS BIGINT) << CAST(doc_id % 60 AS INT),
+                     CAST(1 AS BIGINT) << CAST((doc_id * 13 + 7) % 60 AS INT))) AS phash
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    imgs AS (SELECT * FROM base UNION ALL SELECT * FROM cp)
+    SELECT a.image_id AS a, b.image_id AS b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+    FROM imgs a JOIN imgs b ON a.image_id < b.image_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+"""
 
 
 # language-guess SQL twin (marker counting via replace-length trick)

@@ -364,3 +364,49 @@ def verify_payloads(images: DataFrame, reference: DataFrame, min_psnr: float = 4
             yield pd.DataFrame(bad, columns=["image_id", "reason"])
 
     return joined.mapInPandas(run, "image_id string, reason string")
+
+
+def phash_near_dup_pairs(
+    images: DataFrame,
+    max_distance: int = 3,
+    band_bits: int = 15,
+    hash_col: str = "phash",
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash Hamming distance via
+    multi-index hashing (Norouzi et al., "Fast Search in Hamming Space
+    with Multi-Index Hashing", CVPR 2012 — public): the 64-bit hash is
+    split into 64//band_bits disjoint bands; by pigeonhole, any pair
+    within Hamming distance d < n_bands matches EXACTLY on at least one
+    band, so the banded equi-join is a LOSSLESS candidate generator and
+    the output equals the brute-force all-pairs result — at the cost of
+    an equi-join instead of O(n²).
+
+    Requires max_distance < 64 // band_bits (asserted); candidates are
+    exact-verified with bit_count(xor) — one codegen expression, no
+    Python. Output: (a, b, hamming) with a < b, one row per pair.
+
+    Band generation reuses dedup.simhash_band_pairs' explode shape — the
+    same index serves any 64-bit fingerprint family (simhash, phash)."""
+    from pyspark.sql import functions as F
+
+    from osmcoastline_spark.functions.dedup import simhash_band_pairs
+
+    n_bands = 64 // band_bits
+    if max_distance >= n_bands:
+        raise ValueError(
+            f"max_distance {max_distance} needs >= {max_distance + 1} bands; "
+            f"band_bits {band_bits} gives {n_bands} — banding would miss pairs"
+        )
+    sims = images.select(
+        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("simhash")
+    )
+    cands = simhash_band_pairs(sims, band_bits=band_bits)
+    h = images.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"))
+    return (
+        cands.join(h.withColumnRenamed("_id", "a").withColumnRenamed("_h", "_ha"), "a")
+        .join(h.withColumnRenamed("_id", "b").withColumnRenamed("_h", "_hb"), "b")
+        .withColumn("hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))))
+        .filter(F.col("hamming") <= max_distance)
+        .select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+    )
