@@ -1001,6 +1001,14 @@ def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality scorer (curate.quality_classifier): fastText
+    feature set (unigrams + word bigrams), feature-hashed weights collapsed
+    into md5 arithmetic — exact BIGINT numerator + one IEEE division, zero
+    joins/shuffles. pass_quality is an integer sign test."""
+    return C.quality_classifier(_read(spark, sf_dir, "documents"))
+
+
 def q_water_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R5/A5 water derivation vs a closed-form oracle (round-4 VERDICT #6).
 
@@ -1133,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmeans": q_kmeans,
         "q_semantic_dedup": q_semantic_dedup,
         "q_phash_neardup": q_phash_neardup,
+        "q_quality_classifier": q_quality_classifier,
     }
 
 
@@ -1697,6 +1706,7 @@ def oracle_sql() -> dict[str, str]:
         "q_kmeans": _KMEANS_SQL,
         "q_semantic_dedup": _SEMANTIC_DEDUP_SQL,
         "q_phash_neardup": _PHASH_NEARDUP_SQL,
+        "q_quality_classifier": _QUALITY_SQL,
     }
 
 
@@ -1815,6 +1825,36 @@ _PHASH_NEARDUP_SQL = f"""
            CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
     FROM imgs a JOIN imgs b ON a.image_id < b.image_id
     WHERE bit_count(xor(a.phash, b.phash)) <= 3
+"""
+
+
+# quality-classifier twin: same tokenizer as the repetition twin, same
+# md5-hexval weight arithmetic; list_sum([]) is NULL in DuckDB, hence the
+# COALESCE (Spark's aggregate init gives 0 directly)
+_QUALITY_SQL = r"""
+WITH f AS (
+  SELECT doc_id,
+         list_concat(
+           list_filter(t, x -> length(x) > 0),
+           CASE WHEN len(t) >= 2
+                THEN list_transform(generate_series(1, len(t) - 1),
+                                    i -> t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)])
+                ELSE [] END
+         ) AS feats
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)
+),
+s AS (
+  SELECT doc_id, CAST(len(feats) AS INT) AS n_features,
+         CAST(COALESCE(list_sum(list_transform(feats,
+              f -> (instr('0123456789abcdef', substr(md5(f), 1, 1)) - 1) * 2 - 15)), 0) AS BIGINT) AS score_num
+  FROM f
+)
+SELECT doc_id, n_features, score_num,
+       CASE WHEN n_features > 0
+            THEN CAST(score_num AS DOUBLE) / CAST(n_features AS DOUBLE)
+            ELSE 0.0 END AS score,
+       (score_num > 0) AS pass_quality
+FROM s
 """
 
 

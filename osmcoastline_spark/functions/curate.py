@@ -299,3 +299,71 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
         r_lang.alias("r_lang"),
         (r_len * r_mwl * r_stop * r_lang).alias("pass_all"),
     )
+
+
+def quality_classifier(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: DataFrame | None = None,
+) -> DataFrame:
+    """fastText-style linear quality scorer over hashed bag-of-features
+    (unigrams + word bigrams — the fastText feature set; Joulin et al.
+    2016, public).  score = Σ w(feature) / n_features, label = sign.
+
+    Two weight sources, same scoring plan:
+
+    * ``weights=None`` (default, the oracle-able path): feature hashing
+      (Weinberger et al. 2009) with the weight table collapsed into
+      arithmetic — w(f) = 2·hexval(md5(f)[0]) − 15, an odd integer in
+      [−15, 15].  The per-doc numerator is an exact BIGINT sum and the
+      score is ONE IEEE division, so DuckDB reproduces it bit-for-bit
+      (the established lm_familiarity idiom).  Zero joins, zero
+      shuffles: the plan is a narrow projection — the 100 TB shape for
+      model scoring.
+    * ``weights=DataFrame(feature, weight_x1000: long)``: a real trained
+      weight table, broadcast-joined against exploded features (the
+      model is vocabulary-bounded ⇒ broadcast; the corpus side shuffles
+      only for the per-doc sum, which partial-agg collapses map-side).
+      Weights are milli-units (int64) so the numerator stays exact.
+
+    Output: (id, n_features, score_num, score, pass_quality) where
+    pass_quality = score_num > 0 — an integer compare, no float
+    threshold at all.
+    """
+    t = F.col(text_col)
+    unigrams = F.filter(F.split(F.trim(t), r"\s+"), lambda x: F.length(x) > 0)
+    feats = F.concat(unigrams, word_ngrams(t, 2))
+
+    if weights is None:
+        w = lambda f: (  # noqa: E731
+            F.conv(F.substring(F.md5(f), 1, 1), 16, 10).cast("long") * 2 - 15
+        )
+        num = F.aggregate(
+            F.transform(feats, w), F.lit(0).cast("long"), lambda acc, v: acc + v
+        )
+        scored = docs.select(
+            F.col(id_col), F.size(feats).alias("n_features"), num.alias("score_num")
+        )
+    else:
+        ex = docs.select(F.col(id_col), F.explode_outer(feats).alias("feature"))
+        scored = (
+            ex.join(F.broadcast(weights), "feature", "left")
+            .groupBy(id_col)
+            .agg(
+                F.count("feature").cast("int").alias("n_features"),
+                F.coalesce(F.sum("weight_x1000"), F.lit(0)).alias("score_num"),
+            )
+        )
+    return scored.select(
+        id_col,
+        "n_features",
+        "score_num",
+        F.when(
+            F.col("n_features") > 0,
+            F.col("score_num").cast("double") / F.col("n_features").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("score"),
+        (F.col("score_num") > 0).alias("pass_quality"),
+    )
