@@ -168,7 +168,12 @@ def semantic_dedup(
             lambda acc, v: acc + v,
         ),
     )
-    pts = assign.join(q, "vid")
+    # localCheckpoint is load-bearing: pts feeds BOTH sides of the
+    # self-join AND the final keep join — without it each branch re-runs
+    # the full iterative k-means DAG (measured: 10 MapInPandas instances
+    # in the executed plan vs 1 after; the assignment UDF is the
+    # operator's hot path).
+    pts = assign.join(q, "vid").localCheckpoint(eager=True)
     a = pts.select(
         F.col("vid").alias("va"), F.col("q").alias("qa"),
         F.col("nq").alias("na"), "cluster",

@@ -386,11 +386,14 @@ def phash_near_dup_pairs(
     exact-verified with bit_count(xor) — one codegen expression, no
     Python. Output: (a, b, hamming) with a < b, one row per pair.
 
-    Band generation reuses dedup.simhash_band_pairs' explode shape — the
-    same index serves any 64-bit fingerprint family (simhash, phash)."""
+    Plan shape: the full 8-byte hash rides THROUGH the band explode (16
+    extra bytes per band row), so the verify runs inside the band join's
+    output projection and the whole operator is ONE self equi-join + one
+    pair-dedup — no joining hashes back onto the candidate set (the
+    back-join form costs two more shuffles of the id set). The hamming
+    filter runs BEFORE the dedup, so multi-band duplicate candidates of
+    far pairs never reach the exchange."""
     from pyspark.sql import functions as F
-
-    from osmcoastline_spark.functions.dedup import simhash_band_pairs
 
     n_bands = 64 // band_bits
     if max_distance >= n_bands:
@@ -398,15 +401,28 @@ def phash_near_dup_pairs(
             f"max_distance {max_distance} needs >= {max_distance + 1} bands; "
             f"band_bits {band_bits} gives {n_bands} — banding would miss pairs"
         )
-    sims = images.select(
-        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("simhash")
-    )
-    cands = simhash_band_pairs(sims, band_bits=band_bits)
-    h = images.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"))
+    bands = images.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned(F.col(hash_col), i * band_bits)
+                    .bitwiseAND(F.lit((1 << band_bits) - 1))
+                    .alias("key"),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select("_id", "_h", "bk.band", "bk.key")
+    a = bands.select(F.col("_id").alias("a"), F.col("_h").alias("_ha"), "band", "key")
+    b = bands.select(F.col("_id").alias("b"), F.col("_h").alias("_hb"), "band", "key")
     return (
-        cands.join(h.withColumnRenamed("_id", "a").withColumnRenamed("_h", "_ha"), "a")
-        .join(h.withColumnRenamed("_id", "b").withColumnRenamed("_h", "_hb"), "b")
+        a.join(b, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
         .withColumn("hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))))
         .filter(F.col("hamming") <= max_distance)
+        .dropDuplicates(["a", "b"])
         .select("a", "b", F.col("hamming").cast("int").alias("hamming"))
     )
