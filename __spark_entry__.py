@@ -1001,6 +1001,19 @@ def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer (cluster.ivf_topk_trained):
+    k-means centroids replace the dominant-dimension heuristic of
+    q_embedding_ivf_topk — the FAISS-IVFFlat shape. Fully oracle-able
+    because training, probe ranking and cosine are all exact: the DuckDB
+    twin unrolls the Lloyd iterations, ranks probe cells by (int d2, id)
+    and re-ranks within lists with the fixed double cosine."""
+    from osmcoastline_spark.functions import cluster as KM
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return KM.ivf_topk_trained(emb, k=3, k_cells=8, iters=3, nprobe=2)
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed linear quality scorer (curate.quality_classifier): fastText
     feature set (unigrams + word bigrams), feature-hashed weights collapsed
@@ -1142,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_dedup": q_semantic_dedup,
         "q_phash_neardup": q_phash_neardup,
         "q_quality_classifier": q_quality_classifier,
+        "q_embedding_ivf_trained": q_embedding_ivf_trained,
     }
 
 
@@ -1707,6 +1721,7 @@ def oracle_sql() -> dict[str, str]:
         "q_semantic_dedup": _SEMANTIC_DEDUP_SQL,
         "q_phash_neardup": _PHASH_NEARDUP_SQL,
         "q_quality_classifier": _QUALITY_SQL,
+        "q_embedding_ivf_trained": _IVF_TRAINED_SQL,
     }
 
 
@@ -1826,6 +1841,52 @@ _PHASH_NEARDUP_SQL = f"""
     FROM imgs a JOIN imgs b ON a.image_id < b.image_id
     WHERE bit_count(xor(a.phash, b.phash)) <= 3
 """
+
+
+# trained-IVF twin: reuses the unrolled k-means CTEs, ranks probe cells by
+# (exact int d2, cell id), re-ranks within the probed inverted lists with
+# the fixed double cosine. A (query, nbr) pair matches through at most one
+# cell (the nbr's single list cell), so the candidate join needs no dedup.
+_IVF_TRAINED_SQL = (
+    _kmeans_ctes(f"SELECT vec_id, {_QUANT} AS q FROM embeddings")
+    + """,
+    nqp AS (
+      SELECT vec_id, q,
+             CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nq
+      FROM pts
+    ),
+    dists AS (
+      SELECT p.vec_id, c.j,
+             CAST(list_sum(list_transform(p.q, (x,i) -> (x - c.m[i])*(x - c.m[i]))) AS BIGINT) AS d
+      FROM pts p CROSS JOIN c3 c
+    ),
+    rankedcells AS (
+      SELECT vec_id, j,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS pr
+      FROM dists
+    ),
+    lists AS (SELECT vec_id AS nbr_id, j AS cell FROM rankedcells WHERE pr = 1),
+    probes AS (SELECT vec_id AS query_id, j AS cell FROM rankedcells WHERE pr <= 2),
+    cands AS (
+      SELECT query_id, nbr_id FROM probes JOIN lists USING (cell)
+      WHERE query_id != nbr_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.nbr_id,
+             CAST(list_sum(list_transform(a.q, (x,i) -> x * b.q[i])) AS DOUBLE)
+             / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) AS cos
+      FROM cands c
+      JOIN nqp a ON a.vec_id = c.query_id
+      JOIN nqp b ON b.vec_id = c.nbr_id
+    ),
+    rk AS (
+      SELECT query_id, nbr_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, nbr_id, cos, CAST(rank AS INT) AS rank FROM rk WHERE rank <= 3
+"""
+)
 
 
 # quality-classifier twin: same tokenizer as the repetition twin, same

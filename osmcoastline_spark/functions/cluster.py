@@ -46,7 +46,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmeans_quantized", "semantic_dedup"]
+__all__ = ["kmeans_train", "kmeans_quantized", "semantic_dedup", "ivf_topk_trained"]
 
 
 def quantize_expr(vec_col: str, scale: float) -> Column:
@@ -85,21 +85,19 @@ def _assign_udf(centroids: np.ndarray):
     return assign
 
 
-def kmeans_quantized(
+def kmeans_train(
     vectors: DataFrame,
     k: int = 8,
     iters: int = 3,
     scale: float = 1000.0,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> DataFrame:
-    """Exact-integer Lloyd k-means over an embedding column.
+) -> tuple[DataFrame, np.ndarray]:
+    """Run the Lloyd iterations; return (quantized base DF, centroids).
 
     Init: centroids = quantized vectors of the k lowest ids (deterministic,
-    data-derived — no RNG).  Returns (id, cluster, d2) for the assignment
-    AFTER `iters` re-centering rounds.  Empty clusters keep their previous
-    centroid (the oracle's COALESCE does the same).
-    """
+    data-derived — no RNG).  Empty clusters keep their previous centroid
+    (the oracle's COALESCE does the same)."""
     base = vectors.select(
         F.col(id_col).alias("vid"), quantize_expr(vec_col, scale).alias("q")
     )
@@ -130,7 +128,22 @@ def kmeans_quantized(
                 # floor(S/n + 0.5) in doubles — matches Spark/DuckDB floor
                 new[j, i] = int(math.floor(s / n + 0.5))
         cents = new
+    return base, cents
 
+
+def kmeans_quantized(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    scale: float = 1000.0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact-integer Lloyd k-means over an embedding column: (id, cluster,
+    d2) for the assignment AFTER `iters` re-centering rounds."""
+    base, cents = kmeans_train(
+        vectors, k=k, iters=iters, scale=scale, vec_col=vec_col, id_col=id_col
+    )
     final = base.withColumn("a", _assign_udf(cents)(F.col("q")))
     return final.select(
         F.col("vid").alias(id_col),
@@ -206,4 +219,91 @@ def semantic_dedup(
             "cluster",
             F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
         )
+    )
+
+
+def _probe_udf(centroids: np.ndarray, nprobe: int):
+    """Top-`nprobe` nearest centroid ids per vector, ordered by (d2, j) —
+    numpy lexsort reproduces the oracle's row_number ORDER BY d, j."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = centroids.astype(np.int64)
+
+    @pandas_udf("array<int>")
+    def probes(qs):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        if not len(qs):
+            return pd.Series([], dtype=object)
+        v = np.stack([np.asarray(x, dtype=np.int64) for x in qs])
+        d2 = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)  # (n, k)
+        order = np.lexsort((np.broadcast_to(np.arange(len(cents)), d2.shape), d2), axis=1)
+        return pd.Series(list(order[:, :nprobe].astype(np.int32)))
+
+    return probes
+
+
+def ivf_topk_trained(
+    vectors: DataFrame,
+    k: int = 3,
+    k_cells: int = 8,
+    iters: int = 3,
+    nprobe: int = 2,
+    scale: float = 1000.0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer — the production IVF shape
+    (FAISS IVFFlat, public): k-means centroids learned from the data
+    itself replace similarity.ivf_topk's dominant-dimension heuristic.
+    Every vector is indexed under its nearest centroid (the inverted
+    list); each query probes its `nprobe` nearest cells; exact cosine
+    only within the probed lists.
+
+    All-exact like kmeans_quantized, so fully SQL-oracle-able: the probe
+    ranking is (int64 d2, cell id) and the cosine is the fixed
+    dot/(sqrt·sqrt) double shape over the same quantized integers.  A
+    (query, nbr) pair can match through at most one cell (the nbr's
+    single list cell), so no pair dedup is needed — the candidate join
+    IS the candidate set."""
+    from pyspark.sql.window import Window
+
+    base, cents = kmeans_train(
+        vectors, k=k_cells, iters=iters, scale=scale, vec_col=vec_col, id_col=id_col
+    )
+    nq = F.aggregate(
+        F.transform("q", lambda x: x * x), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    # one narrow pass computes probe cells for both roles; checkpoint so
+    # the a/b branches don't re-run the assignment UDF (same trap as
+    # semantic_dedup, measured there)
+    cells = (
+        base.withColumn("nq", nq)
+        .withColumn("cells", _probe_udf(cents, nprobe)(F.col("q")))
+        .localCheckpoint(eager=True)
+    )
+    lists = cells.select(
+        F.col("vid").alias("nbr_id"), F.col("q").alias("qb"),
+        F.col("nq").alias("nb"), F.element_at("cells", 1).alias("cell"),
+    )
+    probes = cells.select(
+        F.col("vid").alias("query_id"), F.col("q").alias("qa"),
+        F.col("nq").alias("na"), F.explode("cells").alias("cell"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cos = dot.cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    return (
+        probes.join(lists, "cell")
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cos", "rank")
     )

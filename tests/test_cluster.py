@@ -105,3 +105,38 @@ def test_semantic_dedup_pairs_stay_within_cluster(spark, emb_np):
     out = C.semantic_dedup(emb, k=8, iters=2, threshold=0.95)
     assert out.filter(~F.col("keep")).count() == 0
     assert out.count() == emb.count()
+
+
+def test_ivf_trained_recall_and_shape(spark):
+    """Trained-IVF top-k: a planted near-duplicate lands in its original's
+    inverted list (the trained quantizer puts near-identical vectors in
+    the same cell), and recall@3 vs quantized brute force stays above a
+    floor at nprobe=2 of 8 cells."""
+    import numpy as np
+    from osmcoastline_spark.functions.cluster import ivf_topk_trained
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    extra = [(9001, [v * 0.95 for v in dict((r["vec_id"], r["embedding"]) for r in rows)[3]], 0)]
+    df = emb.unionByName(spark.createDataFrame(extra, emb.schema))
+    top = ivf_topk_trained(df, k=3, k_cells=8, iters=2, nprobe=2)
+    got = {(r["query_id"], r["rank"]): r["nbr_id"] for r in top.collect()}
+    assert got[(3, 1)] == 9001 and got[(9001, 1)] == 3
+
+    # recall@3 vs exact quantized-cosine brute force
+    V = np.stack([np.floor(np.asarray(r["embedding"], np.float64) * 1000 + 0.5) for r in rows])
+    ids = np.array([r["vec_id"] for r in rows])
+    nrm = np.sqrt((V * V).sum(axis=1))
+    cos = (V @ V.T) / (nrm[:, None] * nrm[None, :])
+    np.fill_diagonal(cos, -2)
+    hits = total = 0
+    approx = {}
+    for (qid, rank), nid in got.items():
+        if qid != 9001 and nid != 9001:
+            approx.setdefault(qid, set()).add(nid)
+    for n, qid in enumerate(ids):
+        truth = set(ids[np.argsort(-cos[n])[:3]])
+        inter = truth & approx.get(int(qid), set())
+        hits += len(inter)
+        total += 3
+    assert hits / total > 0.35, hits / total
