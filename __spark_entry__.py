@@ -13,7 +13,10 @@ the DuckDB oracle can verify spatial operators without a spatial extension):
   training    : exact dedup, minhash signatures + LSH pairs, simhash,
                 n-gram jaccard, text features, fingerprints, language guess,
                 corpus-LM familiarity, stratified mixing sampler, Gopher
-                rule gates, embedding cosine top-k (brute force + LSH)
+                rule gates, hashed linear quality classifier, embedding
+                cosine top-k (brute force + LSH + IVF, heuristic and
+                trained quantizers), exact-integer k-means, SemDeDup,
+                phash multi-index Hamming near-dup
   streaming   : tumbling-window agg (batch twin of the streaming plan)
 
 Column names are aliased identically in Spark and SQL (the driver hashes
