@@ -88,3 +88,93 @@ def stream_dedup_first_seen(stream: DataFrame, text_col: str = "text", id_col: s
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def stream_phash_near_dup(
+    stream: DataFrame,
+    max_distance: int = 3,
+    band_bits: int = 15,
+    hash_col: str = "phash",
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Streaming image near-dup detection — the unbounded twin of
+    image.phash_near_dup_pairs: the perceptual hash explodes into the
+    same multi-index bands; keyed state per (band, key) bucket holds
+    every (id, hash) seen in that bucket, and a new arrival emits one
+    (a, b, hamming) row per state match within max_distance (banding
+    stays lossless for d < n_bands, so the emitted set over a bounded
+    prefix equals the batch operator's pairs on the same rows).
+
+    Cross-band duplicate suppression runs IN-OPERATOR — no second
+    stateful stage: a pair within distance d can collide on several
+    bands, but each band group holds the FULL hashes, so every group
+    can compute the pair's first matching band and only that one emits.
+
+    State is O(rows seen) per band — inherent to unbounded near-dup
+    (every past image stays matchable); production bounds it with state
+    TTL / snapshot-compaction, which this surface leaves to the caller.
+    """
+    import pandas as pd
+
+    n_bands = 64 // band_bits
+    if max_distance >= n_bands:
+        raise ValueError(
+            f"max_distance {max_distance} needs >= {max_distance + 1} bands; "
+            f"band_bits {band_bits} gives {n_bands} — banding would miss pairs"
+        )
+    mask = (1 << band_bits) - 1
+
+    bands = stream.select(
+        F.col(id_col).alias("img"),
+        F.col(hash_col).alias("h"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned(F.col(hash_col), i * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("key"),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select("img", "h", "bk.band", "bk.key")
+
+    def first_band(a: int, b: int) -> int:
+        for t in range(n_bands):
+            if (a >> (t * band_bits)) & mask == (b >> (t * band_bits)) & mask:
+                return t
+        return -1  # unreachable for rows that met on some band
+
+    def matcher(key, pdfs, state):
+        band = int(key[0])
+        if state.exists:
+            st_ids, st_hashes = state.get
+            seen = [(int(i), int(h)) for i, h in zip(st_ids, st_hashes)]
+        else:
+            seen = []
+        arrivals = []
+        for pdf in pdfs:
+            arrivals.extend((int(r.img), int(r.h)) for r in pdf.itertuples(index=False))
+        arrivals.sort()  # deterministic within-batch order
+        out = []
+        for i, h in arrivals:
+            for j, g in seen:
+                if i == j:
+                    continue
+                d = bin(g ^ h).count("1")
+                if d <= max_distance and first_band(g, h) == band:
+                    out.append((min(i, j), max(i, j), d))
+            seen.append((i, h))
+        state.update(([i for i, _ in seen], [h for _, h in seen]))
+        if not out:
+            return iter(())
+        return iter([pd.DataFrame(out, columns=["a", "b", "hamming"])])
+
+    return bands.groupBy("band", "key").applyInPandasWithState(
+        matcher,
+        outputStructType="a long, b long, hamming int",
+        stateStructType="ids array<long>, hashes array<long>",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

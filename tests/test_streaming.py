@@ -135,3 +135,67 @@ def test_stream_dedup_first_seen(spark, tmp_path):
     # ids {3,7} -> 3 (the batch twin also picks 3 since 3 < 9)
     assert got == expected
     assert len(got) == 3
+
+
+def test_stream_phash_near_dup(spark, tmp_path):
+    """Banded stateful near-dup: pairs split across micro-batches are
+    found via keyed band state; a pair colliding on MULTIPLE bands is
+    emitted exactly once (first-matching-band suppression); the emitted
+    set equals the batch operator on the same rows."""
+    import json
+
+    from osmcoastline_spark.functions.image import phash_near_dup_pairs
+    from osmcoastline_spark.streaming.events import stream_phash_near_dup
+
+    h = 0x5A5A5A5A5A5A5A
+    rows_b1 = [
+        (1, h),
+        (2, h ^ (1 << 3) ^ (1 << 50)),   # d=2 vs 1, bands {0,3} differ: matches bands 1,2
+        (5, 0x3FFFFFFFFFFFFF),
+    ]
+    rows_b2 = [
+        (9, h ^ (1 << 20)),              # d=1 vs 1 (cross-batch), d=3 vs 2
+        (11, 0x123456789ABCD),
+    ]
+    src = tmp_path / "imgs_in"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        for i, ph in rows_b1:
+            f.write(json.dumps({"image_id": i, "phash": ph}) + "\n")
+
+    stream = (
+        spark.readStream.schema("image_id long, phash long")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        stream_phash_near_dup(stream, max_distance=3)
+        .writeStream.format("memory")
+        .queryName("phash_out")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        with open(src / "b2.json", "w") as f:
+            for i, ph in rows_b2:
+                f.write(json.dumps({"image_id": i, "phash": ph}) + "\n")
+        q.processAllAvailable()
+        got = [
+            (r.a, r.b, r.hamming)
+            for r in spark.sql("select * from phash_out").collect()
+        ]
+    finally:
+        q.stop()
+
+    batch = spark.createDataFrame(
+        rows_b1 + rows_b2, "image_id long, phash long"
+    )
+    expected = {
+        (r.a, r.b, r.hamming)
+        for r in phash_near_dup_pairs(batch, max_distance=3).collect()
+    }
+    assert len(got) == len(set(got)), "multi-band pair emitted more than once"
+    assert set(got) == expected
+    assert (1, 2, 2) in expected and (1, 9, 1) in expected and (2, 9, 3) in expected
