@@ -111,6 +111,13 @@ def kmeans_train(
         assigned = base.withColumn("a", _assign_udf(cents)(F.col("q")))
         # re-center: explode dims; partial agg collapses each map task to
         # ≤ k·dim rows before the shuffle, so shuffle bytes are O(k·dim·tasks).
+        # A fused mapInPandas rewrite (assignment + np.add.at partial sums in
+        # one Arrow pass, ≤ k·dim rows per batch) was A/B'd at 512k×64 and
+        # did NOT pay: 16.9 vs 17.9 s at 8 cores (noise), 66-71 vs 61-63 s
+        # at 2 cores (a loss) — the explode's per-element rows are long/int
+        # pairs through codegen hash-agg, already cheap enough that Arrow
+        # serialization of the batch eats the win (the repgates boundary
+        # again, from the other side).
         sums = (
             assigned.select(
                 F.col("a.cluster").alias("j"), F.posexplode("q").alias("i", "x")
