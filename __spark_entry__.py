@@ -1734,7 +1734,9 @@ def oracle_sql() -> dict[str, str]:
 # iteration t-1. min(struct_pack(d, j)) reproduces numpy's first-min
 # tie-break; empty clusters COALESCE to the previous centroid exactly as
 # cluster.kmeans_quantized does.
-def _kmeans_ctes(pts_sql: str, k: int = 8, iters: int = 3, scale: int = 1000) -> str:
+def _kmeans_ctes(pts_sql: str, k: int = 8, iters: int = 3) -> str:
+    # quantization scale lives in the caller's pts_sql (_QUANT) — no knob
+    # here that the CTE body wouldn't honor
     parts = [
         f"""pts AS ({pts_sql})""",
         f"c0 AS (SELECT vec_id AS j, q AS m FROM pts WHERE vec_id < {k})",

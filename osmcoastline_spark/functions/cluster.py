@@ -51,7 +51,14 @@ __all__ = ["kmeans_train", "kmeans_quantized", "semantic_dedup", "ivf_topk_train
 
 def quantize_expr(vec_col: str, scale: float) -> Column:
     """int64 grid quantization; float32 → double is exact, then one
-    correctly-rounded multiply and a floor — bit-identical across engines."""
+    correctly-rounded multiply and a floor — bit-identical across engines.
+
+    Overflow bound the code can't show: downstream squared-distance sums
+    need dim·(2·scale·max|x|)² < 2⁶³, i.e. scale ≤ ~1e7 for unit-range
+    64-dim embeddings — numpy int64 WRAPS silently past that while the
+    DuckDB oracle errors, so an over-scaled run diverges from its own
+    oracle rather than crashing. The defaults (scale=1e3) sit 8 orders
+    inside the bound."""
     return F.transform(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * F.lit(scale) + F.lit(0.5)).cast("long"),
@@ -103,8 +110,10 @@ def kmeans_train(
     )
     # model init: the k lowest-id vectors. Bounded collect — k × dim ints.
     init = base.filter(F.col("vid") < k).orderBy("vid").collect()
-    if len(init) < k:
-        raise ValueError(f"need ids 0..{k - 1} present for deterministic init")
+    if [r["vid"] for r in init] != list(range(k)):
+        # a bare len() check would let a duplicated id below k pass (and
+        # produce >k centroid rows) or a missing id shift every later row
+        raise ValueError(f"need ids 0..{k - 1} present exactly once for init")
     cents = np.array([r["q"] for r in init], dtype=np.int64)  # (k, dim)
 
     for _ in range(iters):
@@ -175,25 +184,28 @@ def semantic_dedup(
     Returns (id, cluster, keep) for every input row — a curation gate
     column, composable with the other keep-flag families.
     """
-    assign = kmeans_quantized(
+    base, cents = kmeans_train(
         vectors, k=k, iters=iters, scale=scale, vec_col=vec_col, id_col=id_col
-    ).select(F.col(id_col).alias("vid"), "cluster")
-    q = vectors.select(
-        F.col(id_col).alias("vid"), quantize_expr(vec_col, scale).alias("q")
-    ).withColumn(
-        "nq",
-        F.aggregate(
-            F.transform("q", lambda x: x * x),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ),
     )
+    nq = F.aggregate(
+        F.transform("q", lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    # one narrow pass assigns clusters onto the quantized base directly —
+    # no rescan/re-quantize + shuffle join back (review finding; measured
+    # executed plan 4 → 3 Exchanges, and the duplicate corpus scan +
+    # quantization disappear inside the checkpoint).
     # localCheckpoint is load-bearing: pts feeds BOTH sides of the
     # self-join AND the final keep join — without it each branch re-runs
     # the full iterative k-means DAG (measured: 10 MapInPandas instances
     # in the executed plan vs 1 after; the assignment UDF is the
     # operator's hot path).
-    pts = assign.join(q, "vid").localCheckpoint(eager=True)
+    pts = (
+        base.withColumn("a", _assign_udf(cents)(F.col("q")))
+        .select("vid", "q", F.col("a.cluster").alias("cluster"), nq.alias("nq"))
+        .localCheckpoint(eager=True)
+    )
     a = pts.select(
         F.col("vid").alias("va"), F.col("q").alias("qa"),
         F.col("nq").alias("na"), "cluster",

@@ -349,21 +349,28 @@ def dedup_clusters(
     )
 
 
+def hash_band_structs(hash_col: str, band_bits: int):
+    """The shared 64-bit-fingerprint band index: an array of (band, key)
+    structs where key = band_bits-wide slice `band` of the hash, extracted
+    with an UNSIGNED shift (bit 63 must not sign-extend into high bands).
+    One definition serves simhash, batch phash and streaming phash — the
+    three band joins must agree or a streaming emit and its batch oracle
+    silently diverge."""
+    return F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned(F.col(hash_col), i * band_bits)
+            .bitwiseAND(F.lit((1 << band_bits) - 1))
+            .alias("key"),
+        )
+        for i in range(64 // band_bits)
+    ])
+
+
 def simhash_band_pairs(sims: DataFrame, band_bits: int = 16) -> DataFrame:
     """Hamming-near candidates: docs sharing any 16-bit band of the sketch."""
     bands = sims.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.shiftrightunsigned(F.col("simhash"), i * band_bits)
-                    .bitwiseAND(F.lit((1 << band_bits) - 1))
-                    .alias("key"),
-                )
-                for i in range(64 // band_bits)
-            ])
-        ).alias("bk"),
+        "doc_id", F.explode(hash_band_structs("simhash", band_bits)).alias("bk")
     ).select("doc_id", "bk.band", "bk.key")
     a = bands.select(F.col("doc_id").alias("a"), "band", "key")
     b = bands.select(F.col("doc_id").alias("b"), "band", "key")

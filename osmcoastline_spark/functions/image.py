@@ -395,6 +395,8 @@ def phash_near_dup_pairs(
     far pairs never reach the exchange."""
     from pyspark.sql import functions as F
 
+    from osmcoastline_spark.functions.dedup import hash_band_structs
+
     n_bands = 64 // band_bits
     if max_distance >= n_bands:
         raise ValueError(
@@ -404,17 +406,7 @@ def phash_near_dup_pairs(
     bands = images.select(
         F.col(id_col).alias("_id"),
         F.col(hash_col).alias("_h"),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.shiftrightunsigned(F.col(hash_col), i * band_bits)
-                    .bitwiseAND(F.lit((1 << band_bits) - 1))
-                    .alias("key"),
-                )
-                for i in range(n_bands)
-            ])
-        ).alias("bk"),
+        F.explode(hash_band_structs(hash_col, band_bits)).alias("bk"),
     ).select("_id", "_h", "bk.band", "bk.key")
     a = bands.select(F.col("_id").alias("a"), F.col("_h").alias("_ha"), "band", "key")
     b = bands.select(F.col("_id").alias("b"), F.col("_h").alias("_hb"), "band", "key")

@@ -113,8 +113,14 @@ def stream_phash_near_dup(
     State is O(rows seen) per band — inherent to unbounded near-dup
     (every past image stays matchable); production bounds it with state
     TTL / snapshot-compaction, which this surface leaves to the caller.
+    A replayed image id (at-least-once source) is swallowed: the first
+    (id, hash) wins, later arrivals of the same id neither match nor
+    re-enter state — without this, each replay duplicates every future
+    pair emission the batch operator's dropDuplicates would collapse.
     """
     import pandas as pd
+
+    from osmcoastline_spark.functions.dedup import hash_band_structs
 
     n_bands = 64 // band_bits
     if max_distance >= n_bands:
@@ -123,24 +129,20 @@ def stream_phash_near_dup(
             f"band_bits {band_bits} gives {n_bands} — banding would miss pairs"
         )
     mask = (1 << band_bits) - 1
+    M64 = (1 << 64) - 1
 
     bands = stream.select(
         F.col(id_col).alias("img"),
         F.col(hash_col).alias("h"),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.shiftrightunsigned(F.col(hash_col), i * band_bits)
-                    .bitwiseAND(F.lit(mask))
-                    .alias("key"),
-                )
-                for i in range(n_bands)
-            ])
-        ).alias("bk"),
+        F.explode(hash_band_structs(hash_col, band_bits)).alias("bk"),
     ).select("img", "h", "bk.band", "bk.key")
 
     def first_band(a: int, b: int) -> int:
+        # operate on the unsigned 64-bit pattern — a negative long's
+        # Python >> would sign-extend, disagreeing with the Spark-side
+        # shiftrightunsigned band keys
+        a &= M64
+        b &= M64
         for t in range(n_bands):
             if (a >> (t * band_bits)) & mask == (b >> (t * band_bits)) & mask:
                 return t
@@ -153,19 +155,25 @@ def stream_phash_near_dup(
             seen = [(int(i), int(h)) for i, h in zip(st_ids, st_hashes)]
         else:
             seen = []
+        seen_ids = {i for i, _ in seen}
         arrivals = []
         for pdf in pdfs:
             arrivals.extend((int(r.img), int(r.h)) for r in pdf.itertuples(index=False))
         arrivals.sort()  # deterministic within-batch order
         out = []
         for i, h in arrivals:
+            if i in seen_ids:  # at-least-once replay: first arrival won
+                continue
             for j, g in seen:
-                if i == j:
-                    continue
-                d = bin(g ^ h).count("1")
+                # unsigned-pattern xor: bin() on a negative Python int
+                # counts the magnitude's bits, not the 64-bit two's-
+                # complement pattern (bit-63 hashes would both emit false
+                # pairs and miss true ones vs the batch bit_count(xor))
+                d = bin((g ^ h) & M64).count("1")
                 if d <= max_distance and first_band(g, h) == band:
                     out.append((min(i, j), max(i, j), d))
             seen.append((i, h))
+            seen_ids.add(i)
         state.update(([i for i, _ in seen], [h for _, h in seen]))
         if not out:
             return iter(())

@@ -71,8 +71,17 @@ def test_kmeans_matches_numpy(spark, emb_np):
 
 def test_kmeans_requires_init_ids(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(F.col("vec_id") >= 100)
-    with pytest.raises(ValueError, match="deterministic init"):
+    with pytest.raises(ValueError, match="exactly once"):
         C.kmeans_quantized(emb, k=8, iters=1)
+
+
+def test_kmeans_rejects_duplicate_init_ids(spark):
+    """A duplicated id below k must raise, not silently build >k centroids
+    (review regression: a bare len() check passed 9 rows for k=8)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dup = emb.filter(F.col("vec_id") == 3)
+    with pytest.raises(ValueError, match="exactly once"):
+        C.kmeans_quantized(emb.unionByName(dup), k=8, iters=1)
 
 
 def test_semantic_dedup_drops_scaled_copies(spark, emb_np):

@@ -199,3 +199,72 @@ def test_stream_phash_near_dup(spark, tmp_path):
     assert len(got) == len(set(got)), "multi-band pair emitted more than once"
     assert set(got) == expected
     assert (1, 2, 2) in expected and (1, 9, 1) in expected and (2, 9, 3) in expected
+
+
+def test_stream_phash_bit63_and_replay(spark, tmp_path):
+    """Two review regressions pinned: (1) hashes with bit 63 set (negative
+    longs) must use the unsigned 64-bit pattern — signed bin() both
+    misses true near-dups and emits false ones; (2) an at-least-once
+    replay of an image id must not duplicate future pair emissions."""
+    import json
+
+    from osmcoastline_spark.functions.image import phash_near_dup_pairs
+    from osmcoastline_spark.streaming.events import stream_phash_near_dup
+
+    def signed(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    rows_b1 = [
+        (1, signed(0x8000000000000001)),  # bit 63 + bit 0
+        (2, signed(0x8000000000000003)),  # true hamming 1 vs id 1
+        (3, 0x0000000000000001),          # vs id 1: true hamming 1... bit63 differs -> 1
+    ]
+    # replay id 1 in batch 2 (same hash), plus a fresh near-dup of id 2
+    rows_b2 = [
+        (1, signed(0x8000000000000001)),
+        (9, signed(0x8000000000000007)),  # hamming 1 vs id 2, 2 vs id 1
+    ]
+    src = tmp_path / "imgs63_in"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        for i, ph in rows_b1:
+            f.write(json.dumps({"image_id": i, "phash": ph}) + "\n")
+    stream = (
+        spark.readStream.schema("image_id long, phash long")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        stream_phash_near_dup(stream, max_distance=3)
+        .writeStream.format("memory")
+        .queryName("phash63_out")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        with open(src / "b2.json", "w") as f:
+            for i, ph in rows_b2:
+                f.write(json.dumps({"image_id": i, "phash": ph}) + "\n")
+        q.processAllAvailable()
+        got = [
+            (r.a, r.b, r.hamming)
+            for r in spark.sql("select * from phash63_out").collect()
+        ]
+    finally:
+        q.stop()
+
+    batch = spark.createDataFrame(
+        rows_b1 + [rows_b2[1]], "image_id long, phash long"
+    )
+    expected = {
+        (r.a, r.b, r.hamming)
+        for r in phash_near_dup_pairs(batch, max_distance=3).collect()
+    }
+    assert len(got) == len(set(got)), "replay duplicated an emission"
+    assert set(got) == expected
+    # the bit-63 pair the signed form missed, and the cross-bit-63 pair
+    # (true hamming 2) the signed form would inflate to 62 and drop
+    assert (1, 2, 1) in expected
+    assert (1, 3, 1) in expected
