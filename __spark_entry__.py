@@ -1017,6 +1017,16 @@ def q_embedding_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KM.ivf_topk_trained(emb, k=3, k_cells=8, iters=3, nprobe=2)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (clean.pack_sequences) over the chunking stage's
+    output: per-bucket pack-and-slice with exact integer running sums —
+    the window runs per pack_group so no global sort exists. Composes
+    with q_chunk_documents exactly (same chunk lattice feeds both)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = CL.chunk_documents(docs, chunk_tokens=16, overlap=4)
+    return CL.pack_sequences(chunks, seq_len=64, buckets=8)
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed linear quality scorer (curate.quality_classifier): fastText
     feature set (unigrams + word bigrams), feature-hashed weights collapsed
@@ -1159,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phash_neardup": q_phash_neardup,
         "q_quality_classifier": q_quality_classifier,
         "q_embedding_ivf_trained": q_embedding_ivf_trained,
+        "q_pack_sequences": q_pack_sequences,
     }
 
 
@@ -1725,6 +1736,7 @@ def oracle_sql() -> dict[str, str]:
         "q_phash_neardup": _PHASH_NEARDUP_SQL,
         "q_quality_classifier": _QUALITY_SQL,
         "q_embedding_ivf_trained": _IVF_TRAINED_SQL,
+        "q_pack_sequences": _PACK_SEQUENCES_SQL,
     }
 
 
@@ -2307,6 +2319,24 @@ SELECT doc_id, chunk_id,
        CAST(least(16, n - s + 1) AS BIGINT) AS n_tokens,
        CAST(n AS BIGINT) AS doc_tokens
 FROM f
+"""
+
+# pack-sequences twin: the chunk twin runs as a nested CTE (same lattice),
+# then the per-bucket running sum slices the concatenation every seq_len.
+# DuckDB's window SUM yields HUGEINT — cast back to BIGINT to match Spark.
+_PACK_SEQUENCES_SQL = f"""
+WITH chunks AS ({_CHUNK_DOCUMENTS_SQL})
+SELECT pack_group, doc_id, chunk_id, n_tokens,
+       CAST(cum // 64 AS BIGINT) AS pack_id,
+       CAST(cum % 64 AS BIGINT) AS pack_offset,
+       (cum % 64 + n_tokens > 64) AS straddles
+FROM (
+  SELECT CAST(doc_id % 8 AS INT) AS pack_group, doc_id, chunk_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+  FROM chunks
+)
 """
 
 # curation-pipeline twin: the composed chain. The gopher/repetition twin

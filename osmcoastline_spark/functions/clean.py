@@ -327,3 +327,62 @@ def curation_pipeline(
         passrep.alias("pass_repetition"),
         keep.alias("keep"),
     )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    seq_len: int = 512,
+    buckets: int = 16,
+    id_col: str = "doc_id",
+    chunk_col: str = "chunk_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Sequence packing — the pretraining step after chunking: concatenate
+    chunks back-to-back in a deterministic order and slice the
+    concatenation every `seq_len` tokens (GPT-style pack-and-slice; a
+    chunk straddling a pack boundary is flagged `straddles` so the
+    caller can split it across the two packs or drop the tail).
+
+    A single global concatenation order would funnel the corpus through
+    one sort — packing instead runs independently per
+    ``pack_group = doc_id % buckets``: one packed stream per group, the
+    window sort is per-group, and `buckets` is the parallelism knob (a
+    100 TB run sets it to O(total_tokens / tokens_per_output_shard)).
+    Exact integer arithmetic throughout ⇒ full SQL oracle.
+
+    Output: pack_group, doc_id, chunk_id, n_tokens, pack_id (0-based
+    within group), pack_offset (token offset inside the pack where this
+    chunk starts), straddles.
+    """
+    from pyspark.sql.window import Window
+
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    g = F.pmod(F.col(id_col), F.lit(buckets)).cast("int")
+    base = chunks.select(
+        g.alias("pack_group"),
+        F.col(id_col),
+        F.col(chunk_col),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy(id_col, chunk_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return (
+        base.withColumn("_cum", cum)
+        .select(
+            "pack_group",
+            id_col,
+            chunk_col,
+            "n_tokens",
+            F.expr(f"_cum div {seq_len}").alias("pack_id"),
+            F.pmod(F.col("_cum"), F.lit(seq_len)).cast("long").alias("pack_offset"),
+            (
+                F.pmod(F.col("_cum"), F.lit(seq_len)) + F.col("n_tokens")
+                > F.lit(seq_len)
+            ).alias("straddles"),
+        )
+    )

@@ -221,3 +221,61 @@ def test_curation_pipeline_single_line_gate_interaction(spark):
     r = CL.curation_pipeline(df).collect()[0]
     assert r.n_kept == 1 and r.pass_repetition == 0
     assert r.r_len == 0 and r.keep == 0  # < 150 chars
+
+
+def test_pack_sequences_lattice_and_straddle(spark):
+    """Hand lattice: bucket-local running sums, 0-based pack ids, exact
+    offsets, straddle flag at the boundary, and bucket independence."""
+    from osmcoastline_spark.functions.clean import pack_sequences
+
+    chunks = spark.createDataFrame(
+        [
+            # group 0: doc 0 (3 chunks of 40) + doc 8 (1 chunk of 30)
+            (0, 1, 40), (0, 2, 40), (0, 3, 40), (8, 1, 30),
+            # group 1: doc 1 (one chunk exactly seq_len)
+            (1, 1, 64),
+            (1, 2, 10),
+        ],
+        "doc_id long, chunk_id long, n_tokens long",
+    )
+    out = {
+        (r["doc_id"], r["chunk_id"]): (
+            r["pack_group"], r["pack_id"], r["pack_offset"], r["straddles"]
+        )
+        for r in pack_sequences(chunks, seq_len=64, buckets=8).collect()
+    }
+    assert out[(0, 1)] == (0, 0, 0, False)
+    assert out[(0, 2)] == (0, 0, 40, True)    # 40+40 crosses 64
+    assert out[(0, 3)] == (0, 1, 16, False)   # cum 80 -> pack 1 offset 16
+    assert out[(8, 1)] == (0, 1, 56, True)    # cum 120; 56+30 crosses
+    assert out[(1, 1)] == (1, 0, 0, False)    # exactly seq_len: no straddle
+    assert out[(1, 2)] == (1, 1, 0, False)    # next chunk starts pack 1 clean
+
+
+def test_pack_sequences_deterministic_under_repartition(spark):
+    from osmcoastline_spark.functions.clean import chunk_documents, pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    chunks = chunk_documents(docs, chunk_tokens=16, overlap=4)
+    a = sorted(
+        map(tuple, pack_sequences(chunks, seq_len=64, buckets=8).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            pack_sequences(chunks.repartition(17), seq_len=64, buckets=8).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+
+def test_pack_sequences_rejects_bad_seq_len(spark):
+    import pytest as _pytest
+
+    from osmcoastline_spark.functions.clean import pack_sequences
+
+    chunks = spark.createDataFrame([(0, 1, 5)], "doc_id long, chunk_id long, n_tokens long")
+    with _pytest.raises(ValueError, match="seq_len"):
+        pack_sequences(chunks, seq_len=0)
