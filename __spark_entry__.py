@@ -1114,6 +1114,32 @@ def q_water_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (bpe.bpe_train): the classic
+    Sennrich merge loop in the vocabulary-bounded shape — ONE corpus
+    shuffle seeds the distinct-word table, then each of the 8 merge steps
+    is a vocab-bounded pair-count aggregate + a single-ROW argmax collect
+    + a pure-Catalyst ONE-replace apply (the two-space symbol gap makes
+    merge occurrences character-disjoint, so one LTR replace pass IS the
+    classic greedy merge — functions/bpe.py module docstring)."""
+    from osmcoastline_spark.functions import bpe as B
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return B.bpe_train(docs, num_merges=8)
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train BPE on the corpus then tokenize it (bpe.bpe_token_counts):
+    per-document word and BPE-token counts under the 8 learned merges.
+    Tokenization is a broadcast join against the vocabulary-bounded
+    tokenized-word table — the corpus is scanned twice total regardless
+    of merge count."""
+    from osmcoastline_spark.functions import bpe as B
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return B.bpe_token_counts(docs, num_merges=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_filter_ways": q_filter_ways,
@@ -1170,6 +1196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_classifier": q_quality_classifier,
         "q_embedding_ivf_trained": q_embedding_ivf_trained,
         "q_pack_sequences": q_pack_sequences,
+        "q_bpe_merges": q_bpe_merges,
+        "q_bpe_token_counts": q_bpe_token_counts,
     }
 
 
@@ -1737,6 +1765,8 @@ def oracle_sql() -> dict[str, str]:
         "q_quality_classifier": _QUALITY_SQL,
         "q_embedding_ivf_trained": _IVF_TRAINED_SQL,
         "q_pack_sequences": _PACK_SEQUENCES_SQL,
+        "q_bpe_merges": _BPE_MERGES_SQL,
+        "q_bpe_token_counts": _BPE_TOKEN_COUNTS_SQL,
     }
 
 
@@ -2481,3 +2511,77 @@ SELECT video_id, frame_idx,
        CAST((video_id * 7 + 31 * frame_idx) % 256 AS DOUBLE) AS mean_luma
 FROM f
 """
+
+
+# BPE twins: the oracle UNROLLS the 8 merge steps — legal for the same
+# reason as the k-means unroll (each step is a deterministic function of
+# the last), and the merge APPLY is exact because symbols are joined by a
+# TWO-space gap, which makes merge-pattern occurrences character-disjoint:
+# ONE non-overlapping left-to-right replace pass == the classic greedy
+# BPE merge set on both engines (functions/bpe.py module docstring).  The
+# empty-pair guard (LEFT JOIN a one-row relation, chr(1) sentinel
+# pattern) mirrors bpe._train's early break: a step with no pairs left
+# applies a no-op and emits no merge row on either engine.
+def _bpe_ctes(num_merges: int) -> str:
+    parts = [
+        """bw0 AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS freq,
+                 ' ' || array_to_string(regexp_extract_all(word, '.'), '  ') || ' ' AS sym
+          FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+                FROM documents)
+          GROUP BY word)"""
+    ]
+    for t in range(1, num_merges + 1):
+        parts.append(
+            f"""bp{t} AS (
+          SELECT u[1] AS lhs, u[2] AS rhs, CAST(sum(freq) AS BIGINT) AS pair_count
+          FROM (SELECT freq, string_split(trim(sym), '  ') AS arr FROM bw{t - 1}),
+               unnest(list_zip(arr, arr[2:])) z(u)
+          WHERE u[2] IS NOT NULL
+          GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"bb{t} AS (SELECT lhs, rhs, pair_count FROM bp{t} "
+            f"ORDER BY pair_count DESC, lhs, rhs LIMIT 1)"
+        )
+        parts.append(
+            f"""bw{t} AS (
+          SELECT w.word, w.freq, replace(w.sym, m.pat, m.rep) AS sym
+          FROM bw{t - 1} w CROSS JOIN (
+            SELECT coalesce(' ' || lhs || '  ' || rhs || ' ', chr(1)) AS pat,
+                   coalesce(' ' || lhs || rhs || ' ', chr(1)) AS rep
+            FROM (SELECT 1 AS one) LEFT JOIN bb{t} ON true) m)"""
+        )
+    return "WITH " + ",\n".join(parts)
+
+
+def _bpe_merges_sql(num_merges: int = 8) -> str:
+    steps = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS INTEGER) AS step, lhs, rhs, lhs || rhs AS merged, "
+        f"pair_count FROM bb{t}"
+        for t in range(1, num_merges + 1)
+    )
+    return _bpe_ctes(num_merges) + "\n" + steps
+
+
+def _bpe_token_counts_sql(num_merges: int = 8) -> str:
+    return (
+        _bpe_ctes(num_merges)
+        + f""",
+wt AS (SELECT word,
+              CAST(len(string_split(trim(sym), '  ')) AS BIGINT) AS word_tokens
+       FROM bw{num_merges}),
+di AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       FROM documents),
+pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+              CAST(sum(word_tokens) AS BIGINT) AS n_tokens
+       FROM di JOIN wt USING (word) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(pd.n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(pd.n_tokens, 0) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN pd USING (doc_id)"""
+    )
+
+
+_BPE_MERGES_SQL = _bpe_merges_sql()
+_BPE_TOKEN_COUNTS_SQL = _bpe_token_counts_sql()
