@@ -1140,6 +1140,43 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.bpe_token_counts(docs, num_merges=8)
 
 
+def q_vectorize_water(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster→vector: the J15 "no coastline ⇒ all water" tile set
+    (reference src/coastline_polygons.cpp:322-360 emits one rectangle PER
+    empty tile) merged into maximal water slabs by the scanline run-merge
+    (operators/vectorize.py). Zoom-4 grid (16×16 world tiles); empty =
+    no node falls in the tile."""
+    from osmcoastline_spark.operators.vectorize import vectorize_cells
+
+    nodes = _nodes(spark, sf_dir)
+    n = 16
+    occ = nodes.select(
+        F.least(F.lit(n - 1), F.floor((F.col("lon") + 180.0) / (360.0 / n))).alias("tx"),
+        F.least(F.lit(n - 1), F.floor((F.col("lat") + 90.0) / (180.0 / n))).alias("ty"),
+    ).distinct()
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("tx"), (F.col("id") / n).cast("long").alias("ty")
+    )
+    empty = grid.join(occ, ["tx", "ty"], "left_anti")
+    return vectorize_cells(empty)
+
+
+def q_compact_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3/S2-style compact() over the occupied-tile cover: the zoom-5
+    (32×32) tiles containing ≥1 node, compacted 3 levels — dense coastal
+    regions promote to coarser cells, sparse ones stay fine
+    (operators/vectorize.py:compact_cells)."""
+    from osmcoastline_spark.operators.vectorize import compact_cells
+
+    nodes = _nodes(spark, sf_dir)
+    n = 32
+    occ = nodes.select(
+        F.least(F.lit(n - 1), F.floor((F.col("lon") + 180.0) / (360.0 / n))).alias("tx"),
+        F.least(F.lit(n - 1), F.floor((F.col("lat") + 90.0) / (180.0 / n))).alias("ty"),
+    ).distinct()
+    return compact_cells(occ, levels=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_filter_ways": q_filter_ways,
@@ -1198,6 +1235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": q_pack_sequences,
         "q_bpe_merges": q_bpe_merges,
         "q_bpe_token_counts": q_bpe_token_counts,
+        "q_vectorize_water": q_vectorize_water,
+        "q_compact_cells": q_compact_cells,
     }
 
 
@@ -1767,6 +1806,54 @@ def oracle_sql() -> dict[str, str]:
         "q_pack_sequences": _PACK_SEQUENCES_SQL,
         "q_bpe_merges": _BPE_MERGES_SQL,
         "q_bpe_token_counts": _BPE_TOKEN_COUNTS_SQL,
+        # raster→vector scanline run-merge over the J15 empty-tile water
+        # set — the window twin of operators/vectorize.py:vectorize_cells
+        "q_vectorize_water": f"""
+WITH nodes AS ({_nodes_sql()}),
+occ AS (SELECT DISTINCT
+          least(15, CAST(floor((lon + 180.0) / 22.5) AS BIGINT)) AS tx,
+          least(15, CAST(floor((lat + 90.0) / 11.25) AS BIGINT)) AS ty
+        FROM nodes),
+grid AS (SELECT gx.x AS tx, gy.y AS ty
+         FROM generate_series(0, 15) gx(x) CROSS JOIN generate_series(0, 15) gy(y)),
+empty AS (SELECT tx, ty FROM grid g
+          WHERE NOT EXISTS (SELECT 1 FROM occ o WHERE o.tx = g.tx AND o.ty = g.ty)),
+r0 AS (SELECT ty AS y, tx AS x,
+              CASE WHEN lag(tx) OVER w IS NULL OR tx - lag(tx) OVER w > 1
+                   THEN 1 ELSE 0 END AS s
+       FROM empty WINDOW w AS (PARTITION BY ty ORDER BY tx)),
+r1 AS (SELECT y, x,
+              sum(s) OVER (PARTITION BY y ORDER BY x ROWS UNBOUNDED PRECEDING) AS run
+       FROM r0),
+runs AS (SELECT y, run, min(x) AS x1, max(x) AS x2 FROM r1 GROUP BY y, run),
+v0 AS (SELECT x1, x2, y,
+              CASE WHEN lag(y) OVER w2 IS NULL OR y - lag(y) OVER w2 > 1
+                   THEN 1 ELSE 0 END AS s
+       FROM runs WINDOW w2 AS (PARTITION BY x1, x2 ORDER BY y)),
+v1 AS (SELECT x1, x2, y,
+              sum(s) OVER (PARTITION BY x1, x2 ORDER BY y ROWS UNBOUNDED PRECEDING) AS vrun
+       FROM v0)
+SELECT x1, min(y) AS y1, x2, max(y) AS y2,
+       CAST((x2 - x1 + 1) * (max(y) - min(y) + 1) AS BIGINT) AS ncells
+FROM v1 GROUP BY x1, x2, vrun""",
+        # quadtree compact() unrolled 3 levels — the sibling-count window
+        # twin of operators/vectorize.py:compact_cells
+        "q_compact_cells": f"""
+WITH nodes AS ({_nodes_sql()}),
+cur0 AS (SELECT DISTINCT
+           least(31, CAST(floor((lon + 180.0) / 11.25) AS BIGINT)) AS x,
+           least(31, CAST(floor((lat + 90.0) / 5.625) AS BIGINT)) AS y
+         FROM nodes),
+l0 AS (SELECT x, y, count(*) OVER (PARTITION BY x // 2, y // 2) AS nsib FROM cur0),
+cur1 AS (SELECT DISTINCT x // 2 AS x, y // 2 AS y FROM l0 WHERE nsib = 4),
+l1 AS (SELECT x, y, count(*) OVER (PARTITION BY x // 2, y // 2) AS nsib FROM cur1),
+cur2 AS (SELECT DISTINCT x // 2 AS x, y // 2 AS y FROM l1 WHERE nsib = 4),
+l2 AS (SELECT x, y, count(*) OVER (PARTITION BY x // 2, y // 2) AS nsib FROM cur2),
+cur3 AS (SELECT DISTINCT x // 2 AS x, y // 2 AS y FROM l2 WHERE nsib = 4)
+SELECT x, y, CAST(0 AS INT) AS res FROM l0 WHERE nsib < 4
+UNION ALL SELECT x, y, 1 FROM l1 WHERE nsib < 4
+UNION ALL SELECT x, y, 2 FROM l2 WHERE nsib < 4
+UNION ALL SELECT x, y, 3 FROM cur3""",
     }
 
 

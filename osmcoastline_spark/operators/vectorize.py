@@ -1,0 +1,133 @@
+"""Raster→vector tiling + quadtree cell compaction.
+
+Two engine-level spatial-index operators the north rule names explicitly
+("raster↔vector tiling", "H3/S2 cell encoding") that generalize what the
+reference does tile-by-tile:
+
+- `vectorize_cells` is the inverse of the tile cover: it merges a set of
+  unit grid cells (a raster mask — e.g. the "empty tiles become water"
+  set of reference src/coastline_polygons.cpp:322-360, which emits one
+  rectangle PER TILE) into maximal axis-aligned rectangles via the
+  classic two-pass scanline run-merge. Writing one water polygon per
+  merged slab instead of per tile cuts the output row count by the mean
+  run length — at planet scale the open-ocean tile set is ~70% of all
+  tiles and merges into O(rows) slabs.
+
+- `compact_cells` is H3/S2-style `compact()`: replace every complete
+  group of 4 same-resolution sibling cells by their parent, recursively,
+  producing a mixed-resolution cover that is equal as a point set but
+  exponentially smaller over solid regions. This is the standard way to
+  keep a cell-cover join index small when coverage is dense (inland
+  "all land" regions at fine zoom).
+
+Both are pure Catalyst (window functions + aggregates, zero Python) and
+fully SQL-expressible, so both carry full value-hash oracles.
+
+Scale posture:
+- vectorize: exactly 2 exchanges — one on the row key `y`, one on the
+  run span `(x1, x2)`. Window partitions are bounded by the raster
+  width/height, never the corpus; duplicate input cells are tolerated
+  in-operator (lag-based run starts), so no defensive `distinct` shuffle.
+- compact: one exchange per level, on the PARENT cell key (the window
+  count and the sibling regroup share the partitioning). Levels is a
+  small constant (the resolution delta), so the chain is O(levels)
+  bounded shuffles of a monotonically shrinking frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def vectorize_cells(
+    cells: DataFrame, x_col: str = "tx", y_col: str = "ty"
+) -> DataFrame:
+    """Merge unit cells into maximal rectangles (scanline run-merge).
+
+    Pass 1 groups consecutive cells per row into horizontal runs; pass 2
+    merges vertically adjacent runs with identical (x1, x2) spans into
+    rectangles. The result is the standard deterministic scanline
+    decomposition: rectangles are disjoint and their union is exactly the
+    input cell set (the minimal rectangle cover would be NP-hard; the
+    scanline decomposition is the canonical linear-work one).
+
+    Output: (x1, y1, x2, y2, ncells) with inclusive cell bounds.
+    Duplicate input cells are tolerated: a duplicate is "not a run start"
+    exactly like a +1 neighbor, so no pre-distinct pass is needed.
+    """
+    x = F.col("x")
+    row_w = Window.partitionBy("y").orderBy("x")
+    # run start: first cell in the row, or a gap > 1 to the previous cell
+    # (a duplicate x has gap 0 → same run, which makes dedup free)
+    start = F.when(
+        F.lag(x).over(row_w).isNull() | (x - F.lag(x).over(row_w) > 1), 1
+    ).otherwise(0)
+    runs = (
+        cells.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .withColumn("run", F.sum(start).over(row_w))
+        .groupBy("y", "run")
+        .agg(F.min("x").alias("x1"), F.max("x").alias("x2"))
+    )
+    span_w = Window.partitionBy("x1", "x2").orderBy("y")
+    vstart = F.when(
+        F.lag("y").over(span_w).isNull()
+        | (F.col("y") - F.lag("y").over(span_w) > 1),
+        1,
+    ).otherwise(0)
+    return (
+        runs.withColumn("vrun", F.sum(vstart).over(span_w))
+        .groupBy("x1", "x2", "vrun")
+        .agg(F.min("y").alias("y1"), F.max("y").alias("y2"))
+        .select(
+            "x1",
+            "y1",
+            "x2",
+            "y2",
+            (
+                (F.col("x2") - F.col("x1") + 1)
+                * (F.col("y2") - F.col("y1") + 1)
+            ).alias("ncells"),
+        )
+    )
+
+
+def compact_cells(
+    cells: DataFrame, levels: int, x_col: str = "tx", y_col: str = "ty"
+) -> DataFrame:
+    """H3/S2-style compact(): promote complete 4-sibling groups, `levels`
+    times.
+
+    Input: distinct cells at a single (finest) resolution, non-negative
+    integer coords. Output: (x, y, res) mixed-resolution cover — a cell
+    at `res` r covers the 2^r × 2^r block at (x·2^r, y·2^r) of the input
+    resolution. Point-set equality with the input is guaranteed: a parent
+    is emitted iff all four children were present (and themselves fully
+    solid, by induction).
+
+    One exchange per level: the sibling count and the parent regroup both
+    key on (x>>1, y>>1). The frame shrinks by ≥4× per promoted region, so
+    the chain cost is dominated by level 0.
+    """
+    if levels < 1:
+        raise ValueError(f"levels must be >= 1, got {levels}")
+    out = None
+    cur = cells.select(
+        F.col(x_col).cast("long").alias("x"), F.col(y_col).cast("long").alias("y")
+    )
+    for res in range(levels):
+        px, py = F.shiftright("x", 1), F.shiftright("y", 1)
+        sib_w = Window.partitionBy(px, py)
+        counted = cur.withColumn("nsib", F.count(F.lit(1)).over(sib_w))
+        kept = (
+            counted.filter(F.col("nsib") < 4)
+            .select("x", "y", F.lit(res).alias("res"))
+        )
+        out = kept if out is None else out.unionByName(kept)
+        cur = (
+            counted.filter(F.col("nsib") == 4)
+            .groupBy(px.alias("x"), py.alias("y"))
+            .agg(F.lit(1).alias("_one"))
+            .select("x", "y")
+        )
+    return out.unionByName(cur.select("x", "y", F.lit(levels).alias("res")))

@@ -1,0 +1,130 @@
+"""Raster→vector run-merge + quadtree compaction (operators/vectorize.py)."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmcoastline_spark.operators.vectorize import compact_cells, vectorize_cells
+
+
+def _cells_df(spark, pts, dup=False):
+    rows = [(int(x), int(y)) for x, y in pts]
+    if dup:
+        rows = rows + rows[:: 2]
+    return spark.createDataFrame(rows, "tx: long, ty: long")
+
+
+def _rects(df):
+    return sorted(
+        (r.x1, r.y1, r.x2, r.y2, r.ncells)
+        for r in df.collect()
+    )
+
+
+def _covered(rects):
+    out = set()
+    for x1, y1, x2, y2, _ in rects:
+        out |= set(itertools.product(range(x1, x2 + 1), range(y1, y2 + 1)))
+    return out
+
+
+def test_vectorize_hand_shapes(spark):
+    # L-shape: rows y=0 span x 0..2, y=1 span x 0..0 — two rectangles
+    # (the 3x1 bar cannot extend down because spans differ)
+    df = _cells_df(spark, [(0, 0), (1, 0), (2, 0), (0, 1)])
+    assert _rects(vectorize_cells(df)) == [
+        (0, 0, 2, 0, 3),
+        (0, 1, 0, 1, 1),
+    ]
+    # solid 2x3 block merges to ONE rectangle
+    block = _cells_df(spark, itertools.product(range(2), range(3)))
+    assert _rects(vectorize_cells(block)) == [(0, 0, 1, 2, 6)]
+    # two islands separated by a gap in the same row stay separate
+    gap = _cells_df(spark, [(0, 5), (1, 5), (4, 5)])
+    assert _rects(vectorize_cells(gap)) == [
+        (0, 5, 1, 5, 2),
+        (4, 5, 4, 5, 1),
+    ]
+
+
+def test_vectorize_partition_property_and_dups(spark):
+    # pseudo-random mask: rectangles are disjoint (sum ncells == |cells|)
+    # and their union is exactly the input set; duplicate input rows are
+    # absorbed without a distinct pass
+    pts = [
+        (x, y)
+        for x in range(12)
+        for y in range(9)
+        if (x * 31 + y * 17) % 5 < 3
+    ]
+    for dup in (False, True):
+        rects = _rects(vectorize_cells(_cells_df(spark, pts, dup=dup)))
+        assert _covered(rects) == set(pts)
+        assert sum(r[4] for r in rects) == len(pts)
+
+
+def test_vectorize_plan_shape(spark):
+    # exactly the 2 documented exchanges (row key, then run span);
+    # no Python nodes
+    df = _cells_df(spark, [(0, 0), (1, 0)])
+    plan = vectorize_cells(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2, plan
+    assert "Python" not in plan and "InPandas" not in plan
+
+
+def _compact_ref(pts, levels):
+    """Sequential reference: promote complete quads, `levels` times."""
+    cur, out = set(pts), []
+    for res in range(levels):
+        parents = {
+            (x // 2, y // 2)
+            for x, y in cur
+            if all(
+                (2 * (x // 2) + dx, 2 * (y // 2) + dy) in cur
+                for dx in (0, 1)
+                for dy in (0, 1)
+            )
+        }
+        out += [
+            (x, y, res)
+            for x, y in cur
+            if (x // 2, y // 2) not in parents
+        ]
+        cur = parents
+    return sorted(out + [(x, y, levels) for x, y in cur])
+
+
+def test_compact_cells_matches_reference(spark):
+    # solid 4x4 block + a lone cell: block promotes twice, loner stays
+    solid = list(itertools.product(range(4), range(4))) + [(9, 9)]
+    got = sorted(
+        (r.x, r.y, r.res)
+        for r in compact_cells(_cells_df(spark, solid), levels=2).collect()
+    )
+    assert got == [(0, 0, 2), (9, 9, 0)] == _compact_ref(solid, 2)
+    # pseudo-random mask vs the sequential reference
+    pts = [
+        (x, y)
+        for x in range(8)
+        for y in range(8)
+        if (x * 7 + y * 13) % 11 < 8
+    ]
+    got = sorted(
+        (r.x, r.y, r.res)
+        for r in compact_cells(_cells_df(spark, pts), levels=3).collect()
+    )
+    assert got == _compact_ref(pts, 3)
+    # point-set equality: expanding the cover reproduces the input
+    expanded = {
+        (x * 2**res + dx, y * 2**res + dy)
+        for x, y, res in got
+        for dx in range(2**res)
+        for dy in range(2**res)
+    }
+    assert expanded == set(pts)
+
+
+def test_compact_cells_guards(spark):
+    with pytest.raises(ValueError, match="levels"):
+        compact_cells(_cells_df(spark, [(0, 0)]), levels=0)
