@@ -116,9 +116,21 @@ def compact_cells(
         F.col(x_col).cast("long").alias("x"), F.col(y_col).cast("long").alias("y")
     )
     for res in range(levels):
-        px, py = F.shiftright("x", 1), F.shiftright("y", 1)
-        sib_w = Window.partitionBy(px, py)
-        counted = cur.withColumn("nsib", F.count(F.lit(1)).over(sib_w))
+        # parent key as MATERIALIZED columns so the window's hash
+        # partitioning is on attributes the sibling regroup can reuse
+        # (keying the window on raw expressions costs a second exchange
+        # per level), and an eager localCheckpoint so the kept/promoted
+        # branches of the final union read this level's window ONCE
+        # instead of re-deriving the whole level chain per branch
+        # (measured: 19 exchanges → 5 for levels=3 on the sf0.01 query)
+        counted = (
+            cur.withColumn("px", F.shiftright("x", 1))
+            .withColumn("py", F.shiftright("y", 1))
+            .withColumn(
+                "nsib", F.count(F.lit(1)).over(Window.partitionBy("px", "py"))
+            )
+            .localCheckpoint(eager=True)
+        )
         kept = (
             counted.filter(F.col("nsib") < 4)
             .select("x", "y", F.lit(res).alias("res"))
@@ -126,8 +138,8 @@ def compact_cells(
         out = kept if out is None else out.unionByName(kept)
         cur = (
             counted.filter(F.col("nsib") == 4)
-            .groupBy(px.alias("x"), py.alias("y"))
+            .groupBy("px", "py")
             .agg(F.lit(1).alias("_one"))
-            .select("x", "y")
+            .select(F.col("px").alias("x"), F.col("py").alias("y"))
         )
     return out.unionByName(cur.select("x", "y", F.lit(levels).alias("res")))
