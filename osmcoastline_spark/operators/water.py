@@ -108,6 +108,7 @@ def tile_grid_overlap_4326(
 def water_polygons(
     land: DataFrame, cell_deg: float, extent=(-180.0, -90.0, 180.0, 90.0),
     include_empty_tiles: bool = False, unit_per_deg: float = 1.0,
+    merge_empty_tiles: bool = False,
 ) -> DataFrame:
     """Water = tile − land for every tile the land touches (and optionally
     full-water tiles for the rest of the world).
@@ -225,7 +226,43 @@ def water_polygons(
                                "env_minx", "env_miny", "env_maxx", "env_maxy"]
             )
 
-        water = water.unionByName(empty.mapInPandas(lambda it: map(full_tile, it), schema))
+        if merge_empty_tiles:
+            # raster→vector: merge the open-ocean tile set into maximal
+            # slabs (operators/vectorize.py) — ONE water polygon per
+            # merged rectangle instead of one per tile. Opt-in: the
+            # reference emits per-tile rectangles
+            # (src/coastline_polygons.cpp:322-360), so default output
+            # parity keeps the per-tile shape. At planet scale the empty
+            # set is ~70% of all tiles; the slab output is O(coastline
+            # rows), not O(world tiles). Pure column math — the polygon
+            # corners come straight from the merged cell bounds.
+            from osmcoastline_spark.operators.vectorize import vectorize_cells
+
+            cells = empty.select(
+                (F.col("cell") / CELL_STRIDE).cast("long").alias("tx"),
+                (F.col("cell") % CELL_STRIDE).alias("ty"),
+            )
+            rects = vectorize_cells(cells)
+            minx = F.col("x1") * cell + F.lit(x0)
+            miny = F.col("y1") * cell + F.lit(y0)
+            maxx = (F.col("x2") + 1) * cell + F.lit(x0)
+            maxy = (F.col("y2") + 1) * cell + F.lit(y0)
+            merged = rects.select(
+                (F.col("x1") * CELL_STRIDE + F.col("y1")).alias("cell"),
+                F.array(minx, minx, maxx, maxx).alias("shell_x"),
+                F.array(miny, maxy, maxy, miny).alias("shell_y"),
+                F.array().cast("array<array<double>>").alias("holes_x"),
+                F.array().cast("array<array<double>>").alias("holes_y"),
+                minx.alias("env_minx"),
+                miny.alias("env_miny"),
+                maxx.alias("env_maxx"),
+                maxy.alias("env_maxy"),
+            )
+            water = water.unionByName(merged)
+        else:
+            water = water.unionByName(
+                empty.mapInPandas(lambda it: map(full_tile, it), schema)
+            )
 
     return water
 

@@ -95,6 +95,34 @@ def test_water_empty_tiles(spark):
     assert len(full) == 2
 
 
+def test_water_merge_empty_tiles(spark):
+    # land in tile (0,0) of a 4x2 grid: 7 empty tiles merge into slabs
+    # covering the same area — [1,4]x[0,2] plus [0,1]x[1,2] → 2 rectangles
+    land = _poly_df(spark, [0.25, 0.25, 0.75, 0.75], [0.25, 0.75, 0.75, 0.25])
+    kw = dict(cell_deg=1.0, extent=(0.0, 0.0, 4.0, 2.0), include_empty_tiles=True)
+    per_tile = water_polygons(land, **kw).collect()
+    merged = water_polygons(land, merge_empty_tiles=True, **kw).collect()
+    # same partial-water tile either way
+    assert [r.cell for r in per_tile if r.holes_x] == [
+        r.cell for r in merged if r.holes_x
+    ]
+    full_pt = [r for r in per_tile if not r.holes_x]
+    full_m = [r for r in merged if not r.holes_x]
+    assert len(full_pt) == 7 and len(full_m) == 2
+    # merged slabs cover exactly the same area as the per-tile rectangles
+    def area(rows):
+        return sum(abs(geom.signed_area2(r.shell_x, r.shell_y)) / 2 for r in rows)
+
+    assert abs(area(full_m) - area(full_pt)) < 1e-12
+    # and the same point set: every per-tile cell center lies in a slab
+    for r in full_pt:
+        cx, cy = (r.env_minx + r.env_maxx) / 2, (r.env_miny + r.env_maxy) / 2
+        assert any(
+            m.env_minx < cx < m.env_maxx and m.env_miny < cy < m.env_maxy
+            for m in full_m
+        )
+
+
 def test_antimeridian_sliver_filter(spark):
     rows = [
         (1, [179.99995, 180.0, 180.0, 179.99995], [0.0, 0.0, 1.0, 1.0]),
