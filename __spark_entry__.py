@@ -1177,6 +1177,55 @@ def q_compact_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compact_cells(occ, levels=3)
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (functions/temporal.py): 1-day gap over
+    the events table → per-session aggregates; 1214 sessions / 150 users
+    at sf0.01 (non-vacuous splits). Timestamps exported as exact unix
+    micros; the float sum rounded to 6 like q_window_agg."""
+    from osmcoastline_spark.functions import temporal as T
+
+    ev = _read(spark, sf_dir, "events")
+    s = T.sessionize(ev, gap_seconds=86400)
+    return s.select(
+        "user_id",
+        "session_idx",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (functions/temporal.py): each click event picks up the
+    latest error value at-or-before it for the same user. The Spark side
+    is the union+window plan (NO join node — pinned by test); the oracle
+    is DuckDB's NATIVE ASOF LEFT JOIN, so the row cross-checks two
+    genuinely different algorithms. Errors deduped to max(value) per
+    (user, ts) so right-side ties are engine-independent; unmatched
+    clicks carry the −1 sentinel (a NULL would round-trip as float64 and
+    trip the dtype-strict gate)."""
+    from osmcoastline_spark.functions import temporal as T
+
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    j = T.asof_join(clicks, errors, on="user_id")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.coalesce("asof_value", F.lit(-1.0)).alias("asof_value"),
+        F.coalesce(F.unix_micros(F.col("asof_ts").cast("timestamp")), F.lit(-1)).alias("asof_ts_us"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_filter_ways": q_filter_ways,
@@ -1237,6 +1286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_token_counts": q_bpe_token_counts,
         "q_vectorize_water": q_vectorize_water,
         "q_compact_cells": q_compact_cells,
+        "q_sessionize": q_sessionize,
+        "q_asof_events": q_asof_events,
     }
 
 
@@ -1854,6 +1905,34 @@ SELECT x, y, CAST(0 AS INT) AS res FROM l0 WHERE nsib < 4
 UNION ALL SELECT x, y, 1 FROM l1 WHERE nsib < 4
 UNION ALL SELECT x, y, 2 FROM l2 WHERE nsib < 4
 UNION ALL SELECT x, y, 3 FROM cur3""",
+        # gap sessionization — window twin of functions/temporal.py
+        "q_sessionize": """
+WITH s0 AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                      > CAST(86400 AS BIGINT) * 1000000
+              THEN 1 ELSE 0 END AS st
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s1 AS (
+  SELECT *, CAST(sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM s0)
+SELECT user_id, session_idx,
+       epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM s1 GROUP BY user_id, session_idx""",
+        # as-of join — DuckDB's NATIVE ASOF operator as an independent
+        # oracle for the Spark union+window plan
+        "q_asof_events": """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+errors AS (SELECT user_id, ts, max(value) AS value
+           FROM events WHERE event_type = 'error' GROUP BY user_id, ts)
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+       coalesce(r.value, -1.0) AS asof_value,
+       coalesce(epoch_us(r.ts), -1) AS asof_ts_us
+FROM clicks l ASOF LEFT JOIN errors r
+  ON l.user_id = r.user_id AND l.ts >= r.ts""",
     }
 
 

@@ -1,0 +1,112 @@
+"""Temporal event operators: as-of join + gap sessionization.
+
+Classic engine operators a training-data/event pipeline needs that Spark
+lacks as built-ins. Both are single-shuffle, pure-Catalyst plans:
+
+- `asof_join`: for every left row, the latest right row with
+  right.ts <= left.ts per key — implemented as the union+window pattern
+  (tag both sides, sort per key by (ts, tag), carry the right payload
+  forward with last_value(ignoreNulls)), NOT a join: one exchange on the
+  key, no join node at all, and no range-explode. The DuckDB oracle runs
+  its NATIVE `ASOF JOIN` operator, so the correctness row cross-checks
+  two genuinely different algorithms.
+- `sessionize`: gap-based sessions per key (new session when the gap to
+  the previous event exceeds `gap`), with per-session aggregates. The
+  session-index window and the per-session regroup share the key prefix,
+  so the whole operator is one exchange.
+
+Scale posture: both shuffle once on the entity key. Per-key processing is
+sequential by nature (ordered scan), but partitions hold many keys, so
+parallelism is O(keys), not O(1); per-key row counts are bounded by
+retention in practice. A pathological hot key is an input-data property —
+AQE skew handling applies since the exchange is a plain hash partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    payload_cols: tuple[str, ...] = ("value",),
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Attach to each left row the payload of the latest right row with
+    `right.ts <= left.ts` for the same `on` key (NULLs when none).
+
+    Ties: a right row at exactly left.ts matches (ASOF `>=` semantics —
+    the right side sorts before the left at equal ts via the source tag).
+    Right-side ties at the same ts resolve to the LAST one in
+    (ts, *payload) order, deterministically.
+    """
+    lcols = left.columns
+    pay = list(payload_cols)
+    l_tag = left.withColumn("_src", F.lit(1))
+    for c in pay:
+        l_tag = l_tag.withColumn(f"_p_{c}", F.lit(None).cast(right.schema[c].dataType))
+    l_tag = l_tag.withColumn(f"_p_{ts_col}", F.lit(None).cast(right.schema[ts_col].dataType))
+    r_tag = right.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(0).alias("_src"),
+        *[F.col(c).alias(f"_p_{c}") for c in pay],
+        F.col(ts_col).alias(f"_p_{ts_col}"),
+    )
+    for c in lcols:
+        if c not in (on, ts_col):
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    both = l_tag.unionByName(r_tag.select(l_tag.columns))
+    # right rows sort before left rows at equal ts (ASOF >=); right-side
+    # ties order by payload for a deterministic winner
+    w = (
+        Window.partitionBy(on)
+        .orderBy(ts_col, "_src", *[f"_p_{c}" for c in pay])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+        for c in pay + [ts_col]
+    ]
+    return both.select(*lcols, "_src", *carried).filter(F.col("_src") == 1).drop("_src")
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-based sessions per key: a new session starts when the gap to
+    the previous event exceeds `gap_seconds`.
+
+    Output, one row per session: (key, session_idx, session_start,
+    session_end, n_events, sum_value) with session_idx numbered from 1 in
+    time order within the key. The cumulative-sum-of-starts window and
+    the per-session regroup share the key prefix — one exchange total.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak)
+    # exact integer micros on both engines (Spark unix_micros / DuckDB
+    # epoch_us) — a seconds cast would truncate sub-second gaps. The
+    # timestamp cast lifts TIMESTAMP_NTZ parquet columns (session tz is
+    # pinned to UTC in session.py, so the wall time IS the epoch time,
+    # matching DuckDB's epoch_us on the same parquet bytes).
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    start = F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1).otherwise(0)
+    return (
+        events.withColumn("session_idx", F.sum(start).over(w))
+        .groupBy(key_col, "session_idx")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+        )
+    )

@@ -1,0 +1,104 @@
+"""As-of join + sessionization (functions/temporal.py)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from osmcoastline_spark.functions.temporal import asof_join, sessionize
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(sec):
+    return T0 + dt.timedelta(seconds=sec)
+
+
+def _events(spark, rows):
+    # rows: (event_id, user_id, sec, value)
+    return spark.createDataFrame(
+        [(e, u, _ts(s), float(v)) for e, u, s, v in rows],
+        "event_id: long, user_id: long, ts: timestamp, value: double",
+    )
+
+
+def test_sessionize_hand_computed(spark):
+    ev = _events(
+        spark,
+        [
+            # user 1: events at 0, 50, 400 s → gap 10 splits after 50
+            (1, 1, 0, 1.0),
+            (2, 1, 50, 2.0),
+            (3, 1, 400, 4.0),
+            # user 2: single event
+            (4, 2, 10, 8.0),
+        ],
+    )
+    out = sorted(
+        (r.user_id, r.session_idx, r.n_events, r.sum_value)
+        for r in sessionize(ev, gap_seconds=100).collect()
+    )
+    assert out == [(1, 1, 2, 3.0), (1, 2, 1, 4.0), (2, 1, 1, 8.0)]
+    # sub-second exactness: 100-second gap is NOT a new session (>, not >=)
+    ev2 = _events(spark, [(1, 1, 0, 1.0), (2, 1, 100, 2.0)])
+    assert sessionize(ev2, gap_seconds=100).count() == 1
+
+
+def test_sessionize_single_exchange(spark):
+    ev = _events(spark, [(1, 1, 0, 1.0), (2, 1, 50, 2.0)])
+    plan = (
+        sessionize(ev, gap_seconds=100)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "Python" not in plan
+
+
+def test_asof_join_hand_computed(spark):
+    left = _events(spark, [(1, 1, 100, 0.0), (2, 1, 200, 0.0), (3, 2, 50, 0.0)])
+    right = _events(spark, [(10, 1, 100, 7.0), (11, 1, 150, 9.0), (12, 3, 10, 5.0)])
+    out = {
+        r.event_id: (r.asof_value, r.asof_ts)
+        for r in asof_join(left, right, on="user_id").collect()
+    }
+    # equal ts matches (ASOF >=); latest-at-or-before wins; no right → NULL
+    assert out[1] == (7.0, _ts(100))
+    assert out[2] == (9.0, _ts(150))
+    assert out[3] == (None, None)
+
+
+def test_asof_join_matches_brute_force(spark):
+    left = _events(
+        spark,
+        [(i, i % 7, (i * 37) % 500, 0.0) for i in range(120)],
+    )
+    right = _events(
+        spark,
+        [(1000 + i, i % 7, (i * 53) % 500, float(i)) for i in range(90)],
+    )
+    got = {
+        r.event_id: r.asof_value
+        for r in asof_join(left, right, on="user_id").collect()
+    }
+    rrows = [(1000 + i, i % 7, (i * 53) % 500, float(i)) for i in range(90)]
+    for i in range(120):
+        u, t = i % 7, (i * 37) % 500
+        cands = [
+            (s, v) for _, ru, s, v in rrows if ru == u and s <= t
+        ]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_asof_join_plan_is_joinless(spark):
+    left = _events(spark, [(1, 1, 100, 0.0)])
+    right = _events(spark, [(10, 1, 50, 7.0)])
+    plan = (
+        asof_join(left, right, on="user_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
