@@ -186,3 +186,101 @@ def stream_phash_near_dup(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def stream_sessionize(
+    stream: DataFrame,
+    gap_seconds: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str | None = None,
+):
+    """Streaming twin of functions.temporal.sessionize: gap-based sessions
+    over an unbounded event stream, emitted when the event-time watermark
+    passes session_end + gap (EventTimeTimeout — the canonical
+    applyInPandasWithState session pattern).
+
+    State per key is ONE open session (start/end/n/sum + the running
+    session index), so state size is O(active keys), independent of
+    stream length. Sessions that close WITHIN a batch (an in-batch gap)
+    emit immediately; the trailing open session waits for its timeout.
+    Emitted rows match the batch operator exactly for any replay in which
+    the watermark eventually passes every session's close (the batch
+    twin's trailing sessions are the stream's still-open state).
+
+    Output: key, session_idx, start_us, end_us, n_events, sum_value.
+    """
+    import pandas as pd
+
+    wm = watermark or f"{gap_seconds} seconds"
+    # the watermarked event-time column must SURVIVE the projection —
+    # EventTimeTimeout requires it to reach the stateful operator
+    ev = stream.withWatermark(ts_col, wm).select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        F.col(value_col).alias("_v"),
+    )
+    gap_us = gap_seconds * 1_000_000
+
+    def upd(key, pdfs, state):
+        def emit(start, end, n, sumv, idx):
+            return pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "session_idx": [idx],
+                    "start_us": [start],
+                    "end_us": [end],
+                    "n_events": [n],
+                    "sum_value": [sumv],
+                }
+            )
+
+        if state.hasTimedOut:
+            start, end, n, sumv, idx = state.get
+            state.remove()
+            return iter([emit(start, end, n, sumv, idx)])
+
+        rows = []
+        for pdf in pdfs:
+            if len(pdf):
+                rows.append(pdf[["_us", "_v"]])
+        if not rows:
+            return iter(())
+        batch = pd.concat(rows).sort_values("_us", kind="stable")
+        out = []
+        if state.exists:
+            start, end, n, sumv, idx = state.get
+        else:
+            start, end, n, sumv, idx = None, None, 0, 0.0, 0
+        for us, v in zip(batch["_us"].astype("int64"), batch["_v"]):
+            us, v = int(us), float(v)
+            if start is None:
+                start, end, n, sumv, idx = us, us, 1, v, idx + 1
+            elif us - end > gap_us:
+                out.append(emit(start, end, n, sumv, idx))
+                start, end, n, sumv, idx = us, us, 1, v, idx + 1
+            else:
+                # late-but-within-watermark events may precede the open
+                # session's start — extend both bounds
+                start, end, n, sumv = min(start, us), max(end, us), n + 1, sumv + v
+        state.update((start, end, n, sumv, idx))
+        # close when the event-time watermark passes end + gap; a batch of
+        # late-only events can put end+gap at/behind the current watermark,
+        # and Spark requires a strictly-future timeout — clamp forward
+        state.setTimeoutTimestamp(
+            max((end + gap_us) // 1000 + 1, state.getCurrentWatermarkMs() + 1)
+        )
+        return iter(out)
+
+    return ev.groupBy(key_col).applyInPandasWithState(
+        upd,
+        outputStructType=(
+            f"{key_col} long, session_idx long, start_us long, "
+            "end_us long, n_events long, sum_value double"
+        ),
+        stateStructType="start long, end long, n long, sumv double, idx long",
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )

@@ -268,3 +268,83 @@ def test_stream_phash_bit63_and_replay(spark, tmp_path):
     # (true hamming 2) the signed form would inflate to 62 and drop
     assert (1, 2, 1) in expected
     assert (1, 3, 1) in expected
+
+
+def test_stream_sessionize(spark, tmp_path):
+    """applyInPandasWithState sessionization: an in-batch gap emits
+    immediately; the trailing open session emits when a later batch
+    advances the event-time watermark past end+gap; results equal the
+    batch twin (functions.temporal.sessionize) over the same replay."""
+    import json
+
+    from osmcoastline_spark.functions.temporal import sessionize
+    from osmcoastline_spark.streaming.events import stream_sessionize
+
+    def ev(eid, uid, sec, v):
+        return {
+            "event_id": eid,
+            "user_id": uid,
+            "ts": f"2024-01-01 00:{sec // 60:02d}:{sec % 60:02d}",
+            "value": v,
+        }
+
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    # batch 1, user 1: two events 10 s apart, then an in-batch gap of
+    # 300 s > 100 s → first session closes inside the batch
+    b1 = [ev(1, 1, 0, 1.0), ev(2, 1, 10, 2.0), ev(3, 1, 310, 4.0)]
+    with open(src / "b1.json", "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in b1)
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        stream_sessionize(stream, gap_seconds=100)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = spark.sql("select * from sess_out").collect()
+        # only the in-batch-closed session is out; the trailing one waits
+        assert [(r.user_id, r.session_idx, r.n_events, r.sum_value) for r in got1] == [
+            (1, 1, 2, 3.0)
+        ]
+        # batch 2: far-future event (another user) advances the watermark
+        # past 310+100 s → user 1's open session times out and emits
+        with open(src / "b2.json", "w") as f:
+            f.write(json.dumps(ev(4, 2, 3000, 8.0)) + "\n")
+        q.processAllAvailable()
+        # one more empty-ish batch so the timeout fires after the
+        # watermark update (watermark advances at batch boundaries)
+        with open(src / "b3.json", "w") as f:
+            f.write(json.dumps(ev(5, 2, 3010, 16.0)) + "\n")
+        q.processAllAvailable()
+        got = sorted(
+            (r.user_id, r.session_idx, r.start_us, r.end_us, r.n_events, r.sum_value)
+            for r in spark.sql("select * from sess_out").collect()
+        )
+    finally:
+        q.stop()
+
+    # user 1 fully emitted: both sessions; user 2's session still open
+    assert [g for g in got if g[0] == 1] == [
+        (1, 1, 1704067200000000, 1704067210000000, 2, 3.0),
+        (1, 2, 1704067510000000, 1704067510000000, 1, 4.0),
+    ]
+    # batch twin agrees on the emitted (closed) sessions
+    batch = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:00", 1.0), (2, 1, "2024-01-01 00:00:10", 2.0),
+         (3, 1, "2024-01-01 00:05:10", 4.0)],
+        "event_id long, user_id long, ts string, value double",
+    ).selectExpr("event_id", "user_id", "CAST(ts AS timestamp) AS ts", "value")
+    twin = sorted(
+        (r.user_id, r.session_idx, r.n_events, r.sum_value)
+        for r in sessionize(batch, gap_seconds=100).collect()
+    )
+    assert twin == [(1, 1, 2, 3.0), (1, 2, 1, 4.0)]
