@@ -16,7 +16,14 @@ the DuckDB oracle can verify spatial operators without a spatial extension):
                 rule gates, hashed linear quality classifier, embedding
                 cosine top-k (brute force + LSH + IVF, heuristic and
                 trained quantizers), exact-integer k-means, SemDeDup,
-                phash multi-index Hamming near-dup
+                phash multi-index Hamming near-dup, cleaning family
+                (line dedup, C4 filters, PII, chunking, packing),
+                curation chain, BPE training/encoding, vocab counts,
+                duplicated-substring spans, fuzzy-dedup clustering
+  spatial-idx : raster→vector run-merge (empty-tile water slabs),
+                H3/S2-style quadtree compact()
+  temporal    : gap sessionization; as-of join (joinless union+window,
+                oracle = DuckDB's native ASOF JOIN)
   streaming   : tumbling-window agg (batch twin of the streaming plan)
 
 Column names are aliased identically in Spark and SQL (the driver hashes
