@@ -1233,6 +1233,23 @@ def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_uncompact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compact() → uncompact() point-set identity on the zoom-5 occupied
+    cover: the Spark side runs the full 3-level round trip
+    (operators/vectorize.py); the oracle is simply the input cell set —
+    a trivially-correct oracle that any compaction bug (lost sibling,
+    wrong parent, bad expansion) would break."""
+    from osmcoastline_spark.operators.vectorize import compact_cells, uncompact_cells
+
+    nodes = _nodes(spark, sf_dir)
+    n = 32
+    occ = nodes.select(
+        F.least(F.lit(n - 1), F.floor((F.col("lon") + 180.0) / (360.0 / n))).alias("tx"),
+        F.least(F.lit(n - 1), F.floor((F.col("lat") + 90.0) / (180.0 / n))).alias("ty"),
+    ).distinct()
+    return uncompact_cells(compact_cells(occ, levels=3))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_filter_ways": q_filter_ways,
@@ -1295,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_compact_cells": q_compact_cells,
         "q_sessionize": q_sessionize,
         "q_asof_events": q_asof_events,
+        "q_uncompact_roundtrip": q_uncompact_roundtrip,
     }
 
 
@@ -1940,6 +1958,13 @@ SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
        coalesce(epoch_us(r.ts), -1) AS asof_ts_us
 FROM clicks l ASOF LEFT JOIN errors r
   ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        # compact→uncompact round trip: the oracle IS the input cell set
+        "q_uncompact_roundtrip": f"""
+WITH nodes AS ({_nodes_sql()})
+SELECT DISTINCT
+       least(31, CAST(floor((lon + 180.0) / 11.25) AS BIGINT)) AS tx,
+       least(31, CAST(floor((lat + 90.0) / 5.625) AS BIGINT)) AS ty
+FROM nodes""",
     }
 
 

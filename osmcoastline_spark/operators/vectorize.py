@@ -143,3 +143,30 @@ def compact_cells(
             .select(F.col("px").alias("x"), F.col("py").alias("y"))
         )
     return out.unionByName(cur.select("x", "y", F.lit(levels).alias("res")))
+
+
+def uncompact_cells(
+    cover: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    res_col: str = "res",
+) -> DataFrame:
+    """H3/S2-style uncompact(): expand a mixed-resolution cover (the
+    output shape of `compact_cells`) back to unit cells at the finest
+    resolution — each cell at `res` r becomes its 2^r × 2^r block.
+
+    Zero exchanges: two generator expansions and pure column math, so it
+    pipelines into whatever consumes the unit cells. `uncompact(compact
+    (S)) == S` exactly for any distinct cell set S (point-set identity),
+    which `q_uncompact_roundtrip` exploits: the Spark side runs the full
+    round trip while the oracle is just the input set itself.
+    """
+    side = F.expr(f"shiftleft(CAST(1 AS BIGINT), {res_col})")
+    return (
+        cover.withColumn("_dx", F.explode(F.sequence(F.lit(0), side - 1)))
+        .withColumn("_dy", F.explode(F.sequence(F.lit(0), side - 1)))
+        .select(
+            (F.col(x_col) * side + F.col("_dx")).alias("tx"),
+            (F.col(y_col) * side + F.col("_dy")).alias("ty"),
+        )
+    )

@@ -125,6 +125,29 @@ def test_compact_cells_matches_reference(spark):
     assert expanded == set(pts)
 
 
+def test_uncompact_roundtrip_and_plan(spark):
+    from osmcoastline_spark.operators.vectorize import uncompact_cells
+
+    pts = [
+        (x, y)
+        for x in range(8)
+        for y in range(8)
+        if (x * 7 + y * 13) % 11 < 8
+    ]
+    cover = compact_cells(_cells_df(spark, pts), levels=3)
+    back = sorted((r.tx, r.ty) for r in uncompact_cells(cover).collect())
+    assert back == sorted(pts)
+    # narrow: the expansion itself adds no exchange (measured on a plain
+    # cover frame — `cover` above carries compact's own lineage)
+    plain = spark.createDataFrame([(1, 2, 2), (9, 9, 0)], "x: long, y: long, res: int")
+    expanded = sorted((r.tx, r.ty) for r in uncompact_cells(plain).collect())
+    assert expanded == sorted(
+        [(4 + dx, 8 + dy) for dx in range(4) for dy in range(4)] + [(9, 9)]
+    )
+    plan = uncompact_cells(plain)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0, plan
+
+
 def test_compact_cells_guards(spark):
     with pytest.raises(ValueError, match="levels"):
         compact_cells(_cells_df(spark, [(0, 0)]), levels=0)
