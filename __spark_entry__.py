@@ -1250,6 +1250,25 @@ def q_uncompact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return uncompact_cells(compact_cells(occ, levels=3))
 
 
+def q_grid_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coastal halo: the k=2 gridDisk (Chebyshev k-ring) of the occupied
+    zoom-5 cells, flagged core/halo — the candidate-tile set a kNN
+    endpoint match probes, computed as one set instead of 25 lookups per
+    row (operators/vectorize.py:grid_disk)."""
+    from osmcoastline_spark.operators.vectorize import grid_disk
+
+    nodes = _nodes(spark, sf_dir)
+    n = 32
+    occ = nodes.select(
+        F.least(F.lit(n - 1), F.floor((F.col("lon") + 180.0) / (360.0 / n))).alias("tx"),
+        F.least(F.lit(n - 1), F.floor((F.col("lat") + 90.0) / (180.0 / n))).alias("ty"),
+    ).distinct()
+    disk = grid_disk(occ, k=2, n=n)
+    return disk.join(occ.withColumn("_core", F.lit(True)), ["tx", "ty"], "left").select(
+        "tx", "ty", F.coalesce(F.col("_core"), F.lit(False)).alias("is_core")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_filter_ways": q_filter_ways,
@@ -1313,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_asof_events": q_asof_events,
         "q_uncompact_roundtrip": q_uncompact_roundtrip,
+        "q_grid_disk": q_grid_disk,
     }
 
 
@@ -1965,6 +1985,23 @@ SELECT DISTINCT
        least(31, CAST(floor((lon + 180.0) / 11.25) AS BIGINT)) AS tx,
        least(31, CAST(floor((lat + 90.0) / 5.625) AS BIGINT)) AS ty
 FROM nodes""",
+        # k=2 Chebyshev disk of the occupied zoom-5 cells, clamped to the
+        # 32×32 grid, flagged core (occupied) vs halo
+        "q_grid_disk": f"""
+WITH nodes AS ({_nodes_sql()}),
+occ AS (
+  SELECT DISTINCT
+         least(31, CAST(floor((lon + 180.0) / 11.25) AS BIGINT)) AS tx,
+         least(31, CAST(floor((lat + 90.0) / 5.625) AS BIGINT)) AS ty
+  FROM nodes),
+offs AS (
+  SELECT dx.range AS dx, dy.range AS dy FROM range(-2, 3) dx, range(-2, 3) dy),
+disk AS (
+  SELECT DISTINCT occ.tx + dx AS tx, occ.ty + dy AS ty
+  FROM occ, offs
+  WHERE occ.tx + dx BETWEEN 0 AND 31 AND occ.ty + dy BETWEEN 0 AND 31)
+SELECT d.tx, d.ty, (o.tx IS NOT NULL) AS is_core
+FROM disk d LEFT JOIN occ o ON d.tx = o.tx AND d.ty = o.ty""",
     }
 
 

@@ -170,3 +170,47 @@ def uncompact_cells(
             (F.col(y_col) * side + F.col("_dy")).alias("ty"),
         )
     )
+
+
+def grid_disk(
+    cells: DataFrame,
+    k: int,
+    n: int | None = None,
+    x_col: str = "tx",
+    y_col: str = "ty",
+    dedupe: bool = True,
+) -> DataFrame:
+    """H3-style gridDisk (k-ring): every cell within Chebyshev distance
+    `k` of an input cell — the square-grid analog of `h3.grid_disk`,
+    completing the index trio (`compact_cells` / `uncompact_cells` /
+    `grid_disk`) the north rule's "H3/S2 cell encoding" names. The
+    canonical use is the coastal halo: the set of tiles a kNN endpoint
+    match or a point-in-polygon candidate probe may touch, computed once
+    and joined instead of probing 8^k neighbors per lookup row.
+
+    One generator expansion of the (2k+1)^2 offset square per cell, then
+    (when `dedupe`) one `distinct` — the single unavoidable exchange,
+    since overlapping disks must collapse to set semantics. With
+    `dedupe=False` it is zero-exchange and the caller owns multiplicity
+    (e.g. when the very next op is a groupBy on the cell key anyway,
+    which re-uses the same hash partitioning). `n` clamps to the n×n
+    grid; None leaves the disk unclamped (callers on an infinite lattice).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    off = F.sequence(F.lit(-k), F.lit(k))
+    disk = (
+        cells.select(F.col(x_col).alias("_cx"), F.col(y_col).alias("_cy"))
+        .withColumn("_dx", F.explode(off))
+        .withColumn("_dy", F.explode(off))
+        .select(
+            (F.col("_cx") + F.col("_dx")).alias(x_col),
+            (F.col("_cy") + F.col("_dy")).alias(y_col),
+        )
+    )
+    if n is not None:
+        disk = disk.filter(
+            (F.col(x_col) >= 0) & (F.col(x_col) < n)
+            & (F.col(y_col) >= 0) & (F.col(y_col) < n)
+        )
+    return disk.distinct() if dedupe else disk

@@ -151,3 +151,25 @@ def test_uncompact_roundtrip_and_plan(spark):
 def test_compact_cells_guards(spark):
     with pytest.raises(ValueError, match="levels"):
         compact_cells(_cells_df(spark, [(0, 0)]), levels=0)
+
+
+def test_grid_disk_hand_and_plan(spark):
+    from osmcoastline_spark.operators.vectorize import grid_disk
+
+    cells = spark.createDataFrame([(0, 0), (5, 5), (0, 1)], "tx: long, ty: long")
+    got = sorted((r.tx, r.ty) for r in grid_disk(cells, k=1, n=4).collect())
+    # (0,0)∪(0,1) k=1 disks clamped to the 4×4 grid; (5,5)'s disk is
+    # entirely out of grid and contributes nothing
+    want = sorted({(x, y) for cy in (0, 1) for x in (0, 1) for y in (cy - 1, cy, cy + 1) if 0 <= y < 4})
+    assert got == want
+    # overlap multiplicity is preserved when the caller opts out of dedupe
+    raw = grid_disk(cells, k=1, n=4, dedupe=False).collect()
+    assert len(raw) == len(want) + 4  # (0,*) disks overlap on the 4 cells y∈{0,1}
+
+    plan = grid_disk(cells, k=1)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # the distinct (AQE may add a read)
+    plan0 = grid_disk(cells, k=1, dedupe=False)._jdf.queryExecution().executedPlan().toString()
+    assert plan0.count("Exchange") == 0, plan0
+
+    with pytest.raises(ValueError, match="k must be"):
+        grid_disk(cells, k=0)
