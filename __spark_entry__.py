@@ -21,7 +21,8 @@ the DuckDB oracle can verify spatial operators without a spatial extension):
                 curation chain, BPE training/encoding, vocab counts,
                 duplicated-substring spans, fuzzy-dedup clustering
   spatial-idx : raster→vector run-merge (empty-tile water slabs),
-                H3/S2-style quadtree compact()
+                H3/S2-style quadtree compact()/uncompact() round trip,
+                gridDisk k-ring (coastal-halo candidate tiles)
   temporal    : gap sessionization; as-of join (joinless union+window,
                 oracle = DuckDB's native ASOF JOIN)
   streaming   : tumbling-window agg (batch twin of the streaming plan)
