@@ -100,7 +100,12 @@ def main() -> None:
         attempts[hi].append(level(hi))
 
     def best(la: list[dict]) -> dict:
-        return {name: [min(a[name][0] for a in la), la[0][name][1]] for name in la[0]}
+        out = {}
+        for name in la[0]:
+            counts = {a[name][1] for a in la}
+            assert len(counts) == 1, (name, counts)  # identical across ALL repeats
+            out[name] = [min(a[name][0] for a in la), la[0][name][1]]
+        return out
 
     k_lo, k_hi = best(attempts[lo]), best(attempts[hi])
     rows = []
@@ -119,10 +124,10 @@ def main() -> None:
 
 Round-5 gridDisk + uncompact kernels under the main-table protocol (fresh
 JVM per level, noop-sink action, per-kernel min across interleaved
-repeats). disk = k=2 ring over a ~250k-cell sparse set (25× expansion +
-one distinct exchange); uncompact = expansion of the checkpointed
-compacted dense-mask cover (zero exchanges). Output rows asserted
-identical across levels.
+repeats). disk = k=2 ring over a ~{w * h // 16 // 1000}k-cell sparse set
+(25× expansion + one distinct exchange); uncompact = expansion of the
+checkpointed compacted dense-mask cover (zero exchanges). Output rows
+asserted identical across levels and repeats.
 
 | kernel | {lo}-core s | {hi}-core s | out rows | speedup | efficiency |
 |---|---|---|---|---|---|

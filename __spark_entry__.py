@@ -1255,7 +1255,11 @@ def q_grid_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coastal halo: the k=2 gridDisk (Chebyshev k-ring) of the occupied
     zoom-5 cells, flagged core/halo — the candidate-tile set a kNN
     endpoint match probes, computed as one set instead of 25 lookups per
-    row (operators/vectorize.py:grid_disk)."""
+    row (operators/vectorize.py:grid_disk). `mark_center=True` derives
+    the core flag during the expansion (zero offset = center), so the
+    plan is ONE parquet scan and two bounded cell-set exchanges — no
+    join back against the input set (which Spark would not
+    exchange-reuse, re-running the occupied-set lineage)."""
     from osmcoastline_spark.operators.vectorize import grid_disk
 
     nodes = _nodes(spark, sf_dir)
@@ -1264,10 +1268,7 @@ def q_grid_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.lit(n - 1), F.floor((F.col("lon") + 180.0) / (360.0 / n))).alias("tx"),
         F.least(F.lit(n - 1), F.floor((F.col("lat") + 90.0) / (180.0 / n))).alias("ty"),
     ).distinct()
-    disk = grid_disk(occ, k=2, n=n)
-    return disk.join(occ.withColumn("_core", F.lit(True)), ["tx", "ty"], "left").select(
-        "tx", "ty", F.coalesce(F.col("_core"), F.lit(False)).alias("is_core")
-    )
+    return grid_disk(occ, k=2, n=n, mark_center=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -159,9 +159,11 @@ def uncompact_cells(
     pipelines into whatever consumes the unit cells. `uncompact(compact
     (S)) == S` exactly for any distinct cell set S (point-set identity),
     which `q_uncompact_roundtrip` exploits: the Spark side runs the full
-    round trip while the oracle is just the input set itself.
+    round trip while the oracle is just the input set itself. Output
+    columns are always named (tx, ty), matching the unit-cell convention
+    of `vectorize_cells`/`grid_disk` inputs.
     """
-    side = F.expr(f"shiftleft(CAST(1 AS BIGINT), {res_col})")
+    side = F.expr(f"shiftleft(CAST(1 AS BIGINT), `{res_col}`)")
     return (
         cover.withColumn("_dx", F.explode(F.sequence(F.lit(0), side - 1)))
         .withColumn("_dy", F.explode(F.sequence(F.lit(0), side - 1)))
@@ -179,6 +181,7 @@ def grid_disk(
     x_col: str = "tx",
     y_col: str = "ty",
     dedupe: bool = True,
+    mark_center: bool = False,
 ) -> DataFrame:
     """H3-style gridDisk (k-ring): every cell within Chebyshev distance
     `k` of an input cell — the square-grid analog of `h3.grid_disk`,
@@ -186,18 +189,29 @@ def grid_disk(
     `grid_disk`) the north rule's "H3/S2 cell encoding" names. The
     canonical use is the coastal halo: the set of tiles a kNN endpoint
     match or a point-in-polygon candidate probe may touch, computed once
-    and joined instead of probing 8^k neighbors per lookup row.
+    and joined instead of probing the (2k+1)²−1 neighbors per lookup row.
 
-    One generator expansion of the (2k+1)^2 offset square per cell, then
+    One generator expansion of the (2k+1)² offset square per cell, then
     (when `dedupe`) one `distinct` — the single unavoidable exchange,
     since overlapping disks must collapse to set semantics. With
-    `dedupe=False` it is zero-exchange and the caller owns multiplicity
-    (e.g. when the very next op is a groupBy on the cell key anyway,
-    which re-uses the same hash partitioning). `n` clamps to the n×n
-    grid; None leaves the disk unclamped (callers on an infinite lattice).
+    `dedupe=False` it is zero-exchange and the caller owns multiplicity —
+    the useful case is a consumer that groupBys on the cell key, whose
+    own shuffle then subsumes the dedup for free. `n` clamps to the n×n
+    grid; None leaves the disk unclamped (callers on an infinite
+    lattice). `k=0` is the H3-parity identity disk (the cells
+    themselves). Output columns are always named (x_col, y_col).
+
+    `mark_center=True` adds a boolean `is_core` column — True iff the
+    cell is an INPUT cell (the disk center), i.e. the core-vs-halo
+    classification — computed during the expansion itself (the zero
+    offset marks the center), so it costs nothing: the dedupe `distinct`
+    becomes a same-key groupBy/max and the plan keeps its single
+    exchange instead of paying a join back against the input set (which
+    would re-execute the input lineage — measured: Spark does not reuse
+    the exchange across the expansion and join branches).
     """
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
     off = F.sequence(F.lit(-k), F.lit(k))
     disk = (
         cells.select(F.col(x_col).alias("_cx"), F.col(y_col).alias("_cy"))
@@ -206,6 +220,7 @@ def grid_disk(
         .select(
             (F.col("_cx") + F.col("_dx")).alias(x_col),
             (F.col("_cy") + F.col("_dy")).alias(y_col),
+            ((F.col("_dx") == 0) & (F.col("_dy") == 0)).alias("is_core"),
         )
     )
     if n is not None:
@@ -213,4 +228,9 @@ def grid_disk(
             (F.col(x_col) >= 0) & (F.col(x_col) < n)
             & (F.col(y_col) >= 0) & (F.col(y_col) < n)
         )
-    return disk.distinct() if dedupe else disk
+    if not mark_center:
+        disk = disk.drop("is_core")
+        return disk.distinct() if dedupe else disk
+    if dedupe:
+        return disk.groupBy(x_col, y_col).agg(F.max("is_core").alias("is_core"))
+    return disk

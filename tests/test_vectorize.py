@@ -171,5 +171,18 @@ def test_grid_disk_hand_and_plan(spark):
     plan0 = grid_disk(cells, k=1, dedupe=False)._jdf.queryExecution().executedPlan().toString()
     assert plan0.count("Exchange") == 0, plan0
 
+    # k=0 is the H3-parity identity disk
+    ident = sorted((r.tx, r.ty) for r in grid_disk(cells, k=0).collect())
+    assert ident == sorted({(0, 0), (5, 5), (0, 1)})
+
+    # mark_center: core = input cells, halo = everything else; the flag
+    # rides the expansion, so the plan stays join-free (no join node)
+    marked = grid_disk(cells, k=1, n=4, mark_center=True)
+    flags = {(r.tx, r.ty): r.is_core for r in marked.collect()}
+    assert sorted(flags) == want
+    assert {c for c, f in flags.items() if f} == {(0, 0), (0, 1)}
+    mplan = marked._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in mplan, mplan
+
     with pytest.raises(ValueError, match="k must be"):
-        grid_disk(cells, k=0)
+        grid_disk(cells, k=-1)
