@@ -24,7 +24,8 @@ the DuckDB oracle can verify spatial operators without a spatial extension):
                 H3/S2-style quadtree compact()/uncompact() round trip,
                 gridDisk k-ring (coastal-halo candidate tiles)
   temporal    : gap sessionization; as-of join (joinless union+window,
-                oracle = DuckDB's native ASOF JOIN)
+                oracle = DuckDB's native ASOF JOIN); binned range join
+                (oracle = DuckDB's native inequality join)
   streaming   : tumbling-window agg (batch twin of the streaming plan)
 
 Column names are aliased identically in Spark and SQL (the driver hashes
@@ -1271,6 +1272,35 @@ def q_grid_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_disk(occ, k=2, n=n, mark_center=True)
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join (functions/temporal.py:range_join): every click
+    within the 6-hour attribution window [err.ts, err.ts + 6h) after
+    an error by the same user. The Spark side bins both streams and
+    equi-joins on (bin, user) — never the cross product a raw inequality
+    join plans as; the oracle is DuckDB's native inequality join, so the
+    row cross-checks two genuinely different algorithms."""
+    from osmcoastline_spark.functions import temporal as T
+
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts").cast("timestamp") + F.expr("INTERVAL 6 HOURS")).alias("hi"),
+    )
+    j = T.range_join(clicks, errors, on="user_id", bin_width_s=3600.0)
+    return j.select(
+        F.col("event_id").alias("click_id"),
+        F.col("ivl_err_id").alias("err_id"),
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("ivl_lo").cast("timestamp")).alias("err_ts_us"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_filter_ways": q_filter_ways,
@@ -1335,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_events": q_asof_events,
         "q_uncompact_roundtrip": q_uncompact_roundtrip,
         "q_grid_disk": q_grid_disk,
+        "q_range_join": q_range_join,
     }
 
 
@@ -2004,6 +2035,16 @@ disk AS (
   WHERE occ.tx + dx BETWEEN 0 AND 31 AND occ.ty + dy BETWEEN 0 AND 31)
 SELECT d.tx, d.ty, (o.tx IS NOT NULL) AS is_core
 FROM disk d LEFT JOIN occ o ON d.tx = o.tx AND d.ty = o.ty""",
+        # binned range join vs DuckDB's native inequality join: clicks in
+        # the half-open 6-hour window after a same-user error
+        "q_range_join": """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+errs AS (SELECT event_id AS err_id, user_id, ts AS lo, ts + INTERVAL 6 HOUR AS hi
+         FROM events WHERE event_type = 'error')
+SELECT c.event_id AS click_id, e.err_id, c.user_id,
+       epoch_us(c.ts) AS ts_us, epoch_us(e.lo) AS err_ts_us
+FROM clicks c JOIN errs e
+  ON c.user_id = e.user_id AND c.ts >= e.lo AND c.ts < e.hi""",
     }
 
 

@@ -110,3 +110,95 @@ def sessionize(
             F.sum(value_col).alias("sum_value"),
         )
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    t_col: str = "ts",
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    on: str | None = None,
+    bin_width_s: float = 300.0,
+    prefix: str = "ivl_",
+    max_bins_per_interval: int = 4096,
+) -> DataFrame:
+    """Range join: every (point, interval) pair with
+    `lo <= point.t < hi` (half-open), optionally also matching an equi
+    key `on` — the third classic temporal operator Spark lacks as a
+    built-in (the other two live above). The canonical use is window
+    attribution: clicks within N minutes after an error, events inside
+    a session, points inside a validity interval.
+
+    Plan: bin both sides on `floor(epoch_us / w)` — each interval
+    explodes into the bins it covers, each point carries its single
+    bin — then ONE equi-join on (bin[, key]) and the exact range
+    predicate as a post-filter. This is the standard binned range join:
+    the join never degrades to the O(points × intervals) cross product a
+    raw inequality join plans as (Spark would emit
+    BroadcastNestedLoopJoin/CartesianProduct for the bare `BETWEEN`).
+    Pick `bin_width_s` near the typical interval length: wider bins cut
+    the explode factor, narrower bins cut false candidates; either way
+    each true pair is produced exactly once (a point matches an interval
+    only in the point's own bin), so no distinct pass is needed.
+
+    Degenerate inputs are handled, loudly where it matters: empty
+    intervals (`hi <= lo`) are dropped (half-open semantics), and an
+    interval covering more than `max_bins_per_interval` bins fails the
+    job with a clear message instead of silently exploding the cluster
+    (`raise_error` inside the plan — lazy, per-row, no driver action).
+
+    Output: all point columns + all interval columns renamed with
+    `prefix`. Scale posture: one exchange per side on (bin[, key]);
+    bins bound the join fan-in the way cells bound the spatial joins.
+    """
+    w = int(bin_width_s * 1_000_000)
+    if w <= 0:
+        raise ValueError(f"bin_width_s must be > 0, got {bin_width_s}")
+
+    p_us = F.unix_micros(F.col(t_col).cast("timestamp"))
+    pt = points.withColumn("_bin", F.floor(p_us / F.lit(w)))
+
+    lo_us = F.unix_micros(F.col(lo_col).cast("timestamp"))
+    hi_us = F.unix_micros(F.col(hi_col).cast("timestamp"))
+    first_bin = F.floor(lo_us / F.lit(w))
+    last_bin = F.floor((hi_us - 1) / F.lit(w))
+    nbins = last_bin - first_bin + 1
+    iv = (
+        intervals.filter(hi_us > lo_us)
+        .select(
+            *[F.col(c).alias(prefix + c) for c in intervals.columns],
+            F.explode(
+                F.sequence(
+                    first_bin,
+                    F.when(
+                        nbins > max_bins_per_interval,
+                        F.raise_error(
+                            F.concat(
+                                F.lit(
+                                    f"range_join: interval covers > "
+                                    f"{max_bins_per_interval} bins at "
+                                    f"bin_width_s={bin_width_s}; widen the bin "
+                                    f"or raise max_bins_per_interval (interval "
+                                    f"lo="
+                                ),
+                                F.col(lo_col).cast("string"),
+                                F.lit(")"),
+                            )
+                        ).cast("long"),
+                    ).otherwise(last_bin),
+                )
+            ).alias("_bin"),
+        )
+    )
+
+    cond = pt["_bin"] == iv["_bin"]
+    if on is not None:
+        cond = cond & (pt[on] == iv[prefix + on])
+    plo = F.unix_micros(F.col(prefix + lo_col).cast("timestamp"))
+    phi = F.unix_micros(F.col(prefix + hi_col).cast("timestamp"))
+    return (
+        pt.join(iv, cond, "inner")
+        .filter((p_us >= plo) & (p_us < phi))
+        .drop("_bin")
+    )

@@ -102,3 +102,47 @@ def test_asof_join_plan_is_joinless(spark):
     )
     assert "Join" not in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_range_join_hand_computed(spark):
+    from osmcoastline_spark.functions.temporal import range_join
+
+    points = _events(spark, [(1, 7, 0, 0), (2, 7, 10, 0), (3, 7, 24, 0),
+                             (4, 7, 25, 0), (5, 8, 10, 0), (6, 7, 100, 0)])
+    intervals = spark.createDataFrame(
+        [(100, 7, _ts(5), _ts(25)),   # catches 10, 24 (half-open: not 25)
+         (101, 7, _ts(90), _ts(95)),  # catches nothing (100 outside)
+         (102, 8, _ts(0), _ts(60)),   # other key: catches point 5 only
+         (103, 7, _ts(50), _ts(50))], # empty interval: dropped
+        "ivl_id: long, user_id: long, lo: timestamp, hi: timestamp",
+    )
+    got = sorted(
+        (r.event_id, r.ivl_ivl_id)
+        for r in range_join(points, intervals, on="user_id", bin_width_s=7.0).collect()
+    )
+    assert got == [(2, 100), (3, 100), (5, 102)]
+
+    # without the equi key the join is bin-only: point 5 (user 8) now also
+    # falls inside interval 100's window
+    got_any = sorted(
+        (r.event_id, r.ivl_ivl_id)
+        for r in range_join(points, intervals, bin_width_s=7.0).collect()
+    )
+    assert got_any == [(1, 102), (2, 100), (2, 102), (3, 100), (3, 102),
+                       (4, 102), (5, 100), (5, 102)]
+
+    # plan: a single equi-join, never a cartesian/nested-loop
+    plan = range_join(points, intervals, on="user_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="bin_width_s"):
+        range_join(points, intervals, bin_width_s=0)
+
+    # oversized interval fails loudly inside the plan, not silently explodes
+    wide = spark.createDataFrame(
+        [(1, 7, _ts(0), _ts(10_000))], "ivl_id: long, user_id: long, lo: timestamp, hi: timestamp"
+    )
+    with _pytest.raises(Exception, match="covers > 4 bins"):
+        range_join(points, wide, on="user_id", bin_width_s=7.0,
+                   max_bins_per_interval=4).collect()
