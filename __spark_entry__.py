@@ -1301,6 +1301,31 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# query points for the spatial kNN join: a second deterministic lattice
+# derived from customer keys (sites = the node lattice from part keys).
+# Coprime strides keep point and site lattices misaligned so d2 ties are
+# rare but nonzero — the site_id tie-break is actually exercised.
+CUST_LON = "(CAST(c_custkey % 359 AS DOUBLE) * 1.0 - 179.5)"
+CUST_LAT = "(CAST((c_custkey * 13) % 167 AS DOUBLE) * 1.0 - 83.0)"
+
+
+def q_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-bounded spatial kNN join (operators/knn.py:knn_join): for
+    every customer-derived query point, the 3 nearest node sites within
+    5 squared-root degrees, via site-side cell-disk replication + ONE
+    equi-join on the cell key + one per-point window — never the
+    BroadcastNestedLoop a raw theta-join plans as. The oracle is DuckDB's
+    brute-force cross join + rank, so the row cross-checks the binned
+    algorithm against the definitional one."""
+    from osmcoastline_spark.operators.knn import knn_join
+
+    points = _read(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS point_id", f"{CUST_LON} AS lon", f"{CUST_LAT} AS lat"
+    )
+    sites = _nodes(spark, sf_dir).withColumnRenamed("node_id", "site_id")
+    return knn_join(points, sites, k=3, radius=5.0, cell_deg=5.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_filter_ways": q_filter_ways,
@@ -1366,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_uncompact_roundtrip": q_uncompact_roundtrip,
         "q_grid_disk": q_grid_disk,
         "q_range_join": q_range_join,
+        "q_spatial_knn": q_spatial_knn,
     }
 
 
@@ -2045,6 +2071,21 @@ SELECT c.event_id AS click_id, e.err_id, c.user_id,
        epoch_us(c.ts) AS ts_us, epoch_us(e.lo) AS err_ts_us
 FROM clicks c JOIN errs e
   ON c.user_id = e.user_id AND c.ts >= e.lo AND c.ts < e.hi""",
+        # kNN-within-radius vs the definitional brute-force: cross join +
+        # rank() — two genuinely different algorithms (Spark side is the
+        # cell-binned equi-join of operators/knn.py)
+        "q_spatial_knn": f"""
+WITH pts AS (SELECT c_custkey AS point_id, {CUST_LON} AS plon, {CUST_LAT} AS plat FROM customer),
+sites AS (SELECT p_partkey AS site_id, {NODE_LON} AS slon, {NODE_LAT} AS slat FROM part),
+cand AS (
+  SELECT point_id, site_id,
+         (plon - slon) * (plon - slon) + (plat - slat) * (plat - slat) AS d2
+  FROM pts, sites),
+ranked AS (
+  SELECT point_id, site_id, d2,
+         CAST(row_number() OVER (PARTITION BY point_id ORDER BY d2, site_id) AS BIGINT) AS rnk
+  FROM cand WHERE d2 <= 25.0)
+SELECT point_id, site_id, d2, rnk FROM ranked WHERE rnk <= 3""",
     }
 
 

@@ -1,0 +1,107 @@
+"""Radius-bounded spatial kNN join (operators/knn.py)."""
+
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from osmcoastline_spark.operators.knn import knn_join
+
+
+def _df(spark, rows, idcol):
+    return spark.createDataFrame(rows, f"{idcol}: long, lon: double, lat: double")
+
+
+def test_knn_hand_computed(spark):
+    # point 1 at origin; sites at d2 = 1, 2, 4, 9 and one outside radius.
+    points = _df(spark, [(1, 0.0, 0.0)], "point_id")
+    sites = _df(
+        spark,
+        [
+            (10, 1.0, 0.0),  # d2 = 1
+            (11, 1.0, 1.0),  # d2 = 2
+            (12, 0.0, 2.0),  # d2 = 4
+            (13, 3.0, 0.0),  # d2 = 9
+            (14, 50.0, 0.0),  # outside radius
+        ],
+        "site_id",
+    )
+    out = knn_join(points, sites, k=3, radius=4.0, cell_deg=2.0)
+    got = [(r.site_id, r.d2, r.rnk) for r in out.orderBy("rnk").collect()]
+    assert got == [(10, 1.0, 1), (11, 2.0, 2), (12, 4.0, 3)]
+
+
+def test_knn_tie_breaks_by_site_id(spark):
+    # two sites equidistant from the point: lower site_id wins rank 1
+    points = _df(spark, [(1, 0.0, 0.0)], "point_id")
+    sites = _df(spark, [(20, 1.0, 0.0), (7, -1.0, 0.0)], "site_id")
+    out = knn_join(points, sites, k=2, radius=2.0, cell_deg=1.0)
+    got = [(r.site_id, r.rnk) for r in out.orderBy("rnk").collect()]
+    assert got == [(7, 1), (20, 2)]
+
+
+def test_knn_no_sites_in_radius_emits_nothing(spark):
+    points = _df(spark, [(1, 0.0, 0.0)], "point_id")
+    sites = _df(spark, [(10, 30.0, 30.0)], "site_id")
+    assert knn_join(points, sites, k=1, radius=1.0, cell_deg=1.0).count() == 0
+
+
+def test_knn_matches_brute_force(spark):
+    # random points/sites, binned kNN == crossJoin + window definitional kNN
+    rng = random.Random(42)
+    points = _df(
+        spark,
+        [(i, rng.uniform(-20, 20), rng.uniform(-10, 10)) for i in range(60)],
+        "point_id",
+    )
+    sites = _df(
+        spark,
+        [(i, rng.uniform(-20, 20), rng.uniform(-10, 10)) for i in range(200)],
+        "site_id",
+    )
+    k, radius = 4, 3.0
+    got = knn_join(points, sites, k=k, radius=radius, cell_deg=1.5)
+
+    p = points.select("point_id", F.col("lon").alias("px"), F.col("lat").alias("py"))
+    s = sites.select("site_id", F.col("lon").alias("sx"), F.col("lat").alias("sy"))
+    d2 = (F.col("px") - F.col("sx")) * (F.col("px") - F.col("sx")) + (
+        F.col("py") - F.col("sy")
+    ) * (F.col("py") - F.col("sy"))
+    w = Window.partitionBy("point_id").orderBy("d2", "site_id")
+    ref = (
+        p.crossJoin(s)
+        .withColumn("d2", d2)
+        .filter(F.col("d2") <= radius * radius)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("point_id", "site_id", "d2", "rnk")
+    )
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, ref.collect()))
+    assert a == b and len(a) > 100
+
+
+def test_knn_boundary_site_exactly_at_radius_kept(spark):
+    # site exactly at distance r on a cell boundary: the ceil() covering
+    # guarantee must still reach it (d2 <= r2 is inclusive)
+    points = _df(spark, [(1, 0.0, 0.0)], "point_id")
+    sites = _df(spark, [(10, 2.0, 0.0)], "site_id")
+    out = knn_join(points, sites, k=1, radius=2.0, cell_deg=1.0)
+    assert [(r.site_id, r.d2) for r in out.collect()] == [(10, 4.0)]
+
+
+def test_knn_plan_has_no_nested_loop(spark):
+    points = _df(spark, [(1, 0.0, 0.0)], "point_id")
+    sites = _df(spark, [(10, 1.0, 0.0)], "site_id")
+    plan = knn_join(points, sites, k=1, radius=1.0, cell_deg=1.0)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_knn_fanout_guard(spark):
+    points = _df(spark, [(1, 0.0, 0.0)], "point_id")
+    sites = _df(spark, [(10, 1.0, 0.0)], "site_id")
+    with pytest.raises(ValueError, match="fan-out"):
+        knn_join(points, sites, k=1, radius=100.0, cell_deg=0.01)
+    with pytest.raises(ValueError, match="k must be"):
+        knn_join(points, sites, k=0, radius=1.0, cell_deg=1.0)
