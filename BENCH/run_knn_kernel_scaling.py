@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Scaling evidence for the round-5 spatial kNN join kernel (N vs 4N cores,
+same protocol as the other kernel harnesses: identical input, fresh JVM per
+level, interleaved best-of-N, per-kernel MIN per level).
+
+Kernel:
+  knn — knn_join(k=4, radius=1.0, cell_deg=1.0) of 1M query points against
+        250k sites, both deterministic id-hash lattices over the world
+        extent (~4 sites/deg^2, so ~13 candidates/point survive the radius
+        filter out of ~37M cell-block pairs): one 9x site expansion + one
+        equi-join on the cell key + one per-point window.
+Appends a section to BENCH/KERNELS.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, os.environ["REPO"])
+from pyspark.sql import functions as F
+from osmcoastline_spark.session import get_spark
+from osmcoastline_spark.operators.knn import knn_join
+
+cpus = int(sys.argv[1])
+npts, nsites = int(sys.argv[2]), int(sys.argv[3])
+spark = get_spark("knnkern", master=f"local[{cpus}]", shuffle_partitions=64)
+spark.sparkContext.setLogLevel("ERROR")
+
+def lattice(n, name, salt):
+    # deterministic pseudo-uniform placement from the id (Knuth multiplicative
+    # hash) — identical rows at every level/repeat
+    return spark.range(n).select(
+        F.col("id").alias(name),
+        ((F.pmod(F.col("id") * 2654435761 + salt, F.lit(3600000))) / 10000.0 - 180.0).alias("lon"),
+        ((F.pmod(F.col("id") * 40503 + salt * 7, F.lit(1700000))) / 10000.0 - 85.0).alias("lat"),
+    )
+
+points = lattice(npts, "point_id", 1).localCheckpoint(eager=True)
+sites = lattice(nsites, "site_id", 99).localCheckpoint(eager=True)
+spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM
+
+t0 = time.time()
+df = knn_join(points, sites, k=4, radius=1.0, cell_deg=1.0)
+df.write.format("noop").mode("overwrite").save()
+res = {"knn": [round(time.time() - t0, 2), df.count()]}
+print(json.dumps({"cpus": cpus, "kernels": res}))
+spark.stop()
+"""
+
+
+def main() -> None:
+    npts = int(os.environ.get("SPARK_GRAFT_KNN_POINTS", "1000000"))
+    nsites = int(os.environ.get("SPARK_GRAFT_KNN_SITES", "250000"))
+    lo = int(os.environ.get("SPARK_GRAFT_SCALING_LO", "2"))
+    hi = int(os.environ.get("SPARK_GRAFT_SCALING_HI", "8"))
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
+    env = dict(os.environ, REPO=REPO)
+
+    # Equal memory PER TASK across levels (2g/core, floor 4g): a flat heap
+    # would give the high level half the per-task memory of the low level
+    # and bias its window-sort toward spill — anti-scaling that is a heap
+    # artifact, not a kernel property.
+    mem_per_core = int(os.environ.get("SPARK_GRAFT_SCALING_MEM_PER_CORE", "2"))
+
+    def level(cpus: int) -> dict:
+        lenv = dict(env, SPARK_GRAFT_DRIVER_MEM=f"{max(cpus * mem_per_core, 4)}g")
+        out = subprocess.run(
+            [sys.executable, "-c", CHILD, str(cpus), str(npts), str(nsites)],
+            capture_output=True, text=True, env=lenv, timeout=3600,
+        )
+        lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        if out.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"knn-kernel child (cpus={cpus}) failed rc={out.returncode}:\n"
+                + out.stderr[-2000:]
+            )
+        return json.loads(lines[-1])["kernels"]
+
+    attempts = {lo: [], hi: []}
+    for _ in range(repeats):
+        attempts[lo].append(level(lo))
+        attempts[hi].append(level(hi))
+
+    def best(la: list[dict]) -> dict:
+        out = {}
+        for name in la[0]:
+            counts = {a[name][1] for a in la}
+            assert len(counts) == 1, (name, counts)  # identical across ALL repeats
+            out[name] = [min(a[name][0] for a in la), la[0][name][1]]
+        return out
+
+    k_lo, k_hi = best(attempts[lo]), best(attempts[hi])
+    rows = []
+    for name in k_lo:
+        (t_lo, n_lo), (t_hi, n_hi) = k_lo[name], k_hi[name]
+        assert n_lo == n_hi, (name, n_lo, n_hi)
+        sp = t_lo / t_hi if t_hi else 0.0
+        rows.append((name, t_lo, t_hi, n_lo, round(sp, 2), round(sp / (hi / lo), 3)))
+
+    md_rows = "\n".join(
+        f"| {n} | {a} | {b} | {c} | {d}× | {e} |" for n, a, b, c, d, e in rows
+    )
+    section = f"""
+
+## Spatial kNN join kernel ({lo} vs {hi} cores, {npts // 1000}k points x {nsites // 1000}k sites, best of {repeats} interleaved)
+
+Round-5 radius-bounded kNN join (operators/knn.py) under the main-table
+protocol (fresh JVM per level, noop-sink action, per-kernel min across
+interleaved repeats): 9x site cell-disk expansion + one equi-join on the
+cell key + one per-point row_number window, k=4 within radius 1 degree.
+Output rows asserted identical across levels and repeats.
+
+| kernel | {lo}-core s | {hi}-core s | out rows | speedup | efficiency |
+|---|---|---|---|---|---|
+{md_rows}
+"""
+    with open(os.path.join(REPO, "BENCH", "KERNELS.md"), "a") as f:
+        f.write(section)
+    print(json.dumps({
+        "lo": k_lo, "hi": k_hi,
+        "attempts": {str(k): v for k, v in attempts.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()

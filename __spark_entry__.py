@@ -22,7 +22,10 @@ the DuckDB oracle can verify spatial operators without a spatial extension):
                 duplicated-substring spans, fuzzy-dedup clustering
   spatial-idx : raster→vector run-merge (empty-tile water slabs),
                 H3/S2-style quadtree compact()/uncompact() round trip,
-                gridDisk k-ring (coastal-halo candidate tiles)
+                gridDisk k-ring (coastal-halo candidate tiles),
+                radius-bounded spatial kNN join (oracle = brute force)
+  ranking     : BM25 / TF-IDF relevance top-k (rational-idf oracle
+                bit-exact; classic ln-idf pytest-verified)
   temporal    : gap sessionization; as-of join (joinless union+window,
                 oracle = DuckDB's native ASOF JOIN); binned range join
                 (oracle = DuckDB's native inequality join)
@@ -1326,6 +1329,75 @@ def q_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(points, sites, k=3, radius=5.0, cell_deg=5.0)
 
 
+# BM25 query terms — mid-frequency corpus words so idf varies and the
+# doc-length normalization is exercised; fixed order (the score is a
+# fixed-order sum, so term order is part of the contract).
+BM25_TERMS = ["spark", "hash", "customer", "vector"]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance top-k (functions/ranking.py): per-doc tf as pure
+    string-length expressions (zero corpus shuffle), ONE single-row corpus
+    aggregate broadcast back, TakeOrdered top-25. The rational-idf variant
+    keeps the whole score in +-*/ double arithmetic so the DuckDB oracle is
+    bit-exact; the classic log-idf form is pytest-verified instead
+    (ln() differs by 1 ULP between the engines)."""
+    from osmcoastline_spark.functions.ranking import bm25_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_TERMS, k=25)
+
+
+def _bm25_oracle_sql(terms: list[str], k: int) -> str:
+    """DuckDB twin of functions/ranking.bm25_topk(idf='rational').
+
+    Every subexpression mirrors the Column tree's association order so the
+    double arithmetic is IEEE-bit-identical (no ln(), no reassociation):
+    tf via the same space-doubling length trick, ONE stats row, fixed-order
+    score sum, ORDER BY score DESC, doc_id LIMIT k.
+    """
+    pad = "' ' || replace(n, ' ', '  ') || ' '"
+    tf_cols = ",\n    ".join(
+        f"CAST((length({pad}) - length(replace({pad}, ' {t} ', ''))) / {len(t) + 2} "
+        f"AS BIGINT) AS tf_{t}"
+        for t in terms
+    )
+    df_cols = ",\n    ".join(
+        f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in terms
+    )
+    avgdl = "(CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))"
+    dl_norm = f"(1.0 - 0.75 + 0.75 * (CAST(p.dl AS DOUBLE) / {avgdl}))"
+
+    def w(t: str) -> str:
+        nd = "CAST(s.n_docs AS DOUBLE)"
+        df = f"CAST(s.df_{t} AS DOUBLE)"
+        tf = f"CAST(p.tf_{t} AS DOUBLE)"
+        return (
+            f"(({nd} - {df} + 0.5) / ({df} + 0.5) + 1.0)"
+            f" * ({tf} * (1.2 + 1.0)) / ({tf} + 1.2 * {dl_norm})"
+        )
+
+    score = " + ".join(w(t) for t in terms)
+    tf_out = ", ".join(f"p.tf_{t}" for t in terms)
+    return f"""
+WITH nrm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS n
+  FROM documents),
+perdoc AS (
+  SELECT doc_id,
+    CAST(CASE WHEN length(n) = 0 THEN 0
+              ELSE length(n) - length(replace(n, ' ', '')) + 1 END AS BIGINT) AS dl,
+    {tf_cols}
+  FROM nrm),
+stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+    {df_cols}
+  FROM perdoc)
+SELECT p.doc_id, p.dl, {tf_out}, {score} AS score
+FROM perdoc p, stats s
+ORDER BY score DESC, p.doc_id LIMIT {k}"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_filter_ways": q_filter_ways,
@@ -1392,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grid_disk": q_grid_disk,
         "q_range_join": q_range_join,
         "q_spatial_knn": q_spatial_knn,
+        "q_bm25_topk": q_bm25_topk,
     }
 
 
@@ -2086,6 +2159,9 @@ ranked AS (
          CAST(row_number() OVER (PARTITION BY point_id ORDER BY d2, site_id) AS BIGINT) AS rnk
   FROM cand WHERE d2 <= 25.0)
 SELECT point_id, site_id, d2, rnk FROM ranked WHERE rnk <= 3""",
+        # BM25 rational-idf top-k: pure +-*/ double arithmetic mirrored
+        # subexpression-for-subexpression (see _bm25_oracle_sql docstring)
+        "q_bm25_topk": _bm25_oracle_sql(BM25_TERMS, 25),
     }
 
 

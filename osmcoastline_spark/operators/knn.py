@@ -32,17 +32,20 @@ d <= r spans at most floor(d / cell) + 1 <= ceil(r / cell) cell boundaries,
 and exactly r on an aligned boundary still lands within ceil(r / cell).
 
 Plan shape (asserted by tests/test_knn.py): one shuffle-hash/sort-merge
-equi-join on the cell key + one window exchange on the point id — never
-BroadcastNestedLoop or CartesianProduct, which is what a raw
-`d2 <= r2` theta-join plans as.
+equi-join on the cell key and NOTHING else — the per-point top-k window
+partitions by (cell, point) so the join's hash partitioning on the cell
+already satisfies its distribution (a point lives in exactly one cell),
+and the candidate frame — the largest in the plan — is never re-shuffled.
+Exactly 2 exchanges total (one per join input); never BroadcastNestedLoop
+or CartesianProduct, which is what a raw `d2 <= r2` theta-join plans as.
 
 Scale posture at 100 TB: the join partitions by spatial cell, so coastline
 density skew concentrates candidates in shoreline cells; candidates per
 point are bounded by (site density x pi r^2), not by corpus size. For a
 skewed site table, pre-split mega-cells with cells.with_salt on the site
 side and OR-duplicate the point side's salt (AQE skew-join handles the
-moderate case unaided). The window shuffles on point_id — corpus-uniform,
-skew-free.
+moderate case unaided). The window adds no exchange of its own, so the
+cell skew story above is the whole skew story.
 """
 
 from __future__ import annotations
@@ -134,7 +137,18 @@ def knn_join(
         .withColumn("_d2", d2)
         .filter(F.col("_d2") <= F.lit(radius * radius))
     )
-    w = Window.partitionBy("_pid").orderBy(F.col("_d2").asc(), F.col("_sid").asc())
+    # Window partitioned by (_cell, _pid), not _pid alone: a point has ONE
+    # home cell, so _pid functionally determines _cell and the row_number
+    # semantics are identical — but the join output is already hash-
+    # partitioned on _cell, which SATISFIES ClusteredDistribution(_cell,
+    # _pid) (partitioning expressions ⊆ clustering keys), so Spark plans
+    # the window with ZERO additional exchange. Partitioning by _pid alone
+    # would re-shuffle the full candidate set (|points| × candidates rows,
+    # the largest frame in the plan) purely to regroup rows that are
+    # already co-located. tests/test_knn.py pins the exchange count.
+    w = Window.partitionBy("_cell", "_pid").orderBy(
+        F.col("_d2").asc(), F.col("_sid").asc()
+    )
     return (
         cand.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)

@@ -98,6 +98,29 @@ def test_knn_plan_has_no_nested_loop(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def test_knn_window_adds_no_exchange(spark):
+    # The top-k window partitions by (_cell, _pid); the join's hash
+    # partitioning on _cell must satisfy it, so the only exchanges in the
+    # whole plan are the two join inputs — the candidate frame (the
+    # largest in the plan) is never re-shuffled. Disable broadcast so the
+    # join is a genuine shuffle join regardless of the tiny test input.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        points = _df(spark, [(1, 0.0, 0.0), (2, 3.0, 3.0)], "point_id")
+        sites = _df(spark, [(10, 1.0, 0.0), (11, 3.5, 3.0)], "site_id")
+        plan = (
+            knn_join(points, sites, k=1, radius=1.0, cell_deg=1.0)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 2, f"expected 2 join-input exchanges, got {n_exchanges}:\n{plan}"
+
+
 def test_knn_fanout_guard(spark):
     points = _df(spark, [(1, 0.0, 0.0)], "point_id")
     sites = _df(spark, [(10, 1.0, 0.0)], "site_id")
