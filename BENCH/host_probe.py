@@ -1,0 +1,31 @@
+#!/usr/bin/env python
+"""10-second host-health probe gating any timing promoted to KERNELS.md /
+BASELINE.md (PLANS.md round-close host-window record).
+
+Separates the two host failure modes seen this series:
+  - co-tenant CPU steal      -> cpu3M rises above ~0.3 s
+  - hypervisor fault-path    -> alloc192MB rises above ~0.12 s while cpu3M
+    degradation (fresh-page      stays normal (in-VM metrics show nothing:
+    servicing ~50x slow)         memory free, PSI zero)
+
+Healthy reference on this host: alloc192MB ~0.05-0.10 s, cpu3M ~0.10-0.17 s.
+Fresh-JVM Spark kernels fault their whole heap + tmpfs shuffle dirs every
+run, so the alloc probe is the one that predicts their wall time.
+"""
+import time
+
+import numpy as np
+
+a = np.random.RandomState(0).rand(8_000_000)  # warm (already-faulted pages)
+t0 = time.time()
+b = a + a
+c = b * a
+d = c + b  # ~192 MB of fresh allocations
+alloc_s = time.time() - t0
+t0 = time.time()
+s = sum(i for i in range(3_000_000))
+cpu_s = time.time() - t0
+print(
+    f"alloc192MB={alloc_s:.3f}s cpu3M={cpu_s:.3f}s "
+    f"{'HEALTHY' if alloc_s < 0.12 and cpu_s < 0.3 else 'DEGRADED'}"
+)
