@@ -26,10 +26,36 @@ from pyspark.sql import functions as F  # noqa: E402
 from osmcoastline_spark.session import get_spark  # noqa: E402
 
 
+def _host_probe() -> dict:
+    """10-second host-health sample recorded WITH the numbers it gates.
+
+    This shared host has two independent degradation modes (PLANS.md
+    round-close record): co-tenant CPU steal, and hypervisor fault-path
+    stalls where FRESH allocations run ~50x slow while CPU and
+    steady-state bandwidth stay normal (measured: identical kernel 25.3 s
+    vs 281 s). A bench number without the probe is uninterpretable across
+    rounds; healthy reference is alloc ~0.05-0.10 s, cpu ~0.10-0.17 s
+    (BENCH/host_probe.py).
+    """
+    import numpy as np
+
+    a = np.random.RandomState(0).rand(8_000_000)
+    t0 = time.time()
+    b = a + a
+    c = b * a
+    _ = c + b
+    alloc_s = time.time() - t0
+    t0 = time.time()
+    _ = sum(i for i in range(3_000_000))
+    cpu_s = time.time() - t0
+    return {"alloc192MB_s": round(alloc_s, 3), "cpu3M_s": round(cpu_s, 3)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
+    probe = _host_probe()
 
     # cores, not 2x cores: at bench scale the fixed per-partition Arrow
     # round-trip cost dominates doubled task counts (BENCH/BASELINE.md §1),
@@ -156,6 +182,7 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "detail": {
+                    "host_probe": probe,
                     "query_attempts": query_attempts,
                     "pipeline_attempts": attempts,
                     "islands": n_islands,
