@@ -128,3 +128,68 @@ def test_knn_fanout_guard(spark):
         knn_join(points, sites, k=1, radius=100.0, cell_deg=0.01)
     with pytest.raises(ValueError, match="k must be"):
         knn_join(points, sites, k=0, radius=1.0, cell_deg=1.0)
+
+
+@pytest.mark.parametrize(
+    "radius,cell_deg,k,extent",
+    [
+        # radius an exact integer multiple of the cell: the ceil() in the
+        # covering bound has no slack — boundary pairs must still be found
+        (3.0, 1.0, 3, 10.0),
+        (1.0, 0.25, 2, 4.0),
+        # cell much larger than the radius: reach=1, neighbors come only
+        # from the 3x3 block; most same-cell candidates fail the filter
+        (0.5, 5.0, 4, 20.0),
+        # radius barely over a cell multiple: reach rounds UP (2.01 -> 3)
+        (2.01, 1.0, 2, 8.0),
+        # k larger than any point's candidate count: every in-radius pair
+        # must appear, ranks dense from 1
+        (2.0, 1.0, 50, 6.0),
+    ],
+)
+def test_knn_covering_grid_matches_brute_force(spark, radius, cell_deg, k, extent):
+    """Adversarial covering-guarantee grid: binned kNN == definitional kNN
+    for radius/cell ratios with zero ceil() slack, cells larger than the
+    radius, and k beyond the candidate count — placed at EXTREME negative
+    coordinates so the (x+180)/cell index arithmetic runs far from 0."""
+    rng = random.Random(radius * 100 + cell_deg)
+    pts = [
+        (i, -180.0 + rng.uniform(0, extent), -85.0 + rng.uniform(0, extent))
+        for i in range(40)
+    ]
+    # sites on an exact lattice INCLUDING cell-boundary-aligned positions,
+    # plus random fill — boundary alignment is where a floor() flip would
+    # break the covering bound
+    lat_steps = int(extent / cell_deg)
+    lattice = [
+        (1000 + j, -180.0 + (j % max(lat_steps, 1)) * cell_deg,
+         -85.0 + (j // max(lat_steps, 1)) * cell_deg)
+        for j in range(min(lat_steps * lat_steps, 60))
+    ]
+    fill = [
+        (2000 + j, -180.0 + rng.uniform(0, extent), -85.0 + rng.uniform(0, extent))
+        for j in range(40)
+    ]
+    points = _df(spark, pts, "point_id")
+    sites = _df(spark, lattice + fill, "site_id")
+
+    got = knn_join(points, sites, k=k, radius=radius, cell_deg=cell_deg)
+
+    p = points.select("point_id", F.col("lon").alias("px"), F.col("lat").alias("py"))
+    s = sites.select("site_id", F.col("lon").alias("sx"), F.col("lat").alias("sy"))
+    d2 = (F.col("px") - F.col("sx")) * (F.col("px") - F.col("sx")) + (
+        F.col("py") - F.col("sy")
+    ) * (F.col("py") - F.col("sy"))
+    w = Window.partitionBy("point_id").orderBy("d2", "site_id")
+    ref = (
+        p.crossJoin(s)
+        .withColumn("d2", d2)
+        .filter(F.col("d2") <= radius * radius)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("point_id", "site_id", "d2", "rnk")
+    )
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, ref.collect()))
+    assert a == b
+    assert len(a) > 0  # non-vacuous for every config
