@@ -146,3 +146,54 @@ def test_range_join_hand_computed(spark):
     with _pytest.raises(Exception, match="covers > 4 bins"):
         range_join(points, wide, on="user_id", bin_width_s=7.0,
                    max_bins_per_interval=4).collect()
+
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "bin_width_s,keyed",
+    [
+        (10.0, True),   # intervals usually span several bins
+        (10.0, False),  # bin-only join
+        (500.0, True),  # bin much wider than every interval (single bin)
+        (1.0, True),    # bin much narrower (long explodes, < max_bins)
+        (7.0, True),    # width coprime to the boundary lattice below
+    ],
+)
+def test_range_join_boundary_grid_matches_brute_force(spark, bin_width_s, keyed):
+    """Adversarial bin-boundary grid: binned range join == definitional
+    crossJoin + inequality filter when points and interval endpoints are
+    deliberately snapped onto bin-boundary multiples — where an off-by-one
+    in first_bin/last_bin (the (hi-1) half-open trick) would show up."""
+    import random as _random
+
+    from osmcoastline_spark.functions.temporal import range_join
+
+    rng = _random.Random(int(bin_width_s * 10) + keyed)
+    # timestamps on a lattice of 10s steps: with bin_width 10 most values
+    # sit EXACTLY on bin boundaries; with 7 they straddle them
+    pts = [(i, rng.randrange(3), rng.randrange(0, 40) * 10, 0.0) for i in range(60)]
+    ivls = []
+    for j in range(40):
+        lo = rng.randrange(0, 40) * 10
+        hi = lo + rng.choice([0, 10, 10, 25, 70])  # incl. empty + multi-bin
+        ivls.append((j, rng.randrange(3), _ts(lo), _ts(hi)))
+    points = _events(spark, pts)
+    intervals = spark.createDataFrame(
+        ivls, "ivl_id: long, user_id: long, lo: timestamp, hi: timestamp"
+    )
+
+    on = "user_id" if keyed else None
+    got = sorted(
+        (r.event_id, r.ivl_ivl_id)
+        for r in range_join(points, intervals, on=on, bin_width_s=bin_width_s).collect()
+    )
+
+    ref_pairs = []
+    for e, u, s, _v in pts:
+        for j, iu, lo, hi in ivls:
+            if lo <= _ts(s) < hi and (not keyed or u == iu):
+                ref_pairs.append((e, j))
+    assert got == sorted(ref_pairs)
+    assert len(got) > 0  # non-vacuous for every config
