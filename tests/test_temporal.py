@@ -197,3 +197,68 @@ def test_range_join_boundary_grid_matches_brute_force(spark, bin_width_s, keyed)
                 ref_pairs.append((e, j))
     assert got == sorted(ref_pairs)
     assert len(got) > 0  # non-vacuous for every config
+
+
+def test_sessionize_random_matches_pure_python(spark):
+    """200 random events, sub-second gaps included: Spark sessionization ==
+    a pure-Python scan (exact integer-microsecond gap comparison)."""
+    import random as _random
+
+    rng = _random.Random(7)
+    rows = []
+    eid = 0
+    for u in range(5):
+        t = 0.0
+        for _ in range(40):
+            t += rng.choice([0.5, 1.0, 9.999, 10.0, 10.001, 120.0])
+            rows.append((eid, u, t, float(rng.randrange(10))))
+            eid += 1
+    ev = spark.createDataFrame(
+        [(e, u, T0 + dt.timedelta(seconds=s), v) for e, u, s, v in rows],
+        "event_id: long, user_id: long, ts: timestamp, value: double",
+    )
+    got = {
+        (r.user_id, r.session_idx): (r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in sessionize(ev, gap_seconds=10).collect()
+    }
+
+    ref = {}
+    for u in range(5):
+        mine = sorted((s, e, v) for e, uu, s, v in rows if uu == u)
+        idx, prev = 0, None
+        for s, e, v in mine:
+            us = round(s * 1_000_000)
+            if prev is None or us - prev > 10 * 1_000_000:
+                idx += 1
+            prev = us
+            key = (u, idx)
+            st, en, n, sv = ref.get(key, (s, s, 0, 0.0))
+            ref[key] = (min(st, s), max(en, s), n + 1, sv + v)
+    assert set(got) == set(ref)
+    for k, (st, en, n, sv) in ref.items():
+        g = got[k]
+        assert (g[0], g[1]) == (T0 + dt.timedelta(seconds=st), T0 + dt.timedelta(seconds=en))
+        assert g[2] == n and abs(g[3] - sv) < 1e-9
+
+
+def test_asof_random_matches_pure_python(spark):
+    """Random left/right streams incl. exact-tie timestamps: the union+window
+    as-of == a pure-Python latest-right-<=-left scan (ties: right at equal
+    ts matches; right-side same-ts ties resolve to max payload)."""
+    import random as _random
+
+    rng = _random.Random(11)
+    lrows = [(i, rng.randrange(4), rng.randrange(0, 50) * 2, 0.0) for i in range(80)]
+    rrows = [(1000 + i, rng.randrange(4), rng.randrange(0, 50) * 2, float(rng.randrange(100)))
+             for i in range(60)]
+    left = _events(spark, lrows)
+    right = _events(spark, rrows).select("user_id", "ts", "value")
+    got = {
+        r.event_id: r.asof_value
+        for r in asof_join(left, right, on="user_id", payload_cols=("value",)).collect()
+    }
+    assert len(got) == len(lrows)
+    for e, u, s, _v in lrows:
+        cands = [(ss, v) for _i, uu, ss, v in rrows if uu == u and ss <= s]
+        want = max(cands)[1] if cands else None
+        assert got[e] == want, (e, got[e], want)
