@@ -1275,6 +1275,29 @@ def q_grid_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_disk(occ, k=2, n=n, mark_center=True)
 
 
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zoom-pyramid rollup (operators/vectorize.py:tile_pyramid): per-cell
+    node counts at zoom-5 (32×32) aggregated up the quadtree to the root —
+    every non-empty ancestor cell with its base-tile count and value sum,
+    the batch build a tile server runs over the reference's single-zoom
+    output. ONE exchange for all six levels (ancestor explode + single
+    groupBy with map-side partials; the apex hot key collapses to one
+    partial per task)."""
+    from osmcoastline_spark.operators.vectorize import tile_pyramid
+
+    nodes = _nodes(spark, sf_dir)
+    n = 32
+    base = (
+        nodes.select(
+            F.least(F.lit(n - 1), F.floor((F.col("lon") + 180.0) / (360.0 / n))).alias("tx"),
+            F.least(F.lit(n - 1), F.floor((F.col("lat") + 90.0) / (180.0 / n))).alias("ty"),
+        )
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("value"))
+    )
+    return tile_pyramid(base, levels=5)
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned range join (functions/temporal.py:range_join): every click
     within the 6-hour attribution window [err.ts, err.ts + 6h) after
@@ -1462,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_events": q_asof_events,
         "q_uncompact_roundtrip": q_uncompact_roundtrip,
         "q_grid_disk": q_grid_disk,
+        "q_tile_pyramid": q_tile_pyramid,
         "q_range_join": q_range_join,
         "q_spatial_knn": q_spatial_knn,
         "q_bm25_topk": q_bm25_topk,
@@ -2134,6 +2158,26 @@ disk AS (
   WHERE occ.tx + dx BETWEEN 0 AND 31 AND occ.ty + dy BETWEEN 0 AND 31)
 SELECT d.tx, d.ty, (o.tx IS NOT NULL) AS is_core
 FROM disk d LEFT JOIN occ o ON d.tx = o.tx AND d.ty = o.ty""",
+        # zoom-pyramid rollup: six explicit per-level aggregations (integer
+        # floor-division ancestors) vs Spark's single ancestor-explode
+        # groupBy — value-hash equality covers count AND sum at every level
+        "q_tile_pyramid": f"""
+WITH nodes AS ({_nodes_sql()}),
+base AS (
+  SELECT tx, ty, COUNT(*) AS value FROM (
+    SELECT least(31, CAST(floor((lon + 180.0) / 11.25) AS BIGINT)) AS tx,
+           least(31, CAST(floor((lat + 90.0) / 5.625) AS BIGINT)) AS ty
+    FROM nodes)
+  GROUP BY tx, ty)
+"""
+        + "\nUNION ALL\n".join(
+            f"""SELECT CAST(floor(tx / {1 << d}.0) AS BIGINT) AS x,
+       CAST(floor(ty / {1 << d}.0) AS BIGINT) AS y,
+       CAST({d} AS INT) AS res, COUNT(*) AS ntiles,
+       CAST(SUM(value) AS BIGINT) AS sum_value
+FROM base GROUP BY 1, 2, 3"""
+            for d in range(6)
+        ),
         # binned range join vs DuckDB's native inequality join: clicks in
         # the half-open 6-hour window after a same-user error
         "q_range_join": """

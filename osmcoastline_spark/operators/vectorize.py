@@ -174,6 +174,55 @@ def uncompact_cells(
     )
 
 
+def tile_pyramid(
+    tiles: DataFrame,
+    levels: int,
+    x_col: str = "tx",
+    y_col: str = "ty",
+    value_col: str = "value",
+) -> DataFrame:
+    """Zoom-pyramid rollup: aggregate finest-zoom tile statistics up the
+    quadtree — the batch build every tile server runs after the per-tile
+    stage (the reference emits single-zoom tiles,
+    src/coastline_polygons.cpp:322-360; serving them needs the ancestor
+    sums: feature counts for style thresholds, density for LOD culling).
+
+    Input: tiles at the finest resolution with non-negative integer
+    coords and an additive `value_col`. Output, one row per non-empty
+    ancestor cell: (x, y, res, ntiles, sum_value) for every res in
+    [0, levels], where res 0 is the input zoom and the cell at res r is
+    the 2^r × 2^r block (x·2^r, y·2^r) — the same cover convention as
+    `compact_cells`.
+
+    Plan: ONE exchange. Each base tile explodes its own ancestor chain
+    (levels+1 rows of pure column math) and a single groupBy on
+    (x >> res, y >> res, res) aggregates every level at once — instead
+    of the per-level groupBy chain, whose levels-many barriers dominate
+    at pyramid depth (the frames shrink 4× per level, so its shuffle
+    bytes are geometric but its LATENCY is linear in levels). Map-side
+    partial aggregation bounds each task's shuffle output by the
+    ancestors it actually saw, which also absorbs the apex hot key: the
+    res=levels root row receives one partial per task, not one row per
+    base tile — the same reason a global count() scales.
+    """
+    if levels < 1:
+        raise ValueError(f"levels must be >= 1, got {levels}")
+    exp = tiles.select(
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+        F.col(value_col).cast("long").alias("_v"),
+        F.explode(F.sequence(F.lit(0), F.lit(levels))).alias("res"),
+    )
+    return exp.groupBy(
+        F.expr("shiftright(_x, res)").alias("x"),
+        F.expr("shiftright(_y, res)").alias("y"),
+        F.col("res"),
+    ).agg(
+        F.count(F.lit(1)).alias("ntiles"),
+        F.sum("_v").alias("sum_value"),
+    )
+
+
 def grid_disk(
     cells: DataFrame,
     k: int,

@@ -186,3 +186,73 @@ def test_grid_disk_hand_and_plan(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         grid_disk(cells, k=-1)
+
+
+def _pyramid_ref(vals, levels):
+    # vals: {(x, y): v} at res 0
+    ref = {}
+    for (x, y), v in vals.items():
+        for d in range(levels + 1):
+            key = (x >> d, y >> d, d)
+            n, s = ref.get(key, (0, 0))
+            ref[key] = (n + 1, s + v)
+    return sorted((x, y, d, n, s) for (x, y, d), (n, s) in ref.items())
+
+
+def test_tile_pyramid_hand_computed(spark):
+    from osmcoastline_spark.operators.vectorize import tile_pyramid
+
+    # 2x2 sibling block at (0,0)..(1,1) + a loner at (3,0):
+    # res1: (0,0) sums the block, (1,0) holds the loner; res2 root sums all
+    tiles = spark.createDataFrame(
+        [(0, 0, 1), (1, 0, 2), (0, 1, 4), (1, 1, 8), (3, 0, 16)],
+        "tx: long, ty: long, value: long",
+    )
+    got = sorted(
+        (r.x, r.y, r.res, r.ntiles, r.sum_value)
+        for r in tile_pyramid(tiles, levels=2).collect()
+    )
+    assert got == [
+        (0, 0, 0, 1, 1), (0, 0, 1, 4, 15), (0, 0, 2, 5, 31),
+        (0, 1, 0, 1, 4), (1, 0, 0, 1, 2), (1, 0, 1, 1, 16),
+        (1, 1, 0, 1, 8), (3, 0, 0, 1, 16),
+    ]
+
+
+def test_tile_pyramid_random_matches_pure_python(spark):
+    from osmcoastline_spark.operators.vectorize import tile_pyramid
+
+    import random as _random
+
+    rng = _random.Random(5)
+    vals = {}
+    for _ in range(200):
+        vals[(rng.randrange(64), rng.randrange(64))] = rng.randrange(1, 100)
+    tiles = spark.createDataFrame(
+        [(x, y, v) for (x, y), v in vals.items()], "tx: long, ty: long, value: long"
+    )
+    got = sorted(
+        (r.x, r.y, r.res, r.ntiles, r.sum_value)
+        for r in tile_pyramid(tiles, levels=6).collect()
+    )
+    ref = _pyramid_ref(vals, 6)
+    assert got == ref
+    # the res=6 apex row is the global rollup
+    apex = [r for r in got if r[2] == 6]
+    assert apex == [(0, 0, 6, len(vals), sum(vals.values()))]
+
+
+def test_tile_pyramid_single_exchange_and_guard(spark):
+    from osmcoastline_spark.operators.vectorize import tile_pyramid
+
+    tiles = spark.createDataFrame([(0, 0, 1), (5, 3, 2)], "tx: long, ty: long, value: long")
+    plan = (
+        tile_pyramid(tiles, levels=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # every level aggregates through ONE shuffle (partial agg map-side)
+    assert plan.count("Exchange") == 1, plan
+    with pytest.raises(ValueError, match="levels"):
+        tile_pyramid(tiles, levels=0)
