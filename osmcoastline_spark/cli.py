@@ -1,10 +1,15 @@
 """CLI — option parity with the reference binary (src/options.cpp:101-227)
 for the flags that make sense on Spark, launched as
 
-    spark-submit --py-files osmcoastline_spark.zip -m osmcoastline_spark.cli \
+    python tools/make_pyfiles.py        # -> dist/osmcoastline_spark.zip
+    spark-submit --py-files dist/osmcoastline_spark.zip \
+        osmcoastline_spark/cli.py \
         --nodes /path/nodes.parquet --ways /path/ways.parquet \
         --output-database /path/out
 
+(this file doubles as the spark-submit app script; the package imports
+resolve from the --py-files zip — tests/test_spark_submit.py runs this
+launch for real from a cwd where the zip is the ONLY import source)
 or plainly `python -m osmcoastline_spark.cli ...` in local mode.
 """
 
