@@ -14,18 +14,37 @@ run, so the alloc probe is the one that predicts their wall time.
 """
 import time
 
-import numpy as np
+ALLOC_HEALTHY_S = 0.12
+CPU_HEALTHY_S = 0.3
 
-a = np.random.RandomState(0).rand(8_000_000)  # warm (already-faulted pages)
-t0 = time.time()
-b = a + a
-c = b * a
-d = c + b  # ~192 MB of fresh allocations
-alloc_s = time.time() - t0
-t0 = time.time()
-s = sum(i for i in range(3_000_000))
-cpu_s = time.time() - t0
-print(
-    f"alloc192MB={alloc_s:.3f}s cpu3M={cpu_s:.3f}s "
-    f"{'HEALTHY' if alloc_s < 0.12 and cpu_s < 0.3 else 'DEGRADED'}"
-)
+
+def probe() -> dict:
+    """One sample: ~192 MB of fresh allocations + a 3M-iteration loop.
+
+    The single importable implementation — bench.py and the kernel
+    harnesses call THIS so the thresholds cannot silently diverge.
+    """
+    import numpy as np
+
+    a = np.random.RandomState(0).rand(8_000_000)  # warm (faulted) pages
+    t0 = time.time()
+    b = a + a
+    c = b * a
+    _ = c + b  # ~192 MB of fresh allocations
+    alloc_s = time.time() - t0
+    t0 = time.time()
+    _ = sum(i for i in range(3_000_000))
+    cpu_s = time.time() - t0
+    return {
+        "alloc192MB_s": round(alloc_s, 3),
+        "cpu3M_s": round(cpu_s, 3),
+        "healthy": alloc_s < ALLOC_HEALTHY_S and cpu_s < CPU_HEALTHY_S,
+    }
+
+
+if __name__ == "__main__":
+    p = probe()
+    print(
+        f"alloc192MB={p['alloc192MB_s']:.3f}s cpu3M={p['cpu3M_s']:.3f}s "
+        f"{'HEALTHY' if p['healthy'] else 'DEGRADED'}"
+    )

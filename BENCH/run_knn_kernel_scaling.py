@@ -67,24 +67,14 @@ spark.stop()
 
 
 def host_probe() -> dict:
-    """Fault-path/CPU probe (BENCH/host_probe.py) recorded per level: this
-    kernel materializes ~23 GB of fresh pages per child, so hypervisor
-    fault-path degradation (alloc >> 0.12 s while cpu is normal) inflates
-    its wall time up to ~11x (measured 25.3 s vs 281 s, identical input)."""
-    import time as _t
+    """Shared fault-path/CPU probe (BENCH/host_probe.py): this kernel
+    materializes ~23 GB of fresh pages per child, so hypervisor fault-path
+    degradation (alloc >> 0.12 s while cpu is normal) inflates its wall
+    time up to ~11x (measured 25.3 s vs 281 s, identical input)."""
+    sys.path.insert(0, os.path.join(REPO, "BENCH"))
+    from host_probe import probe
 
-    import numpy as np
-
-    a = np.random.RandomState(0).rand(8_000_000)
-    t0 = _t.time()
-    b = a + a
-    c = b * a
-    _ = c + b
-    alloc_s = _t.time() - t0
-    t0 = _t.time()
-    _ = sum(i for i in range(3_000_000))
-    cpu_s = _t.time() - t0
-    return {"alloc192MB_s": round(alloc_s, 3), "cpu3M_s": round(cpu_s, 3)}
+    return probe()
 
 
 def main() -> None:
@@ -117,20 +107,33 @@ def main() -> None:
 
     attempts = {lo: [], hi: []}
     probes = []
-    for _ in range(repeats):
-        probe = host_probe()
-        probes.append(probe)
-        if probe["alloc192MB_s"] > 0.12 and not os.environ.get(
-            "SPARK_GRAFT_ALLOW_DEGRADED"
-        ):
-            print(json.dumps({"aborted": "host degraded", "probes": probes}))
+
+    def gate() -> None:
+        """Probe BEFORE EVERY child, not once per repeat: the degradation
+        swings within minutes (control run: 0.15 -> 8.3 s), so a timed
+        region is only probe-clean if bracketed on both sides — the next
+        child's leading probe is the previous child's trailing one."""
+        p = host_probe()
+        probes.append(p)
+        if not p["healthy"] and not os.environ.get("SPARK_GRAFT_ALLOW_DEGRADED"):
+            # keep the completed attempts: minutes of child runs are data
+            # even when the window closes mid-harness
+            print(json.dumps({
+                "aborted": "host degraded", "probes": probes,
+                "attempts": {str(k): v for k, v in attempts.items()},
+            }))
             raise SystemExit(
-                f"host fault-path degraded (alloc probe {probe['alloc192MB_s']}s"
-                " > 0.12s): numbers from this window are not promotable; set "
+                f"host fault-path degraded (alloc probe {p['alloc192MB_s']}s): "
+                "numbers from this window are not promotable; set "
                 "SPARK_GRAFT_ALLOW_DEGRADED=1 to record anyway"
             )
+
+    for _ in range(repeats):
+        gate()
         attempts[lo].append(level(lo))
+        gate()
         attempts[hi].append(level(hi))
+    gate()  # trailing bracket: the last child's window must close clean too
 
     def best(la: list[dict]) -> dict:
         out = {}

@@ -34,21 +34,15 @@ def _host_probe() -> dict:
     stalls where FRESH allocations run ~50x slow while CPU and
     steady-state bandwidth stay normal (measured: identical kernel 25.3 s
     vs 281 s). A bench number without the probe is uninterpretable across
-    rounds; healthy reference is alloc ~0.05-0.10 s, cpu ~0.10-0.17 s
-    (BENCH/host_probe.py).
+    rounds. Single shared implementation + thresholds: BENCH/host_probe.py;
+    the run is probed at START and END (detail.host_probe /
+    detail.host_probe_end) because the degradation swings within minutes —
+    only a run bracketed by two healthy samples is a clean-window number.
     """
-    import numpy as np
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"))
+    from host_probe import probe
 
-    a = np.random.RandomState(0).rand(8_000_000)
-    t0 = time.time()
-    b = a + a
-    c = b * a
-    _ = c + b
-    alloc_s = time.time() - t0
-    t0 = time.time()
-    _ = sum(i for i in range(3_000_000))
-    cpu_s = time.time() - t0
-    return {"alloc192MB_s": round(alloc_s, 3), "cpu3M_s": round(cpu_s, 3)}
+    return probe()
 
 
 def main() -> None:
@@ -183,6 +177,7 @@ def main() -> None:
                 "sf": sf,
                 "detail": {
                     "host_probe": probe,
+                    "host_probe_end": _host_probe(),
                     "query_attempts": query_attempts,
                     "pipeline_attempts": attempts,
                     "islands": n_islands,

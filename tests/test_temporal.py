@@ -2,6 +2,7 @@
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from osmcoastline_spark.functions.temporal import asof_join, sessionize
@@ -146,9 +147,6 @@ def test_range_join_hand_computed(spark):
     with _pytest.raises(Exception, match="covers > 4 bins"):
         range_join(points, wide, on="user_id", bin_width_s=7.0,
                    max_bins_per_interval=4).collect()
-
-
-import pytest
 
 
 @pytest.mark.parametrize(
