@@ -23,7 +23,9 @@ the DuckDB oracle can verify spatial operators without a spatial extension):
   spatial-idx : raster→vector run-merge (empty-tile water slabs),
                 H3/S2-style quadtree compact()/uncompact() round trip,
                 gridDisk k-ring (coastal-halo candidate tiles),
-                radius-bounded spatial kNN join (oracle = brute force)
+                radius-bounded spatial kNN join (oracle = brute force),
+                zoom-pyramid tile rollup (single-exchange ancestor
+                explode; oracle = per-level UNION ALL)
   ranking     : BM25 / TF-IDF relevance top-k (rational-idf oracle
                 bit-exact; classic ln-idf pytest-verified)
   temporal    : gap sessionization; as-of join (joinless union+window,
