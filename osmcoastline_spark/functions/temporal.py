@@ -43,36 +43,60 @@ def asof_join(
     the right side sorts before the left at equal ts via the source tag).
     Right-side ties at the same ts resolve to the LAST one in
     (ts, *payload) order, deterministically.
+
+    The matched row is carried as ONE struct (not per-column
+    last(ignorenulls)): a NULL inside the winning right row's payload
+    stays NULL instead of being backfilled from an OLDER right row —
+    per-column carries would tear the row, mixing fields of different
+    right rows. Right rows with NULL ts are dropped up front (they can
+    never satisfy `right.ts <= left.ts`; under nulls-first ordering
+    they would otherwise win as a bogus baseline for every left row).
     """
     lcols = left.columns
     pay = list(payload_cols)
-    l_tag = left.withColumn("_src", F.lit(1))
-    for c in pay:
-        l_tag = l_tag.withColumn(f"_p_{c}", F.lit(None).cast(right.schema[c].dataType))
-    l_tag = l_tag.withColumn(f"_p_{ts_col}", F.lit(None).cast(right.schema[ts_col].dataType))
-    r_tag = right.select(
+    # one atomic struct per right row: all payload fields + the match ts
+    p_struct = F.struct(
+        *[F.col(c).alias(c) for c in pay], F.col(ts_col).alias("_mts")
+    )
+    l_tag = left.withColumn("_src", F.lit(1)).withColumn(
+        "_p",
+        F.lit(None).cast(
+            "struct<"
+            + ", ".join(
+                [f"`{c}`: {right.schema[c].dataType.simpleString()}" for c in pay]
+                + [f"`_mts`: {right.schema[ts_col].dataType.simpleString()}"]
+            )
+            + ">"
+        ),
+    )
+    r_tag = right.filter(F.col(ts_col).isNotNull()).select(
         F.col(on),
         F.col(ts_col),
         F.lit(0).alias("_src"),
-        *[F.col(c).alias(f"_p_{c}") for c in pay],
-        F.col(ts_col).alias(f"_p_{ts_col}"),
+        p_struct.alias("_p"),
     )
     for c in lcols:
         if c not in (on, ts_col):
             r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     both = l_tag.unionByName(r_tag.select(l_tag.columns))
     # right rows sort before left rows at equal ts (ASOF >=); right-side
-    # ties order by payload for a deterministic winner
+    # ties order by the payload struct for a deterministic winner (struct
+    # ordering is field-wise, so this is the documented (*payload) order)
     w = (
         Window.partitionBy(on)
-        .orderBy(ts_col, "_src", *[f"_p_{c}" for c in pay])
+        .orderBy(ts_col, "_src", "_p")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [
-        F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
-        for c in pay + [ts_col]
-    ]
-    return both.select(*lcols, "_src", *carried).filter(F.col("_src") == 1).drop("_src")
+    carried = F.last("_p", ignorenulls=True).over(w)
+    return (
+        both.select(*lcols, "_src", carried.alias("_m"))
+        .filter(F.col("_src") == 1)
+        .select(
+            *lcols,
+            *[F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in pay],
+            F.col("_m._mts").alias(f"{prefix}{ts_col}"),
+        )
+    )
 
 
 def sessionize(

@@ -92,6 +92,37 @@ def test_asof_join_matches_brute_force(spark):
         assert got[i] == want, (i, got[i], want)
 
 
+def test_asof_join_null_payload_not_torn(spark):
+    """The matched right row is carried ATOMICALLY: a NULL payload in the
+    winning (latest) right row must surface as NULL, not be backfilled
+    from an older right row (per-column last(ignorenulls) would tear the
+    row — mixing asof_value from ts=1 with asof_ts from ts=2)."""
+    left = _events(spark, [(1, 1, 300, 0.0)])
+    right = spark.createDataFrame(
+        [(10, 1, _ts(100), 5.0), (11, 1, _ts(200), None)],
+        "event_id: long, user_id: long, ts: timestamp, value: double",
+    )
+    out = asof_join(left, right, on="user_id").collect()
+    assert len(out) == 1
+    # the winner is the ts=200 row — BOTH fields must come from it
+    assert out[0].asof_ts == _ts(200)
+    assert out[0].asof_value is None
+
+
+def test_asof_join_null_right_ts_excluded(spark):
+    """A right row with NULL ts can never satisfy right.ts <= left.ts;
+    under nulls-first window ordering it would otherwise become a bogus
+    baseline match for left rows that precede every real right row."""
+    left = _events(spark, [(1, 1, 50, 0.0)])
+    right = spark.createDataFrame(
+        [(10, 1, None, 9.0), (11, 1, _ts(100), 7.0)],
+        "event_id: long, user_id: long, ts: timestamp, value: double",
+    )
+    out = asof_join(left, right, on="user_id").collect()
+    assert len(out) == 1
+    assert out[0].asof_value is None and out[0].asof_ts is None
+
+
 def test_asof_join_plan_is_joinless(spark):
     left = _events(spark, [(1, 1, 100, 0.0)])
     right = _events(spark, [(10, 1, 50, 7.0)])
