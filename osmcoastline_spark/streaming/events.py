@@ -197,17 +197,29 @@ def stream_sessionize(
     watermark: str | None = None,
 ):
     """Streaming twin of functions.temporal.sessionize: gap-based sessions
-    over an unbounded event stream, emitted when the event-time watermark
-    passes session_end + gap (EventTimeTimeout — the canonical
-    applyInPandasWithState session pattern).
+    over an unbounded event stream (EventTimeTimeout
+    applyInPandasWithState).
 
-    State per key is ONE open session (start/end/n/sum + the running
-    session index), so state size is O(active keys), independent of
-    stream length. Sessions that close WITHIN a batch (an in-batch gap)
-    emit immediately; the trailing open session waits for its timeout.
-    Emitted rows match the batch operator exactly for any replay in which
-    the watermark eventually passes every session's close (the batch
-    twin's trailing sessions are the stream's still-open state).
+    A session is emitted only once the event-time watermark passes
+    session_end + gap — never earlier, even when a later event already
+    opened the next session inside the same batch. That restraint is what
+    makes the operator EXACT under out-of-order arrival: until the
+    watermark passes, a late-but-within-watermark event can still land
+    inside a session's span, extend it, or bridge two provisional
+    sessions into one, so un-closed events stay buffered in state and the
+    session walk is recomputed from the buffer each invocation. Emitted
+    rows therefore match the batch operator exactly over the events that
+    arrived within the watermark (events older than the current watermark
+    are dropped, the standard streaming guarantee boundary; the batch
+    twin's trailing sessions are the stream's still-open buffer).
+
+    State per key is the un-emitted event buffer plus the running session
+    index: O(events inside the watermark horizon) while a key is active —
+    the price of exactness with late data — and one integer counter
+    forever after (the index must survive session closes so numbering
+    stays parity with the batch twin instead of restarting at 1; a
+    production deployment that accepts per-burst renumbering can clear
+    idle keys with state TTL).
 
     Output: key, session_idx, start_us, end_us, n_events, sum_value.
     """
@@ -223,64 +235,90 @@ def stream_sessionize(
         F.col(value_col).alias("_v"),
     )
     gap_us = gap_seconds * 1_000_000
+    key_type = stream.schema[key_col].dataType.simpleString()
 
     def upd(key, pdfs, state):
-        def emit(start, end, n, sumv, idx):
-            return pd.DataFrame(
-                {
-                    key_col: [key[0]],
-                    "session_idx": [idx],
-                    "start_us": [start],
-                    "end_us": [end],
-                    "n_events": [n],
-                    "sum_value": [sumv],
-                }
-            )
+        wm_us = state.getCurrentWatermarkMs() * 1000
 
         if state.hasTimedOut:
-            start, end, n, sumv, idx = state.get
-            state.remove()
-            return iter([emit(start, end, n, sumv, idx)])
-
-        rows = []
-        for pdf in pdfs:
-            if len(pdf):
-                rows.append(pdf[["_us", "_v"]])
-        if not rows:
-            return iter(())
-        batch = pd.concat(rows).sort_values("_us", kind="stable")
-        out = []
-        if state.exists:
-            start, end, n, sumv, idx = state.get
+            us_buf, v_buf, idx = state.get
+            buf = sorted(zip(us_buf, v_buf))
         else:
-            start, end, n, sumv, idx = None, None, 0, 0.0, 0
-        for us, v in zip(batch["_us"].astype("int64"), batch["_v"]):
-            us, v = int(us), float(v)
-            if start is None:
-                start, end, n, sumv, idx = us, us, 1, v, idx + 1
-            elif us - end > gap_us:
-                out.append(emit(start, end, n, sumv, idx))
-                start, end, n, sumv, idx = us, us, 1, v, idx + 1
+            if state.exists:
+                us_buf, v_buf, idx = state.get
+                buf = list(zip(us_buf, v_buf))
             else:
-                # late-but-within-watermark events may precede the open
-                # session's start — extend both bounds
-                start, end, n, sumv = min(start, us), max(end, us), n + 1, sumv + v
-        state.update((start, end, n, sumv, idx))
-        # close when the event-time watermark passes end + gap; a batch of
-        # late-only events can put end+gap at/behind the current watermark,
-        # and Spark requires a strictly-future timeout — clamp forward
-        state.setTimeoutTimestamp(
-            max((end + gap_us) // 1000 + 1, state.getCurrentWatermarkMs() + 1)
+                buf, idx = [], 0
+            for pdf in pdfs:
+                if len(pdf):
+                    # events older than the watermark are dropped (they may
+                    # belong to an already-emitted session; merging them
+                    # could never retro-correct an append-mode emission)
+                    for us, v in zip(pdf["_us"].astype("int64"), pdf["_v"]):
+                        if int(us) >= wm_us or wm_us == 0:
+                            buf.append((int(us), float(v)))
+            buf.sort()
+        if not buf:
+            return iter(())
+
+        # session walk over the full buffer, then emit the closed PREFIX:
+        # session ends are increasing, so the first session with
+        # end + gap >= watermark blocks everything after it (a future
+        # event could still extend or bridge it)
+        sessions = []
+        start = end = None
+        n, sumv, first_i = 0, 0.0, 0
+        for i, (us, v) in enumerate(buf):
+            if start is None:
+                start, end, n, sumv, first_i = us, us, 1, v, i
+            elif us - end > gap_us:
+                sessions.append((start, end, n, sumv, first_i))
+                start, end, n, sumv, first_i = us, us, 1, v, i
+            else:
+                end, n, sumv = us, n + 1, sumv + v
+        sessions.append((start, end, n, sumv, first_i))
+
+        out = []
+        keep_from = len(buf)
+        pending_close_us = None
+        for start, end, n, sumv, first_i in sessions:
+            if pending_close_us is None and end + gap_us < wm_us:
+                idx += 1
+                out.append((key[0], idx, start, end, n, sumv))
+            elif pending_close_us is None:
+                pending_close_us = end + gap_us
+                keep_from = first_i
+        buf = buf[keep_from:]
+
+        state.update(([u for u, _ in buf], [v for _, v in buf], idx))
+        if pending_close_us is not None:
+            # fire when the watermark passes the earliest pending close;
+            # Spark requires a strictly-future timeout — clamp forward
+            state.setTimeoutTimestamp(
+                max(pending_close_us // 1000 + 1, state.getCurrentWatermarkMs() + 1)
+            )
+        # else: buffer drained — state keeps only the index, no timeout
+        if not out:
+            return iter(())
+        return iter(
+            [
+                pd.DataFrame(
+                    out,
+                    columns=[
+                        key_col, "session_idx", "start_us", "end_us",
+                        "n_events", "sum_value",
+                    ],
+                )
+            ]
         )
-        return iter(out)
 
     return ev.groupBy(key_col).applyInPandasWithState(
         upd,
         outputStructType=(
-            f"{key_col} long, session_idx long, start_us long, "
+            f"{key_col} {key_type}, session_idx long, start_us long, "
             "end_us long, n_events long, sum_value double"
         ),
-        stateStructType="start long, end long, n long, sumv double, idx long",
+        stateStructType="us array<long>, v array<double>, idx long",
         outputMode="append",
         timeoutConf="EventTimeTimeout",
     )

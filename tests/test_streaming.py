@@ -271,10 +271,11 @@ def test_stream_phash_bit63_and_replay(spark, tmp_path):
 
 
 def test_stream_sessionize(spark, tmp_path):
-    """applyInPandasWithState sessionization: an in-batch gap emits
-    immediately; the trailing open session emits when a later batch
-    advances the event-time watermark past end+gap; results equal the
-    batch twin (functions.temporal.sessionize) over the same replay."""
+    """applyInPandasWithState sessionization: sessions emit only when the
+    event-time watermark passes end+gap (never earlier — a late event
+    could still bridge an in-batch gap), numbered in time order; results
+    equal the batch twin (functions.temporal.sessionize) over the same
+    replay."""
     import json
 
     from osmcoastline_spark.functions.temporal import sessionize
@@ -311,17 +312,20 @@ def test_stream_sessionize(spark, tmp_path):
     try:
         q.processAllAvailable()
         got1 = spark.sql("select * from sess_out").collect()
-        # only the in-batch-closed session is out; the trailing one waits
+        # the data batch itself emits nothing (watermark still 0 while it
+        # runs — a late event could in principle bridge the in-batch gap),
+        # but the trailing no-data micro-batch sees the advanced watermark
+        # (310s − 100s = 210s > 10s + 100s) and fires session 1's timeout;
+        # session 2's close (410s) is still ahead of the watermark
         assert [(r.user_id, r.session_idx, r.n_events, r.sum_value) for r in got1] == [
             (1, 1, 2, 3.0)
         ]
         # batch 2: far-future event (another user) advances the watermark
-        # past 310+100 s → user 1's open session times out and emits
+        # to 2900s > 410s → session 2's timeout fires
         with open(src / "b2.json", "w") as f:
             f.write(json.dumps(ev(4, 2, 3000, 8.0)) + "\n")
         q.processAllAvailable()
-        # one more empty-ish batch so the timeout fires after the
-        # watermark update (watermark advances at batch boundaries)
+        # a third batch only nudges user 2's own state; user 1 is done
         with open(src / "b3.json", "w") as f:
             f.write(json.dumps(ev(5, 2, 3010, 16.0)) + "\n")
         q.processAllAvailable()
@@ -348,3 +352,149 @@ def test_stream_sessionize(spark, tmp_path):
         for r in sessionize(batch, gap_seconds=100).collect()
     )
     assert twin == [(1, 1, 2, 3.0), (1, 2, 1, 4.0)]
+
+
+def test_stream_sessionize_late_event_splits_sessions(spark, tmp_path):
+    """A late-but-within-watermark event that precedes the open session's
+    start by more than the gap must form its OWN session (the batch twin
+    splits there) — the un-buffered single-open-session formulation
+    instead folded it into the open session via min(start, us)."""
+    import json
+
+    from osmcoastline_spark.functions.temporal import sessionize
+    from osmcoastline_spark.streaming.events import stream_sessionize
+
+    def ev(eid, uid, sec, v):
+        return {
+            "event_id": eid,
+            "user_id": uid,
+            "ts": f"2024-01-01 {sec // 3600:02d}:{(sec % 3600) // 60:02d}:{sec % 60:02d}",
+            "value": v,
+        }
+
+    src = tmp_path / "sess_late"
+    src.mkdir()
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        stream_sessionize(stream, gap_seconds=60, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("sess_late_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        # incremental write+process pins the arrival order (same-mtime
+        # files can be reordered by the file source, which would make the
+        # "late" event arrive beyond-watermark and be dropped)
+        # b1: user 1 events at 1000s and 1010s open a session
+        with open(src / "b1.json", "w") as f:
+            f.writelines(
+                json.dumps(r) + "\n"
+                for r in [ev(1, 1, 1000, 1.0), ev(2, 1, 1010, 2.0)]
+            )
+        q.processAllAvailable()
+        # b2: LATE event at 100s — within the 2h watermark, gap to 1000s
+        # is 900s > 60s, so it is a separate (earlier) session
+        with open(src / "b2.json", "w") as f:
+            f.write(json.dumps(ev(3, 1, 100, 4.0)) + "\n")
+        q.processAllAvailable()
+        # b3+b4: far-future events advance the watermark past every
+        # close, then fire the timeout on the following trigger
+        with open(src / "b3.json", "w") as f:
+            f.write(json.dumps(ev(4, 2, 20000, 8.0)) + "\n")
+        q.processAllAvailable()
+        with open(src / "b4.json", "w") as f:
+            f.write(json.dumps(ev(5, 2, 20010, 16.0)) + "\n")
+        q.processAllAvailable()
+        got = sorted(
+            (r.user_id, r.session_idx, r.start_us, r.end_us, r.n_events, r.sum_value)
+            for r in spark.sql("select * from sess_late_out").collect()
+            if r.user_id == 1
+        )
+    finally:
+        q.stop()
+
+    T0 = 1704067200000000  # 2024-01-01 00:00:00 UTC in epoch micros
+    want = [
+        (1, 1, T0 + 100_000_000, T0 + 100_000_000, 1, 4.0),
+        (1, 2, T0 + 1000_000_000, T0 + 1010_000_000, 2, 3.0),
+    ]
+    assert got == want
+    # and the batch twin on the same replay agrees exactly
+    batch = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:16:40", 1.0), (2, 1, "2024-01-01 00:16:50", 2.0),
+         (3, 1, "2024-01-01 00:01:40", 4.0)],
+        "event_id long, user_id long, ts string, value double",
+    ).selectExpr("event_id", "user_id", "CAST(ts AS timestamp) AS ts", "value")
+    twin = sorted(
+        (r.user_id, r.session_idx, r.n_events, r.sum_value)
+        for r in sessionize(batch, gap_seconds=60).collect()
+    )
+    assert twin == [(1, 1, 1, 4.0), (1, 2, 2, 3.0)]
+
+
+def test_stream_sessionize_idx_survives_timeout(spark, tmp_path):
+    """Session numbering continues after a timeout-closed session: the
+    state keeps the running index when the buffer drains (state.remove()
+    would restart the key's next session at 1, colliding with the
+    first session in any downstream (key, session_idx) join)."""
+    import json
+
+    from osmcoastline_spark.streaming.events import stream_sessionize
+
+    def ev(eid, uid, sec, v):
+        return {
+            "event_id": eid,
+            "user_id": uid,
+            "ts": f"2024-01-01 {sec // 3600:02d}:{(sec % 3600) // 60:02d}:{sec % 60:02d}",
+            "value": v,
+        }
+
+    src = tmp_path / "sess_idx"
+    src.mkdir()
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        stream_sessionize(stream, gap_seconds=100)
+        .writeStream.format("memory")
+        .queryName("sess_idx_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        # incremental writes pin the arrival order (see the late test)
+        batches = [
+            # session 1 for user 1, closed by watermark advance via user 2
+            [ev(1, 1, 0, 1.0)],
+            [ev(2, 2, 5000, 1.0)],
+            [ev(3, 2, 5010, 1.0)],
+            # session 2 for user 1, after its first was fully emitted
+            [ev(4, 1, 10000, 2.0)],
+            [ev(5, 2, 30000, 1.0)],
+            [ev(6, 2, 30010, 1.0)],
+        ]
+        for i, rows in enumerate(batches):
+            with open(src / f"b{i}.json", "w") as f:
+                f.writelines(json.dumps(r) + "\n" for r in rows)
+            q.processAllAvailable()
+        got = sorted(
+            (r.session_idx, r.n_events, r.sum_value)
+            for r in spark.sql("select * from sess_idx_out").collect()
+            if r.user_id == 1
+        )
+    finally:
+        q.stop()
+    assert got == [(1, 1, 1.0), (2, 1, 2.0)]
