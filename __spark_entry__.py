@@ -193,7 +193,12 @@ def q_filter_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.filter((F.col("event_type") == "click") & (~F.col("props").contains("bogus")))
         .groupBy("user_id")
-        .agg(F.count("*").alias("n_clicks"), F.round(F.sum("value"), 4).alias("click_value"))
+        .agg(
+            F.count("*").alias("n_clicks"),
+            # per-row exact micro-quantization, then int64 sum: order-
+            # independent and engine-exact, unlike round(sum(double), 4)
+            F.sum(F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")).alias("click_value_micros"),
+        )
     )
 
 
@@ -530,7 +535,7 @@ def q_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("window_start").alias("bucket"),
         "event_type",
         "n",
-        "total_value",
+        "total_value_micros",
     )
 
 
@@ -1195,10 +1200,15 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (functions/temporal.py): 1-day gap over
     the events table → per-session aggregates; 1214 sessions / 150 users
     at sf0.01 (non-vacuous splits). Timestamps exported as exact unix
-    micros; the float sum rounded to 6 like q_window_agg."""
+    micros; the value sum is per-row micro-quantized to int64 so it
+    is order-independent and engine-exact."""
     from osmcoastline_spark.functions import temporal as T
 
-    ev = _read(spark, sf_dir, "events")
+    ev = _read(spark, sf_dir, "events").withColumn(
+        # per-row exact micro-quantization: the int64 session sums are
+        # order-independent, unlike round(sum(double), 6)
+        "value", F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    )
     s = T.sessionize(ev, gap_seconds=86400)
     return s.select(
         "user_id",
@@ -1206,7 +1216,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"),
         F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
         "n_events",
-        F.round("sum_value", 6).alias("sum_value"),
+        F.col("sum_value").alias("sum_value_micros"),
     )
 
 
@@ -1512,7 +1522,8 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "q_filter_ways": """
-            SELECT user_id, count(*) AS n_clicks, round(sum(value), 4) AS click_value
+            SELECT user_id, count(*) AS n_clicks,
+                   CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS click_value_micros
             FROM events
             WHERE event_type = 'click' AND props NOT LIKE '%bogus%'
             GROUP BY user_id
@@ -1686,7 +1697,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_window_agg": """
             SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket,
-                   event_type, count(*) AS n, round(sum(value), 6) AS total_value
+                   event_type, count(*) AS n,
+                   CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_value_micros
             FROM events GROUP BY 1, 2
         """,
         "q_dedup_exact": """
@@ -2123,7 +2135,8 @@ s1 AS (
   FROM s0)
 SELECT user_id, session_idx,
        epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
-       count(*) AS n_events, round(sum(value), 6) AS sum_value
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_micros
 FROM s1 GROUP BY user_id, session_idx""",
         # as-of join — DuckDB's NATIVE ASOF operator as an independent
         # oracle for the Spark union+window plan

@@ -15,6 +15,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _value_micros(col: str = "value"):
+    """Per-row exact quantization to integer micro-units: one correctly-
+    rounded double multiply, +0.5, floor — bit-identical on Spark, DuckDB
+    and numpy (the cluster.quantize_expr idiom). Summing the resulting
+    int64s is order-independent, unlike round(sum(double), 6), whose
+    float sum is reassociation-dependent across partition orders and
+    whose final round differs between engines near a 0.5e-6 boundary."""
+    return F.floor(F.col(col) * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+
 def windowed_counts_batch(events: DataFrame, minutes: int = 60) -> DataFrame:
     """Batch twin of the streaming aggregation: tumbling window via
     date_trunc arithmetic (portable to the SQL oracle)."""
@@ -25,7 +35,7 @@ def windowed_counts_batch(events: DataFrame, minutes: int = 60) -> DataFrame:
         events.groupBy(bucket.alias("window_start"), F.col("event_type"))
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            F.sum(_value_micros()).alias("total_value_micros"),
         )
     )
 
@@ -37,9 +47,12 @@ def windowed_counts_stream(stream: DataFrame, minutes: int = 60, watermark: str 
         .groupBy(F.window("ts", f"{minutes} minutes").alias("w"), F.col("event_type"))
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            F.sum(_value_micros()).alias("total_value_micros"),
         )
-        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n",
+            "total_value_micros",
+        )
     )
 
 

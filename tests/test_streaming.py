@@ -27,7 +27,7 @@ def _events_df(spark):
 def test_stream_matches_batch(spark):
     batch = _events_df(spark)
     expected = {
-        (r.window_start, r.event_type): (r.n, r.total_value)
+        (r.window_start, r.event_type): (r.n, r.total_value_micros)
         for r in windowed_counts_batch(batch, minutes=60).withColumn(
             "window_start", F.to_timestamp("window_start")
         ).collect()
@@ -58,14 +58,15 @@ def test_stream_matches_batch(spark):
         got = {}
         while time.time() < deadline:
             rows = spark.sql("SELECT * FROM win_agg").collect()
-            got = {(r.window_start, r.event_type): (r.n, r.total_value) for r in rows}
+            got = {(r.window_start, r.event_type): (r.n, r.total_value_micros) for r in rows}
             if set(got) == set(expected) and all(got[k][0] == expected[k][0] for k in got):
                 break
             time.sleep(1)
         assert set(got) == set(expected), (got, expected)
         for k in expected:
             assert got[k][0] == expected[k][0]
-            assert abs(got[k][1] - expected[k][1]) < 1e-9
+            # int64 micro-sums are exact — equality, no tolerance
+            assert got[k][1] == expected[k][1]
     finally:
         q.stop()
 
