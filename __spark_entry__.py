@@ -1400,7 +1400,14 @@ def _bm25_oracle_sql(terms: list[str], k: int) -> str:
     df_cols = ",\n    ".join(
         f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in terms
     )
-    avgdl = "(CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))"
+    # the CASE mirrors ranking.bm25's degenerate-corpus guard (sum_dl = 0
+    # would make dl/avgdl NaN); on real data both engines take the same
+    # division, so the doubles stay bit-identical
+    avgdl = (
+        "(CASE WHEN s.sum_dl > 0 "
+        "THEN CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE) "
+        "ELSE 1.0 END)"
+    )
     dl_norm = f"(1.0 - 0.75 + 0.75 * (CAST(p.dl AS DOUBLE) / {avgdl}))"
 
     def w(t: str) -> str:

@@ -26,9 +26,18 @@ from pyspark.sql import functions as F
 CELL_STRIDE = 1_000_000
 
 
+def cell_ixy_exprs(lon: Column, lat: Column, cell_deg: float) -> tuple[Column, Column]:
+    """The (ix, iy) cell indices as separate Catalyst expressions — the
+    shared origin/step convention every cell consumer must agree on.
+    `cell_id_expr` packs them; knn_join offsets them before packing (the
+    site-side ±reach expansion needs the axes unpacked)."""
+    ix = F.floor((lon + F.lit(180.0)) / F.lit(cell_deg)).cast("long")
+    iy = F.floor((lat + F.lit(90.0)) / F.lit(cell_deg)).cast("long")
+    return ix, iy
+
+
 def cell_id_expr(lon: Column, lat: Column, cell_deg: float) -> Column:
-    ix = F.floor((lon + F.lit(180.0)) / F.lit(cell_deg))
-    iy = F.floor((lat + F.lit(90.0)) / F.lit(cell_deg))
+    ix, iy = cell_ixy_exprs(lon, lat, cell_deg)
     return (ix * F.lit(CELL_STRIDE) + iy).cast("long")
 
 

@@ -307,10 +307,10 @@ def curation_pipeline(
     cleaned = ld.select(
         F.col(id_col), F.col("text_dedup").alias("text"), "n_lines", "n_kept"
     )
-    g = gopher_rules(cleaned).select(
+    g = gopher_rules(cleaned, id_col=id_col).select(
         id_col, "r_len", "r_mwl", "r_stop", "r_lang", "pass_all"
     )
-    r = repetition_stats(cleaned).select(id_col, "pass_repetition")
+    r = repetition_stats(cleaned, id_col=id_col).select(id_col, "pass_repetition")
     out = cleaned.join(g, id_col).join(r, id_col, "left")
     passrep = F.coalesce(F.col("pass_repetition"), F.lit(0))
     keep = F.col("pass_all") * passrep * (F.col("n_kept") > 0).cast("int")
@@ -358,6 +358,11 @@ def pack_sequences(
 
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
+    if buckets <= 0:
+        # pmod(id, 0) is NULL, which would silently collapse every row
+        # into one NULL pack_group — one global sort, the exact funnel
+        # the bucketing exists to avoid
+        raise ValueError("buckets must be positive")
     g = F.pmod(F.col(id_col), F.lit(buckets)).cast("int")
     base = chunks.select(
         g.alias("pack_group"),

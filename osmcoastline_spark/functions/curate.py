@@ -120,7 +120,9 @@ def word_ngrams(text: Column, n: int) -> Column:
     )
 
 
-def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Gopher-style repetition signals: duplicate-word fraction and
     top-bigram fraction, plus their pass/fail gates.
 
@@ -153,24 +155,24 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     toks_f = F.filter(F.split(F.trim(t), r"\s+"), lambda x: F.length(x) > 0)
     base = docs.select(
-        "doc_id",
+        id_col,
         F.size(toks_f).cast("long").alias("tokens"),  # long: old sum(c) parity
         F.size(F.array_distinct(toks_f)).cast("long").alias("distinct_tokens"),
     ).filter(F.col("tokens") > 0)  # old wagg base: docs with >=1 real token
-    grams = docs.select("doc_id", F.explode(word_ngrams(t, 2)).alias("gram"))
+    grams = docs.select(id_col, F.explode(word_ngrams(t, 2)).alias("gram"))
     bagg = (
-        grams.groupBy("doc_id", "gram")
+        grams.groupBy(id_col, "gram")
         .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
+        .groupBy(id_col)
         .agg(F.max("c").alias("top_bigram"), F.sum("c").alias("bigrams"))
     )
-    out = base.join(bagg, "doc_id", "left")
+    out = base.join(bagg, id_col, "left")
     dup = F.lit(1.0) - F.col("distinct_tokens").cast("double") / F.col("tokens").cast("double")
     top2 = F.when(
         F.col("bigrams").isNull() | (F.col("bigrams") == 0), F.lit(0.0)
     ).otherwise(F.col("top_bigram").cast("double") / F.col("bigrams").cast("double"))
     return out.select(
-        "doc_id",
+        id_col,
         "tokens",
         "distinct_tokens",
         dup.alias("dup_word_frac"),
@@ -263,7 +265,9 @@ def stratified_sample(
     return docs.filter(u < thr)
 
 
-def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def gopher_rules(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Gopher-style quality gates as named boolean columns (0/1 ints for
     engine-portable comparison) + the conjunction `pass_all`.
 
@@ -290,7 +294,7 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
     r_stop = (stopword_ratio(t) >= 0.04).cast("int")
     r_lang = (lang_guess(t) != "und").cast("int")
     return docs.select(
-        "doc_id",
+        id_col,
         mwl.alias("mean_word_len"),
         punct_ratio(t).alias("punct_ratio"),
         r_len.alias("r_len"),

@@ -123,7 +123,13 @@ def bm25(
     scored = per_doc.crossJoin(F.broadcast(stats))
 
     n = F.col("n_docs").cast("double")
-    avgdl = F.col("sum_dl").cast("double") / n
+    # a corpus of only empty/whitespace docs has avgdl = 0; without the
+    # guard dl/avgdl is 0/0 = NaN and bm25_topk would rank the NaN
+    # scores FIRST. Every tf is 0 there, so the score is 0 either way —
+    # the guard just keeps the arithmetic finite.
+    avgdl = F.when(F.col("sum_dl") > 0, F.col("sum_dl").cast("double") / n).otherwise(
+        F.lit(1.0)
+    )
 
     def weight(t: str) -> Column:
         tf = F.col(f"tf_{t}").cast("double")

@@ -53,7 +53,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from osmcoastline_spark.cells import CELL_STRIDE
+from osmcoastline_spark.cells import CELL_STRIDE, cell_ixy_exprs
 
 
 def knn_join(
@@ -93,13 +93,10 @@ def knn_join(
             f"raise cell_deg (= {cell_deg}) toward radius (= {radius})"
         )
 
-    def _cell(df: DataFrame, xc: str, yc: str) -> tuple:
-        return (
-            F.floor((F.col(xc) + F.lit(180.0)) / F.lit(cell_deg)).cast("long"),
-            F.floor((F.col(yc) + F.lit(90.0)) / F.lit(cell_deg)).cast("long"),
-        )
-
-    px, py = _cell(points, x, y)
+    # shared cell convention (origin/step/packing) from cells.py — a
+    # drifted private copy here would silently mis-join against covers
+    # built with cell_id_expr
+    px, py = cell_ixy_exprs(F.col(x), F.col(y), cell_deg)
     p = points.select(
         F.col(point_id).alias("_pid"),
         F.col(x).alias("_px"),
@@ -107,7 +104,7 @@ def knn_join(
         (px * CELL_STRIDE + py).alias("_cell"),
     )
 
-    sx, sy = _cell(sites, x, y)
+    sx, sy = cell_ixy_exprs(F.col(x), F.col(y), cell_deg)
     off = F.sequence(F.lit(-reach), F.lit(reach))
     s = (
         sites.select(

@@ -279,3 +279,37 @@ def test_pack_sequences_rejects_bad_seq_len(spark):
     chunks = spark.createDataFrame([(0, 1, 5)], "doc_id long, chunk_id long, n_tokens long")
     with _pytest.raises(ValueError, match="seq_len"):
         pack_sequences(chunks, seq_len=0)
+
+
+def test_pack_sequences_rejects_bad_buckets(spark):
+    """buckets=0 would make pmod return NULL and silently collapse every
+    row into one NULL pack_group (a single global sort) — fail loudly."""
+    import pytest as _pytest
+
+    from osmcoastline_spark.functions.clean import pack_sequences
+
+    chunks = spark.createDataFrame([(0, 1, 5)], "doc_id long, chunk_id long, n_tokens long")
+    with _pytest.raises(ValueError, match="buckets"):
+        pack_sequences(chunks, buckets=0)
+
+
+def test_curation_pipeline_custom_id_col(spark):
+    """id_col must actually thread through the composed stages (the gates
+    hardcoded doc_id and crashed on any other id column)."""
+    from osmcoastline_spark.functions.clean import curation_pipeline
+
+    docs = spark.createDataFrame(
+        [
+            (7, "This is a reasonably long natural language document that should "
+                "pass the basic length gate because it keeps going with plain "
+                "words and the usual little stopwords in it for a while longer."),
+            (9, "x"),
+        ],
+        "my_id long, text string",
+    )
+    out = curation_pipeline(docs, id_col="my_id")
+    rows = {r.my_id: r.keep for r in out.collect()}
+    assert set(rows) <= {7, 9} and len(rows) >= 1
+    # and the default path still works unchanged
+    out2 = curation_pipeline(docs.withColumnRenamed("my_id", "doc_id"))
+    assert {r.doc_id for r in out2.collect()} == set(rows)

@@ -104,3 +104,14 @@ def test_validation():
     with pytest.raises(ValueError, match="k must be"):
         bm25_topk(df, ["fox"], k=0)
     assert pyspark.sql is not None
+
+
+def test_degenerate_all_empty_corpus_scores_zero(spark):
+    """avgdl = 0 (only empty/whitespace docs) must not produce NaN scores
+    — orderBy(desc) ranks NaN above every real double, so a degenerate
+    corpus would return confident-looking top-k rows."""
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "\t")], "doc_id long, text string"
+    )
+    rows = bm25_topk(docs, ["fox"], k=3).collect()
+    assert [r.score for r in rows] == [0.0, 0.0, 0.0]
