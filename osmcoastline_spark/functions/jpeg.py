@@ -193,6 +193,10 @@ class _BitWriter:
             self.out.append(byte)
             if byte == 0xFF:  # byte stuffing (T.81 F.1.2.3)
                 self.out.append(0x00)
+        # truncate the accumulator to the pending bits — an unmasked
+        # Python int grows one byte per write forever, turning every
+        # later shift into bigint arithmetic (O(n²) in scan size)
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> None:
         if self.nbits:
@@ -325,7 +329,12 @@ class _BitReader:
         if self.nbits == 0:
             self._fill()
         self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        bit = (self.acc >> self.nbits) & 1
+        # drop the consumed bit: without the mask the accumulator keeps
+        # every byte ever read and the shifts become bigint-sized
+        # (O(n²) in scan length — measured 15 s for a 256×256 decode)
+        self.acc &= (1 << self.nbits) - 1
+        return bit
 
     def bits(self, n: int) -> int:
         v = 0

@@ -134,7 +134,13 @@ def lsh_topk(
     joins."""
     if dim is None:
         # fallback only — callers on the hot path must pass dim
-        dim = len(vectors.select(vec_col).limit(1).collect()[0][0])
+        first = vectors.select(vec_col).limit(1).collect()
+        if not first or first[0][0] is None:
+            raise ValueError(
+                f"cannot infer embedding dim from an empty input or a NULL "
+                f"first {vec_col!r}; pass dim explicitly"
+            )
+        dim = len(first[0][0])
     codes = lsh_codes_udf(dim, bits, n_tables, seed)
     tagged = vectors.select(
         F.col(id_col).alias("vid"),
@@ -171,10 +177,16 @@ def ivf_cells_expr(vec_col: str, nprobe: int) -> Column:
         ),
     )
     top = F.slice(F.sort_array(scores, asc=False), 1, nprobe)
-    return F.transform(
+    cells = F.transform(
         top,
         lambda s: s["i"].cast("long") * 2
         + F.when(F.element_at(vec, s["i"]) > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    # empty/NULL embeddings produce no probe cells instead of killing the
+    # job: sequence(1, 0) is the DESCENDING array [1, 0] and element_at
+    # then hits invalid indices (same guard as dedup.duplicated_spans)
+    return F.when(F.size(vec) > 0, cells).otherwise(
+        F.array().cast("array<bigint>")
     )
 
 
@@ -191,7 +203,10 @@ def ivf_topk(
         F.col(vec_col).alias("vec"),
         ivf_cells_expr(vec_col, nprobe).alias("cells"),
     )
-    lists = cells.select(
+    # empty/NULL embeddings have no probe cells (ivf_cells_expr guard) —
+    # skip them here too: element_at(cells, 1) on an empty array throws
+    # under ANSI mode (the explode below drops them for free)
+    lists = cells.filter(F.size("cells") > 0).select(
         F.col("vid").alias("nbr_id"),
         F.col("vec").alias("nbr_vec"),
         F.element_at("cells", 1).alias("cell"),

@@ -97,10 +97,17 @@ def lang_guess(text: Column) -> Column:
 
 def rolling_fingerprint(text: Column) -> Column:
     """Order-sensitive document fingerprint: polynomial hash of the UTF-8
-    code units with an 8-cycle exponent (no overflow in int64; identical
-    arithmetic expressible in DuckDB SQL).
+    code units with an 8-cycle exponent (identical arithmetic expressible
+    in DuckDB SQL).
 
         fp = sum( ascii(s[i]) * 31^(i mod 8) ) mod 1_000_000_007
+
+    The accumulator reduces mod p at every step: each term is
+    < 2^55 (codepoint ≤ 0x10FFFF × 31^7) and the running value < 2^30,
+    so the int64 add can never overflow no matter the document length —
+    an unreduced sum would wrap after ~300 astral-plane chars (or throw
+    under ANSI mode), diverging from _fp_one and the DuckDB oracle,
+    whose HUGEINT sum is exact. Per-step mod equals mod-at-the-end.
     """
     POWS = [31**k for k in range(8)]
     chars = F.split(text, "")
@@ -114,7 +121,11 @@ def rolling_fingerprint(text: Column) -> Column:
             F.array(*[F.lit(p) for p in POWS]), (F.pmod(i - 1, F.lit(8)) + 1).cast("int")
         ),
     )
-    agg = F.pmod(F.aggregate(terms, F.lit(0).cast("long"), lambda a, v: a + v), F.lit(1_000_000_007))
+    agg = F.aggregate(
+        terms,
+        F.lit(0).cast("long"),
+        lambda a, v: F.pmod(a + v, F.lit(1_000_000_007)),
+    )
     return F.when(n == 0, F.lit(0).cast("long")).otherwise(agg)
 
 

@@ -1131,6 +1131,13 @@ def decode_webp(data: bytes) -> np.ndarray:
     br = _BitReaderLSB(vp8l[1:])
     w = br.bits(14) + 1
     h = br.bits(14) + 1
+    # sanity cap BEFORE decoding (same idiom as vp8.py's 64 MP cap, sized
+    # for this decoder's per-pixel Python walk): a tiny hostile header
+    # claiming up to 16383×16383 (268 MP) would otherwise stall an
+    # executor for the whole decode — decode_image's metadata-dims check
+    # only runs AFTER the decode returns, so it can never catch this
+    if w * h > 1 << 22:
+        raise ValueError(f"vp8l: implausible dimensions {w}x{h} (> 4 MP cap)")
     br.bits(1)  # alpha hint
     if br.bits(3) != 0:
         raise ValueError("unknown VP8L version")

@@ -136,6 +136,15 @@ def average_phash(pixels: np.ndarray) -> int:
     g = pixels.astype(np.float64).mean(axis=2)
     # fixed 8x8 pooling
     h, w = g.shape
+    if h < 8 or w < 8:
+        # nearest-upsample a short axis to 8 so the 8x8 pooling is
+        # defined: the old slice produced an EMPTY block axis, mean()
+        # emitted NaN, every bit compared False and all small images
+        # collided on hash 0 (hamming-0 "duplicates" of each other)
+        yi = (np.arange(max(h, 8)) * h // max(h, 8)).clip(0, h - 1)
+        xi = (np.arange(max(w, 8)) * w // max(w, 8)).clip(0, w - 1)
+        g = g[yi][:, xi]
+        h, w = g.shape
     g = g[: h - h % 8, : w - w % 8]
     g = g.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
     bits = (g > g.mean()).ravel()

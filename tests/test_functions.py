@@ -970,3 +970,152 @@ def test_vocab_counts_tie_break_deterministic(spark):
     )
     ranks = {r.word: r.rank for r in T.vocab_counts(df).collect()}
     assert ranks == {"alpha": 1, "zeta": 2}  # equal counts -> word asc
+
+
+# ---------------------------------------------------------------- round-5
+# continuation-session review regressions
+
+
+def test_jpeg_bit_io_linear_time():
+    """The entropy coder's Python-int accumulators must be truncated to
+    the live bits — unmasked they grow one byte per fill and every shift
+    becomes bigint-sized (measured 15 s for a single 256×256 decode)."""
+    import time
+
+    import numpy as np
+
+    from osmcoastline_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (256, 256, 3), dtype=np.uint8)  # worst case: noise
+    t0 = time.time()
+    out = decode_jpeg(encode_jpeg(px))
+    assert out.shape == px.shape
+    # pre-fix this took ~15 s decode + ~8 s encode on this host; the
+    # masked version runs in ~0.5 s — 5 s leaves 10× co-tenant headroom
+    assert time.time() - t0 < 5.0
+
+
+def test_average_hash_small_images_do_not_collide():
+    """h<8 or w<8 used to produce an empty pooling axis → NaN means → all
+    bits False → every small image hashed to 0 (false hamming-0 dups)."""
+    import warnings
+
+    import numpy as np
+
+    from osmcoastline_spark.functions.image import average_hash
+    from osmcoastline_spark.synth import average_phash
+
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, 256, (4, 12, 3), dtype=np.uint8)
+    b = rng.integers(0, 256, (7, 300, 3), dtype=np.uint8)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # the old path warned 'Mean of empty slice'
+        ha, hb = average_hash(a), average_hash(b)
+    assert ha != hb
+    # the synth twin stays bit-identical on every shape
+    assert average_phash(a) == ha and average_phash(b) == hb
+    big = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    assert average_hash(big) == average_phash(big)
+
+
+def test_ivf_empty_embedding_dropped_not_crash(spark):
+    """A single empty embedding row must produce no candidates, not abort
+    the job with INVALID_ARRAY_INDEX_IN_ELEMENT_AT."""
+    from pyspark.sql import functions as F
+
+    from osmcoastline_spark.functions.similarity import ivf_topk
+
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = ivf_topk(df, k=2)
+    ids = {r.query_id for r in got.collect()}
+    assert 2 not in ids and ids <= {0, 1}
+
+
+def test_lsh_topk_dim_inference_errors_clearly(spark):
+    from osmcoastline_spark.functions.similarity import lsh_topk
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dim explicitly"):
+        lsh_topk(empty)
+
+
+def test_webp_dimension_cap_before_decode():
+    """A tiny hostile VP8L header claiming huge dims must fail fast at the
+    header, not after a multi-minute per-pixel walk."""
+    import struct
+    import time
+
+    import pytest as _pytest
+
+    from osmcoastline_spark.functions.webp import decode_webp
+
+    # minimal VP8L stream claiming 16383x16383: signature + 14+14 bit dims
+    bits = 0
+    nbits = 0
+    def put(v, n, bits, nbits):
+        return bits | (v << nbits), nbits + n
+    bits, nbits = put(16382, 14, bits, nbits)
+    bits, nbits = put(16382, 14, bits, nbits)
+    bits, nbits = put(0, 1, bits, nbits)   # alpha
+    bits, nbits = put(0, 3, bits, nbits)   # version
+    payload = b"\x2f" + bits.to_bytes((nbits + 7) // 8, "little") + b"\x00" * 8
+    data = b"RIFF" + struct.pack("<I", 4 + 8 + len(payload)) + b"WEBP" \
+        + b"VP8L" + struct.pack("<I", len(payload)) + payload
+    t0 = time.time()
+    with _pytest.raises(ValueError, match="implausible dimensions"):
+        decode_webp(data)
+    assert time.time() - t0 < 1.0
+
+
+def test_rolling_fingerprint_no_overflow_on_long_docs(spark):
+    """The Catalyst aggregate reduces mod p per step, so a long document
+    (or astral-plane chars) can no longer wrap the int64 accumulator and
+    diverge from the exact Arrow twin."""
+    from pyspark.sql import functions as F
+
+    from osmcoastline_spark.functions import text as T
+
+    # 400 astral-plane chars: unreduced terms are ~2^54.8 each, the old
+    # running sum wrapped after ~300 of them
+    doc = "\U0010FFFF" * 400
+    df = spark.createDataFrame([(doc,)], "text string")
+    row = df.select(
+        T.rolling_fingerprint(F.col("text")).alias("slow"),
+        T.rolling_fingerprint_vec(F.col("text")).alias("fast"),
+    ).collect()[0]
+    assert row.slow == row.fast
+    assert 0 <= row.slow < 1_000_000_007
+
+
+def test_verify_payloads_flags_capability_asymmetry(spark):
+    """Tampering a header byte so ONE side diverts to an 'unsupported
+    variant' raise must not slip the invariant check as a capability
+    gap: the gap has to be symmetric (both sides undecodable) to pass."""
+    import numpy as np
+
+    from osmcoastline_spark.functions import image as I
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    png = I.encode_png(px)
+    # flip the IHDR bit-depth byte 8 -> 16: decode_png raises
+    # NotImplementedError('png variant unsupported ...')
+    depth_at = png.index(b"IHDR") + 4 + 8
+    tampered = png[:depth_at] + bytes([16]) + png[depth_at + 1 :]
+    rows = [("i1", bytes(tampered), 16, 16, "png", "cap")]
+    ref = [("i1", bytes(png), 16, 16, "png", "cap")]
+    schema = "image_id string, bytes binary, w int, h int, fmt string, caption string"
+    bad = I.verify_payloads(
+        spark.createDataFrame(rows, schema), spark.createDataFrame(ref, schema)
+    ).collect()
+    assert [(r.image_id, r.reason) for r in bad] == [("i1", "capability_asymmetry")]
+    # symmetric capability gaps still pass on caption equality alone
+    both = [("i2", bytes(tampered), 16, 16, "png", "cap")]
+    ok = I.verify_payloads(
+        spark.createDataFrame(both, schema), spark.createDataFrame(both, schema)
+    )
+    assert ok.count() == 0
