@@ -21,18 +21,7 @@ from pyspark.sql import DataFrame
 
 
 
-def _aslist(v):
-    """None/NaN → []; ndarray/list → list (Arrow hands nested arrays as
-    numpy objects whose truthiness is ambiguous)."""
-    if v is None:
-        return []
-    try:
-        import math
-        if isinstance(v, float) and math.isnan(v):
-            return []
-    except Exception:
-        pass
-    return list(v)
+from osmcoastline_spark.util import aslist as _aslist
 
 
 WGS84_EDGES = {"max_x": 179.9999, "min_x": -179.9999, "min_y": -85.049}

@@ -243,6 +243,9 @@ def polygonize(rings: DataFrame, cell_deg: float = DEFAULT_CELL_DEG) -> Polygoni
                     arrs[i][0][:1], arrs[i][1][:1], arrs[j][0], arrs[j][1]
                 )[0]:
                     invalid = True
+                    break  # one containment already decides the shell
+            if invalid:
+                break
         return pd.DataFrame({"shell_id": [key[0]], "bad": [invalid]})
 
     # applyInPandas never invokes the UDF for zero groups — no isEmpty

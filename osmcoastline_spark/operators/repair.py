@@ -114,9 +114,19 @@ def _split_simple(xs: list, ys: list) -> list[tuple[list, list]]:
 
 
 def buffer0_repair(xs: list, ys: list) -> tuple[list, list] | None:
-    """Numpy Buffer(0): repaired (xs, ys) or None (drop)."""
+    """Numpy Buffer(0): repaired (xs, ys) or None (drop).
+
+    Accepts closed rings (repeated closing vertex) or open ones (split
+    pieces — the cut kernel omits the closing vertex): an open ring is
+    closed up front. Feeding an open ring to the closed-form splitter
+    directly would both treat the real last vertex as the closure
+    duplicate (truncating it) and skip genuine crossings between the
+    first and last explicit edges as 'adjacent through closure'."""
     if len(xs) > MAX_REPAIR_POINTS:
         return None
+    if xs[0] != xs[-1] or ys[0] != ys[-1]:
+        xs = list(xs) + [xs[0]]
+        ys = list(ys) + [ys[0]]
     pieces = [
         (rx, ry, geom.signed_area2(np.asarray(rx), np.asarray(ry)))
         for rx, ry in _split_simple(list(xs), list(ys))
@@ -328,10 +338,18 @@ def check_polygons(
 
     base_ids = polys.filter(base_flag).select("poly_id")
     if cross_src is not None:
+        # close OPEN shells before segment extraction: ring_segments emits
+        # consecutive edges only, so without the appended closing vertex a
+        # crossing involving the implicit last→first bridge edge (which
+        # for split pieces runs along the cut line) would never be scanned
         shells = cross_src.select(
             F.col("poly_id").alias("ring_id"),
-            F.col("shell_x").alias("xs"),
-            F.col("shell_y").alias("ys"),
+            F.when(closed, F.col("shell_x"))
+            .otherwise(F.concat("shell_x", F.slice("shell_x", 1, 1)))
+            .alias("xs"),
+            F.when(closed, F.col("shell_y"))
+            .otherwise(F.concat("shell_y", F.slice("shell_y", 1, 1)))
+            .alias("ys"),
         )
         crossing_ids = (
             ring_self_intersections(ring_segments(shells), cell_deg)

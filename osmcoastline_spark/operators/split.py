@@ -33,25 +33,15 @@ from osmcoastline_spark import geom
 from osmcoastline_spark.schemas import EXTENT_3857, EXTENT_4326
 
 
-def _aslist(v):
-    """None/NaN → []; ndarray/list → list (Arrow hands nested arrays as
-    numpy objects whose truthiness is ambiguous)."""
-    if v is None:
-        return []
-    try:
-        import math
-        if isinstance(v, float) and math.isnan(v):
-            return []
-    except Exception:
-        pass
-    return list(v)
+from osmcoastline_spark.util import aslist as _aslist
 
 
 _SPLIT_SCHEMA = (
     "poly_id long, shell_x array<double>, shell_y array<double>, "
     "holes_x array<array<double>>, holes_y array<array<double>>, "
     "npoints int, env_minx double, env_miny double, env_maxx double, env_maxy double, "
-    "final boolean, depth int, cut_suspect boolean"
+    "final boolean, depth int, cut_suspect boolean, "
+    "own_minx double, own_miny double, own_maxx double, own_maxy double"
 )
 
 
@@ -106,17 +96,49 @@ def _split_one(
     # suspicion is inherited: cutting an already-suspect (possibly
     # non-simple) piece can produce anything, so children keep the flag
     parent_suspect = bool(row.get("cut_suspect", False))
+    # owned (non-expanded) region lineage: sibling pieces OVERLAP in the
+    # 2*expand band by design (reference bbox_overlap), which is fine for
+    # the land output but breaks any even-odd consumer — a point covered
+    # by two sibling rings flips back to "outside". The owned boxes split
+    # at the un-expanded midline, so piece ∩ own-box regions tile the
+    # parent disjointly; water_polygons clips to them.
+    own = (
+        row.get("own_minx", -np.inf), row.get("own_miny", -np.inf),
+        row.get("own_maxx", np.inf), row.get("own_maxy", np.inf),
+    )
+    own = tuple(float(v) if v is not None else (np.inf if i >= 2 else -np.inf)
+                for i, v in enumerate(own))
+    if axis == 0:
+        lo_own = (own[0], own[1], min(own[2], mid), own[3])
+        hi_own = (max(own[0], mid), own[1], own[2], own[3])
+    else:
+        lo_own = (own[0], own[1], own[2], min(own[3], mid))
+        hi_own = (own[0], max(own[1], mid), own[2], own[3])
     out = []
     child_no = 0
-    for side_pieces, side_holes, side_suspect in (
-        (lo_pieces, lo_holes, lo_suspect),
-        (hi_pieces, hi_holes, hi_suspect),
+    for side_pieces, side_holes, side_suspect, cut_c, side_own in (
+        (lo_pieces, lo_holes, lo_suspect, lo_c, lo_own),
+        (hi_pieces, hi_holes, hi_suspect, hi_c, hi_own),
     ):
         for k, (px, py) in enumerate(side_pieces):
             child_no += 1
             hxs, hys = [], []
             for hx, hy in side_holes:
-                if geom.points_in_ring(hx[:1], hy[:1], px, py)[0]:
+                # probe with a vertex STRICTLY off this side's cut line:
+                # a cut hole piece's bridge vertices lie exactly ON the
+                # child shell's boundary, where the strict even-odd test
+                # is undefined — probing the first vertex silently lost
+                # every hole straddling the cut from the keep-low child
+                # (the lake filled in as land). An off-line vertex is an
+                # original hole vertex, strictly interior to the owning
+                # child shell; a piece with no off-line vertex is a
+                # zero-width sliver on the line and carries no area.
+                hc = hx if axis == 0 else hy
+                off = np.nonzero(hc != cut_c)[0]
+                if not len(off):
+                    continue
+                i = int(off[0])
+                if geom.points_in_ring(hx[i : i + 1], hy[i : i + 1], px, py)[0]:
                     hxs.append(hx.tolist())
                     hys.append(hy.tolist())
             e = geom.envelope(px, py)
@@ -141,6 +163,10 @@ def _split_one(
                     "final": False,
                     "depth": row["depth"] + 1,
                     "cut_suspect": parent_suspect or side_suspect,
+                    "own_minx": side_own[0],
+                    "own_miny": side_own[1],
+                    "own_maxx": side_own[2],
+                    "own_maxy": side_own[3],
                 }
             )
     return out
@@ -156,6 +182,12 @@ def _emit(row, final: bool) -> dict:
     d["final"] = final
     d["depth"] = row["depth"]
     d["cut_suspect"] = bool(row.get("cut_suspect", False))
+    for k, dflt in (
+        ("own_minx", -np.inf), ("own_miny", -np.inf),
+        ("own_maxx", np.inf), ("own_maxy", np.inf),
+    ):
+        v = row.get(k)
+        d[k] = float(v) if v is not None else dflt
     return d
 
 
@@ -167,7 +199,12 @@ def split_polygons(
     max_rounds: int = 48,
 ) -> DataFrame:
     """Iterative R4. Input/Output: POLYGONS_SCHEMA columns (lineage columns
-    are preserved on finished rows via pass-through union)."""
+    are preserved on finished rows via pass-through union), plus
+    `own_minx/own_miny/own_maxx/own_maxy` — each piece's OWNED region box
+    (the recursion's un-expanded midline cuts; ±inf where never cut).
+    Sibling pieces overlap by the 2*expand band, but piece ∩ own-box
+    regions tile the parent disjointly — even-odd consumers
+    (water_polygons) clip to them."""
     extent = EXTENT_4326 if epsg == 4326 else EXTENT_3857
     base_cols = [
         "poly_id", "shell_x", "shell_y", "holes_x", "holes_y",
@@ -177,6 +214,10 @@ def split_polygons(
         polygons.select(*base_cols)
         .withColumn("depth", F.lit(0))
         .withColumn("cut_suspect", F.lit(False))
+        .withColumn("own_minx", F.lit(float("-inf")))
+        .withColumn("own_miny", F.lit(float("-inf")))
+        .withColumn("own_maxx", F.lit(float("inf")))
+        .withColumn("own_maxy", F.lit(float("inf")))
     )
     # `done` accumulates as a LIST of per-round DataFrames, unioned once at
     # the end: each round's children are checkpointed (truncating lineage of

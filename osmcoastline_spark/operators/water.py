@@ -32,18 +32,7 @@ from osmcoastline_spark import geom
 from osmcoastline_spark.cells import CELL_STRIDE, bbox_cover_cells_expr
 
 
-def _aslist(v):
-    """None/NaN → []; ndarray/list → list (Arrow hands nested arrays as
-    numpy objects whose truthiness is ambiguous)."""
-    if v is None:
-        return []
-    try:
-        import math
-        if isinstance(v, float) and math.isnan(v):
-            return []
-    except Exception:
-        pass
-    return list(v)
+from osmcoastline_spark.util import aslist as _aslist
 
 
 
@@ -155,12 +144,28 @@ def water_polygons(
         # and across the flat/bucketed source paths
         if "poly_id" in pdf.columns:
             pdf = pdf.sort_values("poly_id", kind="stable")
+        # split pieces OVERLAP their siblings in the 2*expand seam band
+        # (reference bbox_overlap) — under this tile's even-odd ring
+        # representation a twice-covered band point flips back to "water"
+        # and covered_area2 double-counts the band. Clipping every piece
+        # to its OWNED region box (split.py lineage: the un-expanded
+        # midline cuts) restores a disjoint land cover; rows without the
+        # lineage (no-split path) clip to the tile alone as before.
+        has_own = "own_minx" in pdf.columns
         for row in pdf.itertuples(index=False):
+            cminx, cminy, cmaxx, cmaxy = tminx, tminy, tmaxx, tmaxy
+            if has_own and row.own_minx is not None:
+                cminx = max(cminx, float(row.own_minx))
+                cminy = max(cminy, float(row.own_miny))
+                cmaxx = min(cmaxx, float(row.own_maxx))
+                cmaxy = min(cmaxy, float(row.own_maxy))
+                if cminx >= cmaxx or cminy >= cmaxy:
+                    continue
             rings = [(np.asarray(row.shell_x), np.asarray(row.shell_y))]
             for hx, hy in zip(_aslist(row.holes_x), _aslist(row.holes_y)):
                 rings.append((np.asarray(hx), np.asarray(hy)))
             for i, (rx, ry) in enumerate(rings):
-                for px, py in geom.clip_ring_rect(rx, ry, tminx, tminy, tmaxx, tmaxy):
+                for px, py in geom.clip_ring_rect(rx, ry, cminx, cminy, cmaxx, cmaxy):
                     a2 = abs(geom.signed_area2(px, py))
                     if a2 == 0.0:
                         continue

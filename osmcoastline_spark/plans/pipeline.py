@@ -118,18 +118,7 @@ class PipelineResult:
 
 
 
-def _aslist(v):
-    """None/NaN → []; ndarray/list → list (Arrow hands nested arrays as
-    numpy objects whose truthiness is ambiguous)."""
-    if v is None:
-        return []
-    try:
-        import math
-        if isinstance(v, float) and math.isnan(v):
-            return []
-    except Exception:
-        pass
-    return list(v)
+from osmcoastline_spark.util import aslist as _aslist
 
 
 def _empty(spark: SparkSession, schema):
@@ -723,8 +712,12 @@ def run_pipeline(
                     if cp_warnings:
                         polys = polys.localCheckpoint(eager=True)
 
+                own_cols = [c for c in polys.columns if c.startswith("own_")]
                 if opt.output_polygons in ("land", "both"):
-                    res.tables["land_polygons"] = polys
+                    # the owned-region lineage (split.py) is internal to the
+                    # even-odd water derivation — the land output keeps the
+                    # reference's overlapping-piece shape and schema
+                    res.tables["land_polygons"] = polys.drop(*own_cols)
                 if opt.output_polygons in ("water", "both"):
                     # tile math runs in the OUTPUT SRS: the grid origin,
                     # cell size, and sliver threshold all scale with the

@@ -18,3 +18,20 @@ def run_concurrently(*thunks: Callable):
     with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
         futures = [pool.submit(t) for t in thunks]
         return [f.result() for f in futures]
+
+
+def aslist(v):
+    """None/NaN → []; ndarray/list → list (Arrow hands nested arrays as
+    numpy objects whose truthiness is ambiguous). Shared by every
+    mapInPandas kernel that walks nested ring arrays — keep ONE
+    definition (this was copy-pasted in four modules)."""
+    if v is None:
+        return []
+    try:
+        import math
+
+        if isinstance(v, float) and math.isnan(v):
+            return []
+    except Exception:
+        pass
+    return list(v)

@@ -280,3 +280,96 @@ def test_split_tangent_cut_sets_suspect_and_check_validates(spark):
     # a clean (non-tangent) cut of the same shape stays un-suspect
     out2 = split_polygons(df, max_points=600, expand=0.0001)
     assert out2.filter("was_split and cut_suspect").count() == 0
+
+
+def test_split_emits_owned_region_lineage(spark):
+    """Each split piece carries its owned (un-expanded midline) box; the
+    boxes tile the parent region disjointly while the geometry overlaps
+    by the 2*expand band."""
+    from osmcoastline_spark.operators.split import _split_one
+
+    row = {
+        "poly_id": 1,
+        "shell_x": [0.0, 10.0, 10.0, 0.0], "shell_y": [0.0, 0.0, 4.0, 4.0],
+        "holes_x": [], "holes_y": [],
+        "npoints": 4, "env_minx": 0.0, "env_miny": 0.0,
+        "env_maxx": 10.0, "env_maxy": 4.0, "depth": 0, "cut_suspect": False,
+    }
+    kids = _split_one(row, 0.0001, (-180.0, -90.0, 180.0, 90.0))
+    lo = [c for c in kids if c["env_minx"] == 0.0][0]
+    hi = [c for c in kids if c["env_maxx"] == 10.0][0]
+    assert lo["own_maxx"] == 5.0 and lo["own_minx"] == float("-inf")
+    assert hi["own_minx"] == 5.0 and hi["own_maxx"] == float("inf")
+    # geometry still overlaps (reference bbox_overlap parity)
+    assert max(lo["shell_x"]) == 5.0001 and min(hi["shell_x"]) == 4.9999
+
+
+def test_water_seam_band_stays_land(spark):
+    """Split pieces overlap in the expand band; the tile's even-odd water
+    representation must not flip the band back to water (the fix clips
+    each piece to its owned region box)."""
+    import numpy as np
+
+    from osmcoastline_spark import geom
+    from osmcoastline_spark.operators.split import _split_one
+    from osmcoastline_spark.operators.water import water_polygons
+
+    row = {
+        "poly_id": 1,
+        "shell_x": [0.0, 2.0, 2.0, 0.0], "shell_y": [0.0, 0.0, 1.0, 1.0],
+        "holes_x": [], "holes_y": [],
+        "npoints": 4, "env_minx": 0.0, "env_miny": 0.0,
+        "env_maxx": 2.0, "env_maxy": 1.0, "depth": 0, "cut_suspect": False,
+    }
+    pieces = _split_one(row, 0.0001, (-180.0, -90.0, 180.0, 90.0))
+    assert len(pieces) == 2
+    land = spark.createDataFrame(
+        [
+            {
+                "poly_id": p["poly_id"],
+                "shell_x": p["shell_x"], "shell_y": p["shell_y"],
+                "holes_x": p["holes_x"], "holes_y": p["holes_y"],
+                "npoints": p["npoints"],
+                "env_minx": p["env_minx"], "env_miny": p["env_miny"],
+                "env_maxx": p["env_maxx"], "env_maxy": p["env_maxy"],
+                "own_minx": p["own_minx"], "own_miny": p["own_miny"],
+                "own_maxx": p["own_maxx"], "own_maxy": p["own_maxy"],
+            }
+            for p in pieces
+        ],
+        "poly_id long, shell_x array<double>, shell_y array<double>, "
+        "holes_x array<array<double>>, holes_y array<array<double>>, "
+        "npoints int, env_minx double, env_miny double, env_maxx double, "
+        "env_maxy double, own_minx double, own_miny double, "
+        "own_maxx double, own_maxy double",
+    )
+    # one 2x2 tile anchored at the origin covers all the land (a second,
+    # land-free tile appears because the envelope touches the x=2 cell
+    # boundary — irrelevant here)
+    out = water_polygons(land, cell_deg=2.0, extent=(0.0, 0.0, 2.0, 2.0)).collect()
+    w = [r for r in out if r.cell == 0][0]
+    assert len(w.holes_x) >= 2  # both clipped pieces present as rings
+
+    def in_water(px, py):
+        cnt = int(
+            geom.points_in_ring(
+                np.array([px]), np.array([py]),
+                np.asarray(w.shell_x), np.asarray(w.shell_y),
+            )[0]
+        )
+        for hx, hy in zip(w.holes_x, w.holes_y):
+            cnt += int(
+                geom.points_in_ring(
+                    np.array([px]), np.array([py]), np.asarray(hx), np.asarray(hy)
+                )[0]
+            )
+        return cnt % 2 == 1
+
+    # a point in the seam band interior (covered by BOTH overlapping
+    # pieces) is land — before the fix parity made it water
+    assert not in_water(1.00005, 0.5)
+    # sanity: open water above the land is water; land interior is not
+    assert in_water(1.00005, 1.5)
+    assert in_water(0.5, 1.5)
+    assert not in_water(0.5, 0.5)
+    assert not in_water(1.5, 0.5)
