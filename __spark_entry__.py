@@ -106,7 +106,9 @@ def _ensure_pkg(spark: SparkSession) -> None:
     can't rely on our PYTHONPATH). addPyFile of a package zip is the
     session-agnostic equivalent of spark-submit --py-files."""
     sc = spark.sparkContext
-    key = id(sc)
+    # key by context identity, not id(sc): CPython reuses addresses after
+    # GC, which could silently skip addPyFile for a NEW context
+    key = (sc.applicationId, sc.startTime)
     if key in _SHIPPED:
         return
     pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "osmcoastline_spark")
@@ -120,6 +122,18 @@ def _ensure_pkg(spark: SparkSession) -> None:
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_pkg(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _node_cells(nodes: DataFrame, n: int) -> DataFrame:
+    """(tx, ty) n×n world-grid cell of every node, edge-clamped — the
+    shared projection for the cell-index queries (tile_grid, vectorize,
+    compact/uncompact, grid_disk, tile_pyramid). One definition: a grid
+    or clamp change must not be appliable to only one copy."""
+    return nodes.select(
+        F.least(F.lit(n - 1), F.floor((F.col("lon") + 180.0) / (360.0 / n))).alias("tx"),
+        F.least(F.lit(n - 1), F.floor((F.col("lat") + 90.0) / (180.0 / n))).alias("ty"),
+    )
+
 
 
 # Deterministic synthetic geometry derived from table keys (identical
@@ -277,9 +291,14 @@ def q_ring_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     the answer arithmetically: ring_id = min way id, nways = s,
     npoints = 2s+1.
     """
-    n_part = _read(spark, sf_dir, "part").count()
+    part = _read(spark, sf_dir, "part")
+    n_part = part.count()
     R = max(n_part // 2, 8)
-    base = spark.range(R).select(F.col("id").alias("r"))
+    # derive ids from the ACTUAL part keys, not spark.range: both engines
+    # must see the same id set whatever base the keys start at (the driver
+    # testdata is 0-based; standard TPC-H is 1-based — same conversion as
+    # q_water_tiles, round-4 review)
+    base = part.select(F.col("p_partkey").alias("r")).filter(F.col("r") < R)
     ways = base.select(
         "r",
         F.explode(F.sequence(F.lit(0), F.col("r") % 7)).alias("j"),
@@ -339,9 +358,15 @@ def q_segment_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5/G1: cell-binned segment self-join + the reference's exact
     intersection arithmetic, vs the same formula in SQL over an H×V
     crossing grid."""
-    n = _read(spark, sf_dir, "part").count()
+    part = _read(spark, sf_dir, "part")
+    n = part.count()
     H = max(int(n**0.5), 4)
-    hseg = spark.range(H).select(
+    # derive ids from the ACTUAL part keys, not spark.range: both engines
+    # must see the same id set whatever base the keys start at (the driver
+    # testdata is 0-based; standard TPC-H is 1-based — same conversion as
+    # q_water_tiles, round-4 review)
+    ids = part.select(F.col("p_partkey").alias("id")).filter(F.col("id") < H)
+    hseg = ids.select(
         F.lit(0.0).alias("x1"),
         (F.col("id") * 0.01 + 0.005).alias("y1"),
         F.lit(1.0).alias("x2"),
@@ -349,7 +374,7 @@ def q_segment_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("kind"),
         F.col("id").alias("sid"),
     )
-    vseg = spark.range(H).select(
+    vseg = ids.select(
         (F.col("id") * 0.01 + 0.003).alias("x1"),
         F.lit(-1.0).alias("y1"),
         (F.col("id") * 0.01 + 0.003).alias("x2"),
@@ -404,10 +429,7 @@ def q_tile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = _nodes(spark, sf_dir)
     n = 8  # 2^3
     return (
-        nodes.select(
-            F.least(F.lit(n - 1), F.floor((F.col("lon") + 180.0) / (360.0 / n))).alias("tx"),
-            F.least(F.lit(n - 1), F.floor((F.col("lat") + 90.0) / (180.0 / n))).alias("ty"),
-        )
+        _node_cells(nodes, n)
         .groupBy("tx", "ty")
         .agg(F.count("*").alias("n"))
     )
@@ -555,9 +577,14 @@ def q_gap_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from osmcoastline_spark.operators.close import close_rings
 
-    n_part = _read(spark, sf_dir, "part").count()
+    part = _read(spark, sf_dir, "part")
+    n_part = part.count()
     R = max(min(n_part, 5000) // 2, 8)
-    base = spark.range(R).select(F.col("id").alias("r"))
+    # derive ids from the ACTUAL part keys, not spark.range: both engines
+    # must see the same id set whatever base the keys start at (the driver
+    # testdata is 0-based; standard TPC-H is 1-based — same conversion as
+    # q_water_tiles, round-4 review)
+    base = part.select(F.col("p_partkey").alias("r")).filter(F.col("r") < R)
     x0 = (F.col("r") % 50).cast("double") * 3.0 - 75.0
     y0 = (F.col("r") / 50).cast("long").cast("double") * 3.0 - 60.0
     far = F.col("r") % 3 == 0
@@ -603,9 +630,14 @@ def q_questionable(spark: SparkSession, sf_dir: str) -> DataFrame:
     marking it outer — so exactly the odd rings are questionable."""
     from osmcoastline_spark.operators.questionable import questionable_rings
 
-    n_part = _read(spark, sf_dir, "part").count()
+    part = _read(spark, sf_dir, "part")
+    n_part = part.count()
     R = max(min(n_part, 20000) // 2, 8)
-    base = spark.range(R).select(F.col("id").alias("i"))
+    # derive ids from the ACTUAL part keys, not spark.range: both engines
+    # must see the same id set whatever base the keys start at (the driver
+    # testdata is 0-based; standard TPC-H is 1-based — same conversion as
+    # q_water_tiles, round-4 review)
+    base = part.select(F.col("p_partkey").alias("i")).filter(F.col("i") < R)
     xi = (F.col("i") % 600).cast("double") * 0.5 - 150.0
     yi = (F.col("i") / 600).cast("long").cast("double") * 0.5 - 60.0
     rings = base.select(
@@ -1169,10 +1201,7 @@ def q_vectorize_water(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nodes = _nodes(spark, sf_dir)
     n = 16
-    occ = nodes.select(
-        F.least(F.lit(n - 1), F.floor((F.col("lon") + 180.0) / (360.0 / n))).alias("tx"),
-        F.least(F.lit(n - 1), F.floor((F.col("lat") + 90.0) / (180.0 / n))).alias("ty"),
-    ).distinct()
+    occ = _node_cells(nodes, n).distinct()
     grid = spark.range(n * n).select(
         (F.col("id") % n).alias("tx"), (F.col("id") / n).cast("long").alias("ty")
     )
@@ -1189,10 +1218,7 @@ def q_compact_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nodes = _nodes(spark, sf_dir)
     n = 32
-    occ = nodes.select(
-        F.least(F.lit(n - 1), F.floor((F.col("lon") + 180.0) / (360.0 / n))).alias("tx"),
-        F.least(F.lit(n - 1), F.floor((F.col("lat") + 90.0) / (180.0 / n))).alias("ty"),
-    ).distinct()
+    occ = _node_cells(nodes, n).distinct()
     return compact_cells(occ, levels=3)
 
 
@@ -1260,10 +1286,7 @@ def q_uncompact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nodes = _nodes(spark, sf_dir)
     n = 32
-    occ = nodes.select(
-        F.least(F.lit(n - 1), F.floor((F.col("lon") + 180.0) / (360.0 / n))).alias("tx"),
-        F.least(F.lit(n - 1), F.floor((F.col("lat") + 90.0) / (180.0 / n))).alias("ty"),
-    ).distinct()
+    occ = _node_cells(nodes, n).distinct()
     return uncompact_cells(compact_cells(occ, levels=3))
 
 
@@ -1280,10 +1303,7 @@ def q_grid_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nodes = _nodes(spark, sf_dir)
     n = 32
-    occ = nodes.select(
-        F.least(F.lit(n - 1), F.floor((F.col("lon") + 180.0) / (360.0 / n))).alias("tx"),
-        F.least(F.lit(n - 1), F.floor((F.col("lat") + 90.0) / (180.0 / n))).alias("ty"),
-    ).distinct()
+    occ = _node_cells(nodes, n).distinct()
     return grid_disk(occ, k=2, n=n, mark_center=True)
 
 
@@ -1300,10 +1320,7 @@ def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = _nodes(spark, sf_dir)
     n = 32
     base = (
-        nodes.select(
-            F.least(F.lit(n - 1), F.floor((F.col("lon") + 180.0) / (360.0 / n))).alias("tx"),
-            F.least(F.lit(n - 1), F.floor((F.col("lat") + 90.0) / (180.0 / n))).alias("ty"),
-        )
+        _node_cells(nodes, n)
         .groupBy("tx", "ty")
         .agg(F.count(F.lit(1)).alias("value"))
     )
@@ -2464,15 +2481,7 @@ FROM mx
 _STOP_LIST = ", ".join(f"'{w}'" for w in T.STOPWORDS)
 
 _TEXT_FEATURES_SQL = f"""
-WITH base AS (
-  SELECT doc_id, text,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE length(regexp_replace(trim(text), '\\S+', 'x', 'g'))
-                   - length(replace(regexp_replace(trim(text), '\\S+', 'x', 'g'), 'x', ''))
-         END AS _dummy
-  FROM documents
-),
-toks AS (
+WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
   FROM documents
 ),

@@ -85,6 +85,11 @@ def _segments_main(argv: list[str]) -> int:
     elif args.geom:
         changes_layer(removed, added).write.mode("overwrite").parquet(args.geom)
     code = 0 if (n_rem == 0 and n_add == 0) else 1
+    # release the diff caches: with a PRE-EXISTING session (in-process
+    # callers) the frames would otherwise stay pinned in its storage for
+    # the session's remaining lifetime
+    removed.unpersist()
+    added.unpersist()
     if not pre_existing:
         spark.stop()
     return code

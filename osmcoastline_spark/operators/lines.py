@@ -37,7 +37,10 @@ def rings_to_lines(
     min_y, max_x, min_x = edges["min_y"], edges["max_x"], edges["min_x"]
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        step = max(max_points - 1, 1)  # segments per chunk (points share ends)
+        # max_points <= 0 means NO chunking (reference: max_points_in_polygon
+        # 0 disables splitting, src/options.cpp) — the old max(mp-1, 1)
+        # inverted that into maximal chunking (2-point segments)
+        step = max(max_points - 1, 1) if max_points > 0 else None
         for pdf in it:
             out_x, out_y = [], []
             for row in pdf.itertuples(index=False):
@@ -64,8 +67,9 @@ def rings_to_lines(
                     if len(kept) == 0:
                         continue
                     for run_segs in np.split(kept, np.nonzero(np.diff(kept) != 1)[0] + 1):
-                        for k in range(0, len(run_segs), step):
-                            chunk = run_segs[k : k + step]
+                        rstep = step if step is not None else len(run_segs)
+                        for k in range(0, len(run_segs), rstep):
+                            chunk = run_segs[k : k + rstep]
                             out_x.append(xs[chunk[0] : chunk[-1] + 2].tolist())
                             out_y.append(ys[chunk[0] : chunk[-1] + 2].tolist())
             yield pd.DataFrame({"xs": out_x, "ys": out_y})

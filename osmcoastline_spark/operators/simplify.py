@@ -35,10 +35,21 @@ def filter_min_area(polygons: DataFrame, min_area: float) -> DataFrame:
 
 
 def simplify_polygons(polygons: DataFrame, tolerance: float) -> DataFrame:
-    """G14: Douglas–Peucker on shell + holes. Holes that degenerate
-    (< 4 distinct points) are dropped, like ST_SimplifyPreserveTopology's
-    collapse handling; shells that degenerate drop the whole polygon."""
+    """G14: Douglas–Peucker on shell + holes. Rings that degenerate are
+    dropped, like ST_SimplifyPreserveTopology's collapse handling; a
+    degenerate shell drops the whole polygon. "Degenerate" is
+    closure-aware: a CLOSED ring (first == last, the pipeline's
+    polygonize convention) needs 4 points for 3 distinct vertices — a
+    flat <3 check let a collapsed [a, b, a] sliver through as a
+    zero-area shell.
+
+    Uses the shared util.aslist (via split's alias) for ragged arrays.
+    """
     from osmcoastline_spark.operators.split import _aslist
+
+    def _degenerate(xs, ys) -> bool:
+        closed = xs[0] == xs[-1] and ys[0] == ys[-1]
+        return len(xs) < (4 if closed else 3)
 
     cols = polygons.columns
 
@@ -55,14 +66,14 @@ def simplify_polygons(polygons: DataFrame, tolerance: float) -> DataFrame:
                     np.asarray(row["shell_y"], dtype=np.float64),
                     tolerance,
                 )
-                if len(sx) < 3:
+                if _degenerate(sx, sy):
                     continue
                 hx_out, hy_out = [], []
                 for hx, hy in zip(_aslist(row["holes_x"]), _aslist(row["holes_y"])):
                     shx, shy = geom.douglas_peucker(
                         np.asarray(hx, dtype=np.float64), np.asarray(hy, dtype=np.float64), tolerance
                     )
-                    if len(shx) >= 3:
+                    if not _degenerate(shx, shy):
                         hx_out.append(shx.tolist())
                         hy_out.append(shy.tolist())
                 d = dict(row)

@@ -42,6 +42,35 @@ class PipelineRun:
     committed: list = field(default_factory=list)
 
 
+def _run_fingerprint(opt: Options, nodes, ways) -> str:
+    """Identity of (options, inputs) a snapshot was produced from.
+
+    File-based inputs are identified by their file lists (DataFrame
+    .inputFiles()); in-memory frames have no stable identity and
+    fingerprint as their schema alone — callers resuming across runs are
+    expected to read from files, which is the only case where a stale
+    sink directory can silently shadow new inputs."""
+    import hashlib
+    import json
+
+    blob = json.dumps(
+        {
+            "options": str(opt),
+            "inputs": sorted(list(nodes.inputFiles()) + list(ways.inputFiles())),
+            "schemas": [nodes.schema.simpleString(), ways.schema.simpleString()],
+        },
+        sort_keys=True,
+    )
+    return hashlib.md5(blob.encode()).hexdigest()
+
+
+def _snapshot_matches(sink: CheckpointSink, stage: str, fp: str) -> bool:
+    """True iff the stage's recorded fingerprint matches (legacy snapshots
+    without one are accepted for backward compatibility)."""
+    recorded = sink.manifest(stage)["lineage"].get("fingerprint")
+    return recorded is None or recorded == fp
+
+
 def run_checkpointed(
     spark: SparkSession, nodes, ways, options: Options | None, sink: CheckpointSink
 ) -> PipelineRun:
@@ -67,7 +96,15 @@ def run_checkpointed(
     if opt.output_rings:
         wanted.append("rings")
 
-    if all(sink.exists(t) for t in wanted) and sink.exists("_meta_done"):
+    # a resume is only valid for the SAME (options, inputs) the snapshots
+    # were produced from — without the check, re-running against new data
+    # into an old sink dir silently returned the stale tables
+    fp = _run_fingerprint(opt, nodes, ways)
+
+    if (
+        all(sink.exists(t) and _snapshot_matches(sink, t, fp) for t in wanted)
+        and sink.exists("_meta_done")
+    ):
         for t in wanted:
             res.tables[t] = sink.read(spark, t)
             run.loaded.append(t)
@@ -80,7 +117,12 @@ def run_checkpointed(
     # finer-grained resume: a crash after R1 assembly leaves committed
     # rings_closed/rings_open snapshots — restart the pipeline FROM them
     # (skipping the location join + assembly) instead of recomputing
-    if sink.exists("rings_closed") and sink.exists("rings_open"):
+    if (
+        sink.exists("rings_closed")
+        and sink.exists("rings_open")
+        and _snapshot_matches(sink, "rings_closed", fp)
+        and _snapshot_matches(sink, "rings_open", fp)
+    ):
         pre = sink.manifest("rings_closed")["lineage"].get("stats_pre", {})
         res2 = run_pipeline(
             spark, nodes, ways, opt,
@@ -89,6 +131,9 @@ def run_checkpointed(
         )
         run.loaded.extend(["rings_closed", "rings_open"])
     else:
+        # the mid-pipeline ring snapshots must carry the same fingerprint
+        # (CheckpointSink is a plain holder; run_pipeline forwards this)
+        sink.run_lineage = {"fingerprint": fp}
         res2 = run_pipeline(spark, nodes, ways, opt, mid_sink=sink)
         run.committed.extend(
             [("rings_closed", sink.manifest("rings_closed")["rows"]),
@@ -103,7 +148,7 @@ def run_checkpointed(
                 t,
                 res2.tables[t],
                 spatial=t in ("land_polygons", "water_polygons"),
-                lineage={"stage": t, "options": str(opt)},
+                lineage={"stage": t, "options": str(opt), "fingerprint": fp},
             )
             run.committed.append((t, n))
     # the meta marker commits LAST: a crash mid-write leaves no marker and

@@ -348,8 +348,9 @@ def run_pipeline(
                 for k in ("ways", "rings_from_single_way", "unconnected_nodes_before_close")
                 if k in res.stats
             }
-            mid_sink.write("rings_closed", closed, lineage={"stats_pre": pre})
-            mid_sink.write("rings_open", open_, lineage={"stats_pre": pre})
+            extra = getattr(mid_sink, "run_lineage", {})
+            mid_sink.write("rings_closed", closed, lineage={"stats_pre": pre, **extra})
+            mid_sink.write("rings_open", open_, lineage={"stats_pre": pre, **extra})
         _trace("assemble")
 
     # J5/J6 intersections & overlaps (before closing!)

@@ -44,9 +44,13 @@ class CheckpointSink:
         if spatial and {"env_minx", "env_maxx", "env_miny", "env_maxy"} <= set(df.columns):
             cx = (F.col("env_minx") + F.col("env_maxx")) / 2
             cy = (F.col("env_miny") + F.col("env_maxy")) / 2
+            # drop the helper column AFTER the sort: it is layout-only,
+            # and persisting it would give resumed tables (and shipped
+            # output dirs) a different schema than fresh-run tables and
+            # than manifest['schema']
             out = df.withColumn("zorder", morton_interleave_expr(cx, cy)).sortWithinPartitions(
                 "zorder"
-            )
+            ).drop("zorder")
         out.write.mode("overwrite").parquet(path)
         n = df.sparkSession.read.parquet(path).count()
         manifest = {
@@ -113,7 +117,7 @@ class IcebergSink:
             cy = (F.col("env_miny") + F.col("env_maxy")) / 2
             out = df.withColumn(
                 "zorder", morton_interleave_expr(cx, cy)
-            ).sortWithinPartitions("zorder")
+            ).sortWithinPartitions("zorder").drop("zorder")
         name = self._table(stage)
         out.writeTo(name).using("iceberg").createOrReplace()
         n = self.spark.table(name).count()

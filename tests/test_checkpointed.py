@@ -117,3 +117,39 @@ def test_iceberg_sink_surface(spark, monkeypatch):
     assert isinstance(make_sink(fake_spark, "/tmp/x"), CheckpointSink)
     monkeypatch.setenv("SPARK_GRAFT_ICEBERG_CATALOG", "lake")
     assert isinstance(make_sink(fake_spark, "/tmp/x"), IcebergSink)
+
+
+def test_resume_rejects_different_inputs(spark, tmp_path):
+    """A sink directory produced from one input set must not be resumed
+    for a DIFFERENT input set or different options — the fingerprint in
+    each snapshot's lineage gates the resume."""
+    nodes, ways = fixture_df(spark, NODES, WAYS)
+    # file-backed inputs so the fingerprint has a real identity
+    nodes.write.parquet(str(tmp_path / "nodes_v1"))
+    ways.write.parquet(str(tmp_path / "ways_v1"))
+    nodes.write.parquet(str(tmp_path / "nodes_v2"))
+    ways.write.parquet(str(tmp_path / "ways_v2"))
+    n1 = spark.read.parquet(str(tmp_path / "nodes_v1"))
+    w1 = spark.read.parquet(str(tmp_path / "ways_v1"))
+    n2 = spark.read.parquet(str(tmp_path / "nodes_v2"))
+    w2 = spark.read.parquet(str(tmp_path / "ways_v2"))
+
+    sink = CheckpointSink(str(tmp_path / "ckpt_fp"))
+    opt = Options(output_polygons="land")
+    run1 = run_checkpointed(spark, n1, w1, opt, sink)
+    assert run1.loaded == []
+
+    # same inputs -> full resume
+    run2 = run_checkpointed(spark, n1, w1, opt, sink)
+    assert "land_polygons" in run2.loaded
+
+    # different input FILES (even with identical content) -> recompute
+    run3 = run_checkpointed(spark, n2, w2, opt, sink)
+    assert run3.loaded == []
+    assert any(t == "land_polygons" for t, _ in run3.committed)
+
+    # different OPTIONS -> recompute too
+    run4 = run_checkpointed(
+        spark, n2, w2, Options(output_polygons="land", close_distance=0.5), sink
+    )
+    assert run4.loaded == []
