@@ -53,6 +53,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .text import ws_tokens
+
 # Shared regexes — the common Java/RE2 dialect subset (oracle twins use
 # the identical strings; keep in sync with __spark_entry__).
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -116,7 +118,12 @@ def line_dedup(
         & (F.col(id_col) >= 0)
     )
     packed = F.when(
-        ok, F.col(id_col) * F.lit(_MAX_POS) + (F.col("pos") - 1)
+        # cast BEFORE the multiply: an IntegerType doc_id inside the
+        # guarded range still overflows int32 under int*int arithmetic
+        # (ANSI: ARITHMETIC_OVERFLOW; non-ANSI: wrapped key corrupts
+        # keep-first order) — the guard only bounds the VALUE, the cast
+        # bounds the arithmetic width
+        ok, F.col(id_col).cast("long") * F.lit(_MAX_POS) + (F.col("pos") - 1)
     ).otherwise(
         F.raise_error(
             F.lit("line_dedup packed-key overflow: pos or doc_id out of range")
@@ -152,9 +159,7 @@ def line_dedup(
 
 
 def _c4_keep(line: Column, min_words: int) -> Column:
-    words = F.filter(
-        F.split(F.trim(line), r"\s+"), lambda w: F.length(w) > 0
-    )
+    words = ws_tokens(line)
     return (
         line.rlike(TERMINAL_PUNCT_RE)
         & (F.size(words) >= min_words)
@@ -242,7 +247,7 @@ def chunk_documents(
         raise ValueError("overlap must be < chunk_tokens")
     step = chunk_tokens - overlap
     t = F.col(text_col)
-    toks = F.filter(F.split(F.trim(t), r"\s+"), lambda w: F.length(w) > 0)
+    toks = ws_tokens(t)
     n = F.size(toks)
     starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(step))).otherwise(
         F.array().cast("array<int>")

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import lang_guess, punct_ratio, stopword_ratio, token_count
+from .text import lang_guess, punct_ratio, stopword_ratio, token_count, ws_tokens
 
 # default mixing rates per language stratum (exercised by q_stratified_sample;
 # callers pass their own)
@@ -153,7 +153,7 @@ def repetition_stats(
     (xxhash64/bit_xor over every output column, 160k docs).
     """
     t = F.col(text_col)
-    toks_f = F.filter(F.split(F.trim(t), r"\s+"), lambda x: F.length(x) > 0)
+    toks_f = ws_tokens(t)
     base = docs.select(
         id_col,
         F.size(toks_f).cast("long").alias("tokens"),  # long: old sum(c) parity
@@ -336,7 +336,7 @@ def quality_classifier(
     threshold at all.
     """
     t = F.col(text_col)
-    unigrams = F.filter(F.split(F.trim(t), r"\s+"), lambda x: F.length(x) > 0)
+    unigrams = ws_tokens(t)
     feats = F.concat(unigrams, word_ngrams(t, 2))
 
     if weights is None:

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .text import ws_tokens
+
 # ------------------------------------------------------------------ exact
 
 
@@ -413,12 +415,18 @@ def duplicated_spans(
     correctness diff.
     """
     t = F.col(text_col)
-    toks = F.filter(F.split(F.trim(t), r"\s+"), lambda w: F.length(w) > 0)
+    toks = ws_tokens(t)
     n = F.size(toks)
     # sequence(1, 0) would generate a DESCENDING range — guard short docs
     starts = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(
         F.array().cast("array<int>")
     )
+    # build the k-token window string ONCE per position: HOF lambda
+    # bodies get no common-subexpression elimination, so hashing win(i)
+    # twice inside the transform would materialize the string twice —
+    # doubling the dominant string-build cost of the corpus-wide scan.
+    # Emit (pos, w) structs, then hash the already-built string twice in
+    # the outer projection (plain column refs into the exploded struct).
     win = lambda i: F.array_join(F.slice(toks, i, k), " ")  # noqa: E731
     wh = (
         docs.select(
@@ -427,14 +435,17 @@ def duplicated_spans(
                 F.transform(
                     starts,
                     lambda i: F.struct(
-                        i.cast("long").alias("pos"),
-                        F.xxhash64(win(i)).alias("h1"),
-                        F.xxhash64(win(i), F.lit("dup2")).alias("h2"),
+                        i.cast("long").alias("pos"), win(i).alias("w")
                     ),
                 )
             ).alias("w"),
         )
-        .select(id_col, "w.pos", "w.h1", "w.h2")
+        .select(
+            id_col,
+            F.col("w.pos").alias("pos"),
+            F.xxhash64(F.col("w.w")).alias("h1"),
+            F.xxhash64(F.col("w.w"), F.lit("dup2")).alias("h2"),
+        )
     )
     dup_keys = (
         wh.groupBy("h1", "h2").agg(F.count("*").alias("cnt")).filter(F.col("cnt") > 1)

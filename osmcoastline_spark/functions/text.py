@@ -38,6 +38,16 @@ def token_count(text: Column) -> Column:
     )
 
 
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokens with empties dropped — THE shared tokenization
+    for every token-lattice operator (chunking, packing, repetition
+    gates, duplicated spans, quality features, C4 line filters). All of
+    them and their SQL oracles must agree on what a "token" is; keeping
+    one definition here prevents a tweak in one operator from silently
+    desynchronizing the lattices of the others."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda w: F.length(w) > 0)
+
+
 def word_like_count(text: Column) -> Column:
     """BPE-ish unit count: alphanumeric runs + standalone punctuation."""
     stripped = F.regexp_replace(text, r"[A-Za-z0-9]+|[^\sA-Za-z0-9]", "\x01")

@@ -27,9 +27,22 @@ def _value_micros(col: str = "value"):
 
 def windowed_counts_batch(events: DataFrame, minutes: int = 60) -> DataFrame:
     """Batch twin of the streaming aggregation: tumbling window via
-    date_trunc arithmetic (portable to the SQL oracle)."""
-    bucket = F.to_timestamp(
-        F.floor(F.unix_timestamp("ts") / (minutes * 60)) * (minutes * 60)
+    floor-division arithmetic (portable to the SQL oracle).
+
+    Bucket on unix_micros, not unix_timestamp: unix_timestamp truncates
+    sub-second parts TOWARD ZERO, so a pre-epoch ts like
+    1969-12-31 23:59:59.5 would yield 0 and bucket to 1970-01-01 00:00,
+    while the streaming twin's F.window (floor semantics) assigns
+    1969-12-31 23:00. floor over exact integer micros keeps the twins —
+    and the DuckDB oracle's floor(epoch(ts)/w) — aligned on both sides
+    of the epoch."""
+    sec = minutes * 60
+    bucket = F.timestamp_seconds(
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            / F.lit(sec * 1_000_000)
+        )
+        * sec
     )
     return (
         events.groupBy(bucket.alias("window_start"), F.col("event_type"))
@@ -234,18 +247,39 @@ def stream_sessionize(
     production deployment that accepts per-burst renumbering can clear
     idle keys with state TTL).
 
-    Output: key, session_idx, start_us, end_us, n_events, sum_value.
+    Output: key, session_idx, start_us, end_us, n_events,
+    sum_value_micros. The value sum is per-row quantized to exact int64
+    micro-units in the plan (_value_micros) and accumulated as Python
+    ints — order-independent, so it matches the batch twin bit-for-bit
+    when the batch side applies the same quantization before its
+    F.sum (the q_sessionize idiom); a float accumulation here would
+    differ from the batch sum in the last ulp depending on arrival
+    order. Null-ts rows are dropped; null values count as 0 micros.
     """
     import pandas as pd
 
     wm = watermark or f"{gap_seconds} seconds"
     # the watermarked event-time column must SURVIVE the projection —
-    # EventTimeTimeout requires it to reach the stateful operator
-    ev = stream.withWatermark(ts_col, wm).select(
-        F.col(key_col),
-        F.col(ts_col),
-        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
-        F.col(value_col).alias("_v"),
+    # EventTimeTimeout requires it to reach the stateful operator.
+    # Null-ts rows are dropped in the plan (an event without a time
+    # cannot be placed in any session; letting it through would crash
+    # the task in the NaN→int64 buffer conversion). The value is
+    # per-row quantized to exact int64 micros (_value_micros — the same
+    # discipline as the batch oracles) with null→0, which matches the
+    # batch twin's null-skipping F.sum for any session that has at
+    # least one non-null value (an all-null session sums to 0 here vs
+    # NULL in the batch twin — documented divergence).
+    ev = (
+        stream.withWatermark(ts_col, wm)
+        .filter(F.col(ts_col).isNotNull())
+        .select(
+            F.col(key_col),
+            F.col(ts_col),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+            F.coalesce(_value_micros(value_col), F.lit(0).cast("long")).alias(
+                "_vus"
+            ),
+        )
     )
     gap_us = gap_seconds * 1_000_000
     key_type = stream.schema[key_col].dataType.simpleString()
@@ -267,9 +301,11 @@ def stream_sessionize(
                     # events older than the watermark are dropped (they may
                     # belong to an already-emitted session; merging them
                     # could never retro-correct an append-mode emission)
-                    for us, v in zip(pdf["_us"].astype("int64"), pdf["_v"]):
+                    for us, v in zip(
+                        pdf["_us"].astype("int64"), pdf["_vus"].astype("int64")
+                    ):
                         if int(us) >= wm_us or wm_us == 0:
-                            buf.append((int(us), float(v)))
+                            buf.append((int(us), int(v)))
             buf.sort()
         if not buf:
             return iter(())
@@ -280,7 +316,7 @@ def stream_sessionize(
         # event could still extend or bridge it)
         sessions = []
         start = end = None
-        n, sumv, first_i = 0, 0.0, 0
+        n, sumv, first_i = 0, 0, 0
         for i, (us, v) in enumerate(buf):
             if start is None:
                 start, end, n, sumv, first_i = us, us, 1, v, i
@@ -319,7 +355,7 @@ def stream_sessionize(
                     out,
                     columns=[
                         key_col, "session_idx", "start_us", "end_us",
-                        "n_events", "sum_value",
+                        "n_events", "sum_value_micros",
                     ],
                 )
             ]
@@ -329,9 +365,9 @@ def stream_sessionize(
         upd,
         outputStructType=(
             f"{key_col} {key_type}, session_idx long, start_us long, "
-            "end_us long, n_events long, sum_value double"
+            "end_us long, n_events long, sum_value_micros long"
         ),
-        stateStructType="us array<long>, v array<double>, idx long",
+        stateStructType="us array<long>, v array<long>, idx long",
         outputMode="append",
         timeoutConf="EventTimeTimeout",
     )

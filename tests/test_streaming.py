@@ -318,9 +318,10 @@ def test_stream_sessionize(spark, tmp_path):
         # but the trailing no-data micro-batch sees the advanced watermark
         # (310s − 100s = 210s > 10s + 100s) and fires session 1's timeout;
         # session 2's close (410s) is still ahead of the watermark
-        assert [(r.user_id, r.session_idx, r.n_events, r.sum_value) for r in got1] == [
-            (1, 1, 2, 3.0)
-        ]
+        assert [
+            (r.user_id, r.session_idx, r.n_events, r.sum_value_micros)
+            for r in got1
+        ] == [(1, 1, 2, 3_000_000)]
         # batch 2: far-future event (another user) advances the watermark
         # to 2900s > 410s → session 2's timeout fires
         with open(src / "b2.json", "w") as f:
@@ -331,7 +332,8 @@ def test_stream_sessionize(spark, tmp_path):
             f.write(json.dumps(ev(5, 2, 3010, 16.0)) + "\n")
         q.processAllAvailable()
         got = sorted(
-            (r.user_id, r.session_idx, r.start_us, r.end_us, r.n_events, r.sum_value)
+            (r.user_id, r.session_idx, r.start_us, r.end_us, r.n_events,
+             r.sum_value_micros)
             for r in spark.sql("select * from sess_out").collect()
         )
     finally:
@@ -339,8 +341,8 @@ def test_stream_sessionize(spark, tmp_path):
 
     # user 1 fully emitted: both sessions; user 2's session still open
     assert [g for g in got if g[0] == 1] == [
-        (1, 1, 1704067200000000, 1704067210000000, 2, 3.0),
-        (1, 2, 1704067510000000, 1704067510000000, 1, 4.0),
+        (1, 1, 1704067200000000, 1704067210000000, 2, 3_000_000),
+        (1, 2, 1704067510000000, 1704067510000000, 1, 4_000_000),
     ]
     # batch twin agrees on the emitted (closed) sessions
     batch = spark.createDataFrame(
@@ -415,7 +417,8 @@ def test_stream_sessionize_late_event_splits_sessions(spark, tmp_path):
             f.write(json.dumps(ev(5, 2, 20010, 16.0)) + "\n")
         q.processAllAvailable()
         got = sorted(
-            (r.user_id, r.session_idx, r.start_us, r.end_us, r.n_events, r.sum_value)
+            (r.user_id, r.session_idx, r.start_us, r.end_us, r.n_events,
+             r.sum_value_micros)
             for r in spark.sql("select * from sess_late_out").collect()
             if r.user_id == 1
         )
@@ -424,8 +427,8 @@ def test_stream_sessionize_late_event_splits_sessions(spark, tmp_path):
 
     T0 = 1704067200000000  # 2024-01-01 00:00:00 UTC in epoch micros
     want = [
-        (1, 1, T0 + 100_000_000, T0 + 100_000_000, 1, 4.0),
-        (1, 2, T0 + 1000_000_000, T0 + 1010_000_000, 2, 3.0),
+        (1, 1, T0 + 100_000_000, T0 + 100_000_000, 1, 4_000_000),
+        (1, 2, T0 + 1000_000_000, T0 + 1010_000_000, 2, 3_000_000),
     ]
     assert got == want
     # and the batch twin on the same replay agrees exactly
@@ -492,10 +495,93 @@ def test_stream_sessionize_idx_survives_timeout(spark, tmp_path):
                 f.writelines(json.dumps(r) + "\n" for r in rows)
             q.processAllAvailable()
         got = sorted(
-            (r.session_idx, r.n_events, r.sum_value)
+            (r.session_idx, r.n_events, r.sum_value_micros)
             for r in spark.sql("select * from sess_idx_out").collect()
             if r.user_id == 1
         )
     finally:
         q.stop()
-    assert got == [(1, 1, 1.0), (2, 1, 2.0)]
+    assert got == [(1, 1, 1_000_000), (2, 1, 2_000_000)]
+
+
+def test_windowed_counts_batch_pre_epoch_floor(spark):
+    """Pre-epoch sub-second timestamps bucket with FLOOR semantics,
+    matching the streaming twin's F.window — a unix_timestamp-based
+    bucket truncates toward zero and would put 1969-12-31 23:59:59.5
+    into the 1970-01-01 00:00 window instead of 1969-12-31 23:00."""
+    batch = spark.createDataFrame(
+        [(1, "1969-12-31 23:59:59.5", "click", 1.0)],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = windowed_counts_batch(batch, minutes=60).collect()
+    # F.window in batch mode is the ground truth for the streaming twin
+    want = batch.select(
+        F.window("ts", "60 minutes").start.alias("ws")
+    ).collect()[0].ws
+    assert len(got) == 1
+    assert got[0].window_start == want
+    assert str(got[0].window_start) == "1969-12-31 23:00:00"
+
+
+def test_stream_sessionize_null_ts_and_value_tolerated(spark, tmp_path):
+    """A null-ts row is dropped in the plan (it cannot be placed in any
+    session) and a null value counts as 0 micros — neither crashes the
+    task nor poisons the session sum to NaN."""
+    import json
+
+    from osmcoastline_spark.streaming.events import stream_sessionize
+
+    src = tmp_path / "sess_null"
+    src.mkdir()
+    rows = [
+        {"event_id": 1, "user_id": 1, "ts": "2024-01-01 00:00:00", "value": 1.5},
+        {"event_id": 2, "user_id": 1, "ts": "2024-01-01 00:00:10", "value": None},
+        {"event_id": 3, "user_id": 1, "ts": None, "value": 99.0},
+    ]
+    with open(src / "b1.json", "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in rows)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        stream_sessionize(stream, gap_seconds=100)
+        .writeStream.format("memory")
+        .queryName("sess_null_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # far-future event closes user 1's session via watermark advance
+        with open(src / "b2.json", "w") as f:
+            f.write(
+                json.dumps(
+                    {"event_id": 4, "user_id": 2,
+                     "ts": "2024-01-01 10:00:00", "value": 0.0}
+                )
+                + "\n"
+            )
+        q.processAllAvailable()
+        with open(src / "b3.json", "w") as f:
+            f.write(
+                json.dumps(
+                    {"event_id": 5, "user_id": 2,
+                     "ts": "2024-01-01 10:00:10", "value": 0.0}
+                )
+                + "\n"
+            )
+        q.processAllAvailable()
+        got = [
+            (r.user_id, r.session_idx, r.n_events, r.sum_value_micros)
+            for r in spark.sql("select * from sess_null_out").collect()
+            if r.user_id == 1
+        ]
+    finally:
+        q.stop()
+    # 2 events (the null-ts row dropped), null value adds 0 micros
+    assert got == [(1, 1, 2, 1_500_000)]
