@@ -98,17 +98,41 @@ def bbox_cover_cells_expr(
     )
 
 
-def morton_interleave_expr(lon: Column, lat: Column, bits: int = 16) -> Column:
+def morton_interleave_expr(
+    lon: Column,
+    lat: Column,
+    bits: int = 16,
+    extent: tuple[float, float, float, float] = (-180.0, 180.0, -90.0, 90.0),
+) -> Column:
     """Z-order (Morton) code as a Catalyst expression: interleave `bits`
-    bits of the quantized lon/lat. Used as a sink sort key so spatially
-    nearby rows land in the same files (Iceberg metadata pruning)."""
-    ix = F.least(
-        F.lit((1 << bits) - 1),
-        F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << bits))).cast("long"),
+    bits of the quantized x/y. Used as a sink sort key so spatially
+    nearby rows land in the same files (Iceberg metadata pruning).
+
+    `extent` is (minx, maxx, miny, maxy) of the coordinate system —
+    degrees by default; pass the WebMercator square (±geom.MERC) for
+    epsg=3857 geometry, whose metre-valued coordinates would otherwise
+    all clamp to the top index (positive) or interleave sign-bit garbage
+    (negative) and silently lose the spatial layout. Out-of-extent
+    values clamp to the edge cells on BOTH sides (the original code only
+    clamped above)."""
+    minx, maxx, miny, maxy = extent
+    ix = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.lit((1 << bits) - 1),
+            F.floor(
+                (lon - F.lit(minx)) / F.lit(maxx - minx) * F.lit(float(1 << bits))
+            ).cast("long"),
+        ),
     )
-    iy = F.least(
-        F.lit((1 << bits) - 1),
-        F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << bits))).cast("long"),
+    iy = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.lit((1 << bits) - 1),
+            F.floor(
+                (lat - F.lit(miny)) / F.lit(maxy - miny) * F.lit(float(1 << bits))
+            ).cast("long"),
+        ),
     )
     code = F.lit(0).cast("long")
     for b in range(bits):
@@ -120,8 +144,16 @@ def morton_interleave_expr(lon: Column, lat: Column, bits: int = 16) -> Column:
     return code
 
 
-def with_salt(df, col_name: str, buckets: int):
-    """Deterministic salt for skew-prone keys: salt = positive hash of the
-    row's content modulo `buckets`. Used to split mega-cells (coastline
-    density skew) before per-cell work that doesn't need cell completeness."""
-    return df.withColumn("salt", F.pmod(F.hash(*df.columns), F.lit(buckets)))
+def with_salt(df, salt_col: str = "salt", buckets: int = 16):
+    """Deterministic salt for skew-prone keys, written to `salt_col`:
+    salt = positive hash of the row's content modulo `buckets`. Used to
+    split mega-cells (coastline density skew) before per-cell work that
+    doesn't need cell completeness. Map-typed columns are excluded from
+    the hash (Spark's hash() rejects MapType — e.g. the nodes table's
+    tags column would otherwise make this raise)."""
+    from pyspark.sql.types import MapType
+
+    cols = [f.name for f in df.schema.fields if not isinstance(f.dataType, MapType)]
+    if not cols:
+        raise ValueError("with_salt: no hashable (non-map) columns")
+    return df.withColumn(salt_col, F.pmod(F.hash(*cols), F.lit(buckets)))

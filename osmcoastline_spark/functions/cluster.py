@@ -219,9 +219,17 @@ def semantic_dedup(
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    # fixed double expression shape — single-rounded identically everywhere
-    cos = dot.cast("double") / (
-        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    # fixed double expression shape — single-rounded identically everywhere.
+    # Zero-norm guard: an embedding whose every component quantizes to 0
+    # (|x| < 0.5/scale) has nq=0, and the raw division is 0/0 — a
+    # DIVIDE_BY_ZERO job crash under ANSI (the session default), or a NaN
+    # that non-ANSI comparisons mis-rank. Cosine to a zero vector is
+    # undefined; define it as 0 (not similar to anything).
+    _norm_prod = F.sqrt(F.col("na").cast("double")) * F.sqrt(
+        F.col("nb").cast("double")
+    )
+    cos = F.when(_norm_prod > 0, dot.cast("double") / _norm_prod).otherwise(
+        F.lit(0.0)
     )
     dropped = (
         a.join(b, "cluster")
@@ -314,8 +322,14 @@ def ivf_topk_trained(
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    cos = dot.cast("double") / (
-        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    # zero-norm guard, same as semantic_dedup above: 0/0 crashes under
+    # ANSI; under non-ANSI the NaN sorts FIRST under F.desc and a zero
+    # vector's arbitrary cluster-mates would displace all real neighbors
+    _norm_prod = F.sqrt(F.col("na").cast("double")) * F.sqrt(
+        F.col("nb").cast("double")
+    )
+    cos = F.when(_norm_prod > 0, dot.cast("double") / _norm_prod).otherwise(
+        F.lit(0.0)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
     return (

@@ -45,8 +45,16 @@ _TERM_RE = re.compile(r"^[a-z0-9]+$")
 
 
 def _normalized(text: Column) -> Column:
-    """Lowercased, [^a-z0-9]+ collapsed to single spaces, trimmed."""
-    return F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))
+    """Lowercased, [^a-z0-9]+ collapsed to single spaces, trimmed.
+
+    NULL text normalizes to '' (coalesce) so a NULL-text doc behaves
+    exactly like an empty one: dl=0, tf=0, score=0 — instead of NULL
+    propagating into dl/tf/score (which would drop the doc from top-k
+    while it still counted in n_docs and deflated avgdl for everyone
+    else)."""
+    return F.trim(
+        F.regexp_replace(F.lower(F.coalesce(text, F.lit(""))), "[^a-z0-9]+", " ")
+    )
 
 
 def _doclen(norm: Column) -> Column:
@@ -137,7 +145,15 @@ def bm25(
         ratio = (n - df + F.lit(0.5)) / (df + F.lit(0.5))
         idf_c = ratio + F.lit(1.0) if idf == "rational" else F.ln(F.lit(1.0) + ratio)
         dl_norm = F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
-        return idf_c * (tf * F.lit(k1 + 1.0)) / (tf + F.lit(k1) * dl_norm)
+        # tf=0 with b=1.0 (dl=0 ⇒ dl_norm=0) or k1=0 zeroes the whole
+        # denominator: 0/0 crashes under ANSI, and a non-ANSI NaN would
+        # rank empty docs into the top-k. The numerator is 0 whenever the
+        # denominator is (tf=0 in both factors), so the term's
+        # contribution is exactly 0 — guard, don't divide.
+        denom = tf + F.lit(k1) * dl_norm
+        return F.when(denom > 0, idf_c * (tf * F.lit(k1 + 1.0)) / denom).otherwise(
+            F.lit(0.0)
+        )
 
     score = weight(terms[0])
     for t in terms[1:]:

@@ -207,6 +207,17 @@ def tile_pyramid(
     """
     if levels < 1:
         raise ValueError(f"levels must be >= 1, got {levels}")
+    # the rollup sums exact int64s; a fractional value_col would be
+    # silently TRUNCATED by the long cast (0.6 → 0 at every level, no
+    # error) — refuse it and point the caller at the repo's micros
+    # quantization idiom instead
+    vt = tiles.schema[value_col].dataType.simpleString()
+    if vt not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"tile_pyramid value_col {value_col!r} is {vt}; pass an integer "
+            "column (quantize fractional statistics to micro-units first, "
+            "e.g. floor(v * 1e6 + 0.5) cast to long)"
+        )
     exp = tiles.select(
         F.col(x_col).cast("long").alias("_x"),
         F.col(y_col).cast("long").alias("_y"),

@@ -86,24 +86,33 @@ def run_checkpointed(
     res = PipelineResult()
     run = PipelineRun(result=res)
 
-    wanted = ["error_points", "error_lines", "segments"]
-    if opt.output_polygons in ("land", "both"):
-        wanted.append("land_polygons")
-    if opt.output_polygons in ("water", "both"):
-        wanted.append("water_polygons")
-    if opt.output_lines:
-        wanted.append("lines")
-    if opt.output_rings:
-        wanted.append("rings")
+    # option-dependent subset of FINAL_TABLES (one list, filtered — so the
+    # stage inventory can't silently diverge from the constant)
+    include = {
+        "error_points": True,
+        "error_lines": True,
+        "segments": True,
+        "land_polygons": opt.output_polygons in ("land", "both"),
+        "water_polygons": opt.output_polygons in ("water", "both"),
+        "lines": opt.output_lines,
+        "rings": opt.output_rings,
+    }
+    wanted = [t for t in FINAL_TABLES if include[t]]
 
     # a resume is only valid for the SAME (options, inputs) the snapshots
     # were produced from — without the check, re-running against new data
     # into an old sink dir silently returned the stale tables
     fp = _run_fingerprint(opt, nodes, ways)
 
+    # _meta_done demands an EXACT fingerprint match (no legacy accept):
+    # it is the one marker that can survive from a DIFFERENT run — e.g.
+    # run B recommits every table with fp2 and crashes before its marker,
+    # leaving run A's fp1 marker next to fp2 tables; resuming would attach
+    # run A's stats/warnings/errors (and exit code) to run B's tables.
     if (
         all(sink.exists(t) and _snapshot_matches(sink, t, fp) for t in wanted)
         and sink.exists("_meta_done")
+        and sink.manifest("_meta_done")["lineage"].get("fingerprint") == fp
     ):
         for t in wanted:
             res.tables[t] = sink.read(spark, t)
@@ -142,6 +151,9 @@ def run_checkpointed(
             else []
         )
     run.result = res2
+    from osmcoastline_spark.geom import MERC
+
+    extent = (-MERC, MERC, -MERC, MERC) if opt.epsg == 3857 else None
     for t in wanted:
         if t in res2.tables:
             n = sink.write(
@@ -149,14 +161,20 @@ def run_checkpointed(
                 res2.tables[t],
                 spatial=t in ("land_polygons", "water_polygons"),
                 lineage={"stage": t, "options": str(opt), "fingerprint": fp},
+                extent=extent,
             )
             run.committed.append((t, n))
-    # the meta marker commits LAST: a crash mid-write leaves no marker and
-    # the next run recomputes (no torn resume)
-    sink.write(
-        "_meta_done",
-        spark.createDataFrame([(1,)], "ok int"),
-        lineage={"stats": run.result.stats, "warnings": run.result.warnings,
-                 "errors": run.result.errors},
-    )
+    # the meta marker commits LAST, carries the fingerprint, and is only
+    # written when THIS run committed the full wanted set: a crash
+    # mid-write leaves no marker and the next run recomputes (no torn
+    # resume), and an early-abort run (e.g. missing locations — no tables
+    # produced) must not overwrite a complete prior run's marker with its
+    # own errors
+    if all(t in res2.tables for t in wanted):
+        sink.write(
+            "_meta_done",
+            spark.createDataFrame([(1,)], "ok int"),
+            lineage={"stats": run.result.stats, "warnings": run.result.warnings,
+                     "errors": run.result.errors, "fingerprint": fp},
+        )
     return run

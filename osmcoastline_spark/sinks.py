@@ -37,18 +37,28 @@ class CheckpointSink:
         return os.path.exists(os.path.join(self._dir(stage), MANIFEST))
 
     def write(self, stage: str, df: DataFrame, *, spatial: bool = False,
-              lineage: dict | None = None) -> int:
-        """Commit a stage snapshot; returns row count."""
+              lineage: dict | None = None,
+              extent: tuple[float, float, float, float] | None = None) -> int:
+        """Commit a stage snapshot; returns row count. `extent` is the
+        coordinate extent for the z-order layout (degrees by default;
+        callers writing epsg=3857 geometry must pass the WebMercator
+        square or the metre-valued envelopes degenerate the Morton
+        code and the spatial file layout is silently lost)."""
         path = self._dir(stage)
         out = df
         if spatial and {"env_minx", "env_maxx", "env_miny", "env_maxy"} <= set(df.columns):
             cx = (F.col("env_minx") + F.col("env_maxx")) / 2
             cy = (F.col("env_miny") + F.col("env_maxy")) / 2
+            code = (
+                morton_interleave_expr(cx, cy, extent=extent)
+                if extent is not None
+                else morton_interleave_expr(cx, cy)
+            )
             # drop the helper column AFTER the sort: it is layout-only,
             # and persisting it would give resumed tables (and shipped
             # output dirs) a different schema than fresh-run tables and
             # than manifest['schema']
-            out = df.withColumn("zorder", morton_interleave_expr(cx, cy)).sortWithinPartitions(
+            out = df.withColumn("zorder", code).sortWithinPartitions(
                 "zorder"
             ).drop("zorder")
         out.write.mode("overwrite").parquet(path)
@@ -110,19 +120,38 @@ class IcebergSink:
         return self.spark.catalog.tableExists(self._table(stage))
 
     def write(self, stage: str, df: DataFrame, *, spatial: bool = False,
-              lineage: dict | None = None) -> int:
+              lineage: dict | None = None,
+              extent: tuple[float, float, float, float] | None = None) -> int:
         out = df
         if spatial and {"env_minx", "env_maxx", "env_miny", "env_maxy"} <= set(df.columns):
             cx = (F.col("env_minx") + F.col("env_maxx")) / 2
             cy = (F.col("env_miny") + F.col("env_maxy")) / 2
-            out = df.withColumn(
-                "zorder", morton_interleave_expr(cx, cy)
-            ).sortWithinPartitions("zorder").drop("zorder")
+            code = (
+                morton_interleave_expr(cx, cy, extent=extent)
+                if extent is not None
+                else morton_interleave_expr(cx, cy)
+            )
+            out = df.withColumn("zorder", code).sortWithinPartitions(
+                "zorder"
+            ).drop("zorder")
         name = self._table(stage)
-        out.writeTo(name).using("iceberg").createOrReplace()
+        # graft.lineage (which carries the resume fingerprint) rides the
+        # SAME atomic snapshot commit via tableProperty — a crash between
+        # createOrReplace and a follow-up ALTER would otherwise leave a
+        # table whose DATA is from the new inputs but whose missing
+        # fingerprint the legacy-accept path in checkpointed.py would
+        # validate against ANY inputs. The informational rows/committed_at
+        # props still land in a post-commit ALTER (the count needs the
+        # committed snapshot); losing them to a crash costs manifest()
+        # accuracy, never resume safety.
+        (
+            out.writeTo(name)
+            .using("iceberg")
+            .tableProperty("graft.lineage", json.dumps(lineage or {}))
+            .createOrReplace()
+        )
         n = self.spark.table(name).count()
         props = {
-            "graft.lineage": json.dumps(lineage or {}),
             "graft.rows": str(n),
             "graft.committed_at": str(time.time()),
         }

@@ -2,6 +2,8 @@
 
 import os
 
+from pyspark.sql import functions as F
+
 from osmcoastline_spark.plans.checkpointed import run_checkpointed
 from osmcoastline_spark.plans.pipeline import Options
 from osmcoastline_spark.sinks import CheckpointSink
@@ -78,6 +80,10 @@ def test_iceberg_sink_surface(spark, monkeypatch):
             calls["using"] = fmt
             return self
 
+        def tableProperty(self, key, value):
+            calls.setdefault("props", {})[key] = value
+            return self
+
         def createOrReplace(self):
             calls["created"] = self.name
 
@@ -102,9 +108,12 @@ def test_iceberg_sink_surface(spark, monkeypatch):
     assert n == 7
     assert calls["using"] == "iceberg"
     assert calls["created"] == "lake.osmcoastline.segments"
+    # the lineage (resume fingerprint) must ride the atomic snapshot
+    # commit itself, not a post-commit ALTER a crash could separate
+    assert calls["props"] == {"graft.lineage": '{"stage": "segments"}'}
     props_sql = fake_spark.sql.call_args_list[-1][0][0]
     assert props_sql.startswith("ALTER TABLE lake.osmcoastline.segments SET TBLPROPERTIES")
-    assert "graft.lineage" in props_sql
+    assert "graft.rows" in props_sql and "graft.lineage" not in props_sql
 
     m = sink.manifest("segments")
     assert m["rows"] == 7 and m["lineage"] == {"stage": "segments"}
@@ -153,3 +162,76 @@ def test_resume_rejects_different_inputs(spark, tmp_path):
         spark, n2, w2, Options(output_polygons="land", close_distance=0.5), sink
     )
     assert run4.loaded == []
+
+
+def test_stale_meta_marker_from_other_run_rejected(spark, tmp_path):
+    """_meta_done demands an exact fingerprint match: run B recommitting
+    every table with new inputs and crashing before its own marker must
+    NOT resume with run A's stats attached to run B's tables."""
+    import json
+
+    nodes, ways = fixture_df(spark, NODES, WAYS)
+    nodes.write.parquet(str(tmp_path / "n1"))
+    ways.write.parquet(str(tmp_path / "w1"))
+    n1 = spark.read.parquet(str(tmp_path / "n1"))
+    w1 = spark.read.parquet(str(tmp_path / "w1"))
+
+    sink = CheckpointSink(str(tmp_path / "ckpt_meta"))
+    opt = Options(output_polygons="land")
+    run_checkpointed(spark, n1, w1, opt, sink)
+
+    # simulate run B: the stage tables carry a DIFFERENT fingerprint but
+    # the old _meta_done marker (old fingerprint) survives the crash
+    for t in ("land_polygons", "segments", "error_points", "error_lines"):
+        mpath = os.path.join(str(tmp_path / "ckpt_meta"), t, "_MANIFEST.json")
+        with open(mpath) as f:
+            m = json.load(f)
+        m["lineage"]["fingerprint"] = "fp-of-run-B"
+        with open(mpath, "w") as f:
+            json.dump(m, f)
+
+    # resume attempt with run A's inputs: final-stage fingerprints
+    # mismatch -> the FULL resume must not fire (the marker alone must
+    # never carry it); the untouched mid-pipeline ring snapshots still
+    # legitimately serve the mid-resume, and the finals recompute
+    run = run_checkpointed(spark, n1, w1, opt, sink)
+    assert "land_polygons" not in run.loaded
+    assert any(t == "land_polygons" for t, _ in run.committed)
+
+    # after the recompute the marker is re-fingerprinted; a clean resume
+    # works again
+    run2 = run_checkpointed(spark, n1, w1, opt, sink)
+    assert "land_polygons" in run2.loaded
+    meta = sink.manifest("_meta_done")["lineage"]
+    assert "fingerprint" in meta
+
+
+def test_zorder_extent_3857(spark):
+    """morton_interleave_expr with the WebMercator extent must actually
+    spread metre-valued coordinates across the code space — the hardcoded
+    degree extent clamps every positive metre value to the top cell and
+    sign-garbles negative ones."""
+    from osmcoastline_spark.cells import morton_interleave_expr
+    from osmcoastline_spark.geom import MERC
+
+    df = spark.createDataFrame(
+        [(-1.5e7, -5e6), (-1.0e5, 2e6), (7.5e6, 8e6), (1.9e7, 1.2e7)],
+        "x double, y double",
+    )
+    ext = (-MERC, MERC, -MERC, MERC)
+    codes = [
+        r.z
+        for r in df.select(
+            morton_interleave_expr(F.col("x"), F.col("y"), extent=ext).alias("z")
+        ).collect()
+    ]
+    assert len(set(codes)) == 4, "distinct locations must get distinct codes"
+    assert all(0 <= c < (1 << 32) for c in codes)
+    # degree-extent misuse: all positive-metre points collapse to one cell
+    bad = [
+        r.z
+        for r in df.filter("x > 0").select(
+            morton_interleave_expr(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    ]
+    assert len(set(bad)) == 1, "the degenerate layout this guards against"

@@ -149,3 +149,49 @@ def test_ivf_trained_recall_and_shape(spark):
         hits += len(inter)
         total += 3
     assert hits / total > 0.35, hits / total
+
+
+def test_semantic_dedup_zero_norm_vector_survives(spark):
+    """An embedding whose every component quantizes to 0 (|x| < 0.5/scale)
+    has norm 0; the cosine guard must define cos=0 for it instead of
+    dividing 0/0 — which crashed the job under ANSI (the session default)
+    or NaN-marked the vector as a duplicate under non-ANSI."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0001, 0.0, 0.0, 0.0]),  # quantizes to the zero vector
+        (2, [1.0, 0.0, 0.0, 0.0]),     # exact copy of 0 -> dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: r.keep
+        for r in C.semantic_dedup(
+            df, k=1, iters=1, threshold=0.99, scale=1000.0
+        ).collect()
+    }
+    assert got[0] is True
+    assert got[1] is True, "zero-norm vector must not be NaN-dropped"
+    assert got[2] is False
+
+
+def test_ivf_trained_zero_norm_query_ranks_last(spark):
+    """Same guard in ivf_topk_trained: a zero-quantized vector gets cos=0
+    to every neighbor (ranked by the id tiebreak), never NaN (which sorts
+    FIRST under desc and would displace all real neighbors)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0001, 0.0, 0.0, 0.0]),  # zero-quantized
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = C.ivf_topk_trained(
+        df, k=2, k_cells=1, iters=1, nprobe=1, scale=1000.0
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.nbr_id, r.cos))
+    # vec 0's neighbors: 1 (high cos) then 2 (cos exactly 0)
+    n0 = sorted(by_q[0])
+    assert n0[0][1] == 1 and n0[0][2] > 0.9
+    assert n0[1][1] == 2 and n0[1][2] == 0.0
+    # the zero vector's own neighbor cosines are all exactly 0
+    assert all(c == 0.0 for _, _, c in by_q[2])

@@ -115,3 +115,35 @@ def test_degenerate_all_empty_corpus_scores_zero(spark):
     )
     rows = bm25_topk(docs, ["fox"], k=3).collect()
     assert [r.score for r in rows] == [0.0, 0.0, 0.0]
+
+
+def test_empty_doc_with_b_one_scores_zero(spark):
+    """b=1.0 makes dl_norm=0 for an empty doc; with tf=0 the BM25 weight
+    denominator is 0 — the guard must yield score 0 (the numerator is 0
+    too), not an ANSI DIVIDE_BY_ZERO crash or a NaN that non-ANSI sorts
+    into the top-k."""
+    df = spark.createDataFrame(
+        [(0, "coast coast line"), (1, ""), (2, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.score for r in bm25(df, ["coast"], b=1.0).collect()}
+    assert got[0] > 0.0
+    assert got[1] == 0.0
+    assert got[2] == 0.0, "NULL text must behave exactly like empty text"
+    top = bm25_topk(df, ["coast"], k=2, b=1.0).collect()
+    assert top[0].doc_id == 0, "empty docs must not occupy the top-k"
+
+
+def test_null_text_does_not_skew_avgdl(spark):
+    """A NULL-text doc must produce the same scores as the identical
+    corpus with '' in its place (NULL propagating into dl would deflate
+    avgdl for every other doc)."""
+    a = spark.createDataFrame(
+        [(0, "coast line here"), (1, None)], "doc_id long, text string"
+    )
+    b_ = spark.createDataFrame(
+        [(0, "coast line here"), (1, "")], "doc_id long, text string"
+    )
+    sa = {r.doc_id: r.score for r in bm25(a, ["coast"]).collect()}
+    sb = {r.doc_id: r.score for r in bm25(b_, ["coast"]).collect()}
+    assert sa == sb

@@ -256,3 +256,32 @@ def test_tile_pyramid_single_exchange_and_guard(spark):
     assert plan.count("Exchange") == 1, plan
     with pytest.raises(ValueError, match="levels"):
         tile_pyramid(tiles, levels=0)
+
+
+def test_tile_pyramid_rejects_fractional_value_col(spark):
+    """A double value_col would be silently truncated by the long cast
+    (0.6 -> 0 at every level) — the operator must refuse it loudly."""
+    import pytest as _pytest
+
+    from osmcoastline_spark.operators.vectorize import tile_pyramid
+
+    tiles = spark.createDataFrame(
+        [(0, 0, 0.6)], "tx long, ty long, value double"
+    )
+    with _pytest.raises(ValueError, match="quantize"):
+        tile_pyramid(tiles, levels=1)
+
+
+def test_with_salt_skips_map_columns(spark):
+    """with_salt must hash around MapType columns (Spark's hash() rejects
+    them) and honor the salt output column name."""
+    from osmcoastline_spark.cells import with_salt
+
+    df = spark.createDataFrame(
+        [(1, {"natural": "coastline"}), (2, {"x": "y"})],
+        "node_id long, tags map<string,string>",
+    )
+    out = with_salt(df, "s", 4)
+    rows = out.collect()
+    assert "s" in out.columns
+    assert all(0 <= r.s < 4 for r in rows)
