@@ -154,14 +154,26 @@ def main(argv: list[str] | None = None) -> int:
         output_polygons=args.output_polygons,
         water_cell_deg=args.water_cell_deg,
     )
+    res = None
     try:
         res = run_pipeline(spark, nodes, ways, opt)
 
         sink = CheckpointSink(args.output_database)
+        # epsg=3857 geometry carries metre-valued envelopes — the z-order
+        # layout needs the WebMercator extent or every positive centre
+        # clamps to one Morton cell (sinks.py docstring)
+        from osmcoastline_spark.geom import MERC
+
+        extent = (-MERC, MERC, -MERC, MERC) if args.srs == 3857 else None
         for name, df in res.tables.items():
             if name == "segments":
                 continue
-            sink.write(name, df, spatial=name in ("land_polygons", "water_polygons", "rings"))
+            sink.write(
+                name,
+                df,
+                spatial=name in ("land_polygons", "water_polygons", "rings"),
+                extent=extent,
+            )
         sink.write_meta(res.stats, vars(args))
 
         print(f"There were {res.warnings} warnings.")
@@ -170,6 +182,13 @@ def main(argv: list[str] | None = None) -> int:
         if code == 1 and args.exit_ignore_warnings:
             code = 0
     finally:
+        if res is not None:
+            # release the pipeline's pinned caches (error points/lines,
+            # dup counts) — an in-process caller with a pre-existing
+            # session would otherwise accumulate them per run, since
+            # spark.stop() below is skipped for pre-existing sessions
+            # (same idiom as _segments_main)
+            res.unpersist()
         # restore even when run_pipeline raises, so an in-process caller's
         # later runs are not silently verbose
         if args.verbose:

@@ -37,10 +37,15 @@ def rings_to_lines(
     min_y, max_x, min_x = edges["min_y"], edges["max_x"], edges["min_x"]
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # max_points <= 0 means NO chunking (reference: max_points_in_polygon
-        # 0 disables splitting, src/options.cpp) — the old max(mp-1, 1)
-        # inverted that into maximal chunking (2-point segments)
-        step = max(max_points - 1, 1) if max_points > 0 else None
+        # a flushed reference chunk has max(max_points, 2) points =
+        # max(max_points - 1, 1) segments — INCLUDING max_points == 0:
+        # options.cpp:156-158 only sets split_large_polygons = false for
+        # -m 0 (polygon splitting off), while output_lines(0) still
+        # reaches coastline_polygons.cpp:286, where getNumPoints() >= 0
+        # is always true and every added segment flushes a 2-point line.
+        # (A round-5 edit misread that as "0 disables line chunking too"
+        # and emitted unchunked rings — parity break, reverted.)
+        step = max(max_points - 1, 1)
         for pdf in it:
             out_x, out_y = [], []
             for row in pdf.itertuples(index=False):
@@ -67,9 +72,8 @@ def rings_to_lines(
                     if len(kept) == 0:
                         continue
                     for run_segs in np.split(kept, np.nonzero(np.diff(kept) != 1)[0] + 1):
-                        rstep = step if step is not None else len(run_segs)
-                        for k in range(0, len(run_segs), rstep):
-                            chunk = run_segs[k : k + rstep]
+                        for k in range(0, len(run_segs), step):
+                            chunk = run_segs[k : k + step]
                             out_x.append(xs[chunk[0] : chunk[-1] + 2].tolist())
                             out_y.append(ys[chunk[0] : chunk[-1] + 2].tolist())
             yield pd.DataFrame({"xs": out_x, "ys": out_y})

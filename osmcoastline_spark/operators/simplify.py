@@ -16,22 +16,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def area2_expr(xc: str, yc: str):
-    return F.aggregate(
-        F.zip_with(F.slice(xc, 1, F.size(xc) - 1), F.slice(yc, 2, F.size(yc) - 1), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda a, v: a + v,
-    ) - F.aggregate(
-        F.zip_with(F.slice(xc, 2, F.size(xc) - 1), F.slice(yc, 1, F.size(yc) - 1), lambda x, y: x * y),
+def filter_min_area(polygons: DataFrame, min_area: float) -> DataFrame:
+    """F9: ST_Area(geom) > min_area (shell area minus holes) — the
+    reference's `WHERE ST_Area(geom) > :min_area`
+    (simplify_land_polygons.sql:19-21), where ST_Area of a polygon with
+    interior rings is the NET area. A shell-only area would keep a
+    polygon whose holes eat almost all of it. Shares polygonize's
+    shoelace expression (one definition repo-wide)."""
+    from osmcoastline_spark.operators.polygonize import _area2_expr
+
+    shell = F.abs(_area2_expr("shell_x", "shell_y"))
+    holes = F.aggregate(
+        F.zip_with(
+            "holes_x", "holes_y", lambda hx, hy: F.abs(_area2_expr(hx, hy))
+        ),
         F.lit(0.0),
         lambda a, v: a + v,
     )
-
-
-def filter_min_area(polygons: DataFrame, min_area: float) -> DataFrame:
-    """F9: ST_Area(geom) > min_area (shell area minus holes)."""
-    shell = F.abs(area2_expr("shell_x", "shell_y")) / 2.0
-    return polygons.filter(shell > min_area)
+    net = (shell - F.coalesce(holes, F.lit(0.0))) / 2.0
+    return polygons.filter(net > min_area)
 
 
 def simplify_polygons(polygons: DataFrame, tolerance: float) -> DataFrame:
@@ -43,15 +46,13 @@ def simplify_polygons(polygons: DataFrame, tolerance: float) -> DataFrame:
     flat <3 check let a collapsed [a, b, a] sliver through as a
     zero-area shell.
 
-    Uses the shared util.aslist (via split's alias) for ragged arrays.
+    Uses the shared util.aslist for ragged arrays.
     """
-    from osmcoastline_spark.operators.split import _aslist
+    from osmcoastline_spark.util import aslist as _aslist
 
     def _degenerate(xs, ys) -> bool:
         closed = xs[0] == xs[-1] and ys[0] == ys[-1]
         return len(xs) < (4 if closed else 3)
-
-    cols = polygons.columns
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from osmcoastline_spark import geom

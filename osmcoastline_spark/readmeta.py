@@ -77,7 +77,12 @@ def readmeta_report(outdir: str) -> str:
     lines.append("")
     if meta:
         lines.append(f"  Database created at: {meta['timestamp']}")
-        lines.append(f"  Runtime (minutes): {round(meta['runtime'] / 60)}")
+        # half-away-from-zero, matching SQLite's round() in the reference
+        # report (Python's round() is banker's: round(2.5) == 2, but the
+        # reference prints 3 for a 150-second run)
+        lines.append(
+            f"  Runtime (minutes): {int(meta['runtime'] / 60 + 0.5)}"
+        )
         lines.append(f"  Memory usage (MB): {meta['memory_usage']}")
         lines.append(f"  Ways tagged natural=coastline: {meta['num_ways']}")
         lines.append(

@@ -117,6 +117,9 @@ ERROR_LINES_SCHEMA = StructType(
     ]
 )
 
+# mirrors the actual rings output table built in plans/pipeline.py
+# (osm_id/nways/npoints/fixed/land/valid + the coordinate arrays — the WKT
+# rendering is a sink concern, not a table column)
 RINGS_OUT_SCHEMA = StructType(
     [
         StructField("osm_id", LongType(), False),
@@ -125,7 +128,9 @@ RINGS_OUT_SCHEMA = StructType(
         StructField("fixed", IntegerType(), False),
         StructField("land", IntegerType(), False),
         StructField("valid", IntegerType(), False),
-        StructField("wkt", StringType(), False),
+        StructField("node_ids", ArrayType(LongType()), False),
+        StructField("xs", ArrayType(DoubleType()), False),
+        StructField("ys", ArrayType(DoubleType()), False),
     ]
 )
 

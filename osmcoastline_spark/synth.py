@@ -34,7 +34,7 @@ def _island_rng(seed: int, island: int) -> np.random.Generator:
     return np.random.default_rng(np.random.SeedSequence([seed, island]))
 
 
-def _island_frame(seed: int, islands: np.ndarray, n_islands: int) -> tuple[pd.DataFrame, pd.DataFrame]:
+def _island_frame(seed: int, islands: np.ndarray) -> tuple[pd.DataFrame, pd.DataFrame]:
     """nodes + ways for a batch of island ids."""
     node_rows = []
     way_rows = []
@@ -88,7 +88,7 @@ def synth_nodes_ways(spark: SparkSession, n_islands: int, seed: int = 42) -> tup
 
     def gen_combined(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            nodes, ways = _island_frame(seed, pdf["id"].to_numpy(), n_islands)
+            nodes, ways = _island_frame(seed, pdf["id"].to_numpy())
             nodes["kind"] = "n"
             ways_out = pd.DataFrame(
                 {

@@ -324,3 +324,63 @@ def test_package_zip_content_addressed(tmp_path):
         assert zf.read("osmcoastline_spark/__init__.py") == b"X = 2\n"
     # unchanged content reuses the existing zip (no rebuild churn)
     assert se._package_zip(str(pkg), out_dir=str(tmp_path)) == z2
+
+
+def test_rings_to_lines_max_points_zero_reference_parity(spark):
+    """-m 0 disables polygon SPLITTING only (options.cpp:156-158); line
+    output still reaches coastline_polygons.cpp:286 where numPoints >= 0
+    always flushes — one 2-point LineString per kept segment. A round-5
+    edit misread that as 'no line chunking'; this pins the reference
+    behavior."""
+    from osmcoastline_spark.operators.lines import rings_to_lines
+
+    square = {
+        "shell_x": [0.0, 1.0, 1.0, 0.0, 0.0],
+        "shell_y": [0.0, 0.0, 1.0, 1.0, 0.0],
+        "holes_x": [],
+        "holes_y": [],
+    }
+    df = spark.createDataFrame(
+        [square],
+        "shell_x array<double>, shell_y array<double>, "
+        "holes_x array<array<double>>, holes_y array<array<double>>",
+    )
+    out0 = rings_to_lines(df, max_points=0).collect()
+    assert len(out0) == 4 and all(len(r.xs) == 2 for r in out0)
+    # max_points=3: chunks of 2 segments = 3 points each
+    out3 = sorted(len(r.xs) for r in rings_to_lines(df, max_points=3).collect())
+    assert out3 == [3, 3]
+    # large max_points: the whole ring as one line
+    out_big = rings_to_lines(df, max_points=1000).collect()
+    assert len(out_big) == 1 and len(out_big[0].xs) == 5
+
+
+def test_filter_min_area_subtracts_holes(spark):
+    """ST_Area semantics: a polygon whose holes eat most of the shell
+    must be filtered by its NET area (simplify_land_polygons.sql:19-21),
+    not its shell area."""
+    from osmcoastline_spark.operators.simplify import filter_min_area
+
+    donut = {
+        # shell 10x10 = 100; hole 9x9 = 81 -> net 19
+        "shell_x": [0.0, 10.0, 10.0, 0.0, 0.0],
+        "shell_y": [0.0, 0.0, 10.0, 10.0, 0.0],
+        "holes_x": [[0.5, 9.5, 9.5, 0.5, 0.5]],
+        "holes_y": [[0.5, 0.5, 9.5, 9.5, 0.5]],
+    }
+    solid = {
+        # 5x5 = 25, no holes
+        "shell_x": [0.0, 5.0, 5.0, 0.0, 0.0],
+        "shell_y": [0.0, 0.0, 5.0, 5.0, 0.0],
+        "holes_x": [],
+        "holes_y": [],
+    }
+    df = spark.createDataFrame(
+        [donut, solid],
+        "shell_x array<double>, shell_y array<double>, "
+        "holes_x array<array<double>>, holes_y array<array<double>>",
+    )
+    kept = filter_min_area(df, 20.0).collect()
+    # shell-only area would keep BOTH (100 > 20 and 25 > 20); net area
+    # keeps only the solid square (19 < 20 < 25)
+    assert len(kept) == 1 and kept[0].shell_x[1] == 5.0
