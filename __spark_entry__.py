@@ -814,10 +814,12 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 per-line quality filters (clean.c4_line_filters). Lines are
     synthesized deterministically per doc_id inside the query (the
-    established closed-form-oracle trick, cf. q_audio_features): six
+    established closed-form-oracle trick, cf. q_audio_features): seven
     lines per doc exercising every rule — terminal punctuation,
     min-words, '{', lorem ipsum, javascript — so each rule fires
-    non-vacuously and DuckDB verifies the kept text byte-for-byte."""
+    non-vacuously and DuckDB verifies the kept text byte-for-byte.
+    (The javascript line passes every OTHER rule — ≥5 words, terminal
+    '.', no brace — so only that predicate drops it.)"""
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     nl = F.lit("\n")
     synth = F.concat(
@@ -827,7 +829,8 @@ def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("Document "), F.col("doc_id").cast("string"),
                  F.lit(" keeps this varied content line.")), nl,
         F.lit("Lorem ipsum dolor sit amet filler text."), nl,
-        F.lit("A curly { brace drops this whole line."),
+        F.lit("A curly { brace drops this whole line."), nl,
+        F.lit("Please enable JavaScript support to continue reading."),
     )
     return CL.c4_line_filters(docs.select("doc_id", synth.alias("text")))
 
@@ -2776,7 +2779,8 @@ WITH synth AS (
          'Document ' || CAST(doc_id AS VARCHAR) ||
            ' keeps this varied content line.' || chr(10) ||
          'Lorem ipsum dolor sit amet filler text.' || chr(10) ||
-         'A curly { brace drops this whole line.' AS text
+         'A curly { brace drops this whole line.' || chr(10) ||
+         'Please enable JavaScript support to continue reading.' AS text
   FROM documents
 ),
 f AS (

@@ -133,11 +133,12 @@ def _huffman_code_lengths(freqs: dict[int, int], max_len: int) -> dict[int, int]
         return {}
     if len(live) == 1:
         return {next(iter(live)): 1}
+    import heapq
+
     f = dict(live)
     while True:
-        # standard heap-free huffman via sorted merge
-        import heapq
-
+        # standard heap-based huffman; on depth overflow, halve+1 the
+        # frequencies and rebuild (zlib's approach)
         heap = [(fr, sym, None, None) for sym, fr in f.items()]
         heapq.heapify(heap)
         cnt = 0
@@ -251,6 +252,13 @@ def _read_huffman(br: _BitReaderLSB, alphabet: int) -> _HuffDecoder:
         else:
             s0 = br.bits(1)
         if num_symbols == 1:
+            # validate like the two-symbol path: an out-of-alphabet
+            # single symbol (e.g. distance code 40 in a 0..39 alphabet)
+            # would otherwise decode to a huge prefix distance and emit
+            # silently-wrong pixels instead of the contract's ValueError
+            # (libwebp rejects the stream at table-build time too)
+            if s0 >= alphabet:
+                raise ValueError("bad vp8l simple code symbols")
             return _HuffDecoder({}, single=s0)
         s1 = br.bits(8)
         lens = [0] * alphabet
