@@ -31,13 +31,14 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
-def with_unit_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    n = _norm(F.col(vec_col))
-    return df.withColumn("_norm", n).filter(F.col("_norm") > 0)
-
-
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine with a zero-norm guard: 0/0 on an all-zero embedding would
+    crash the job under ANSI (the session default) or produce a NaN that
+    sorts FIRST under F.desc and displaces every real top-k neighbor
+    (same guard as cluster.py's quantized cosines). Cosine to a zero
+    vector is defined as 0."""
+    norm_prod = _norm(a) * _norm(b)
+    return F.when(norm_prod > 0, _dot(a, b) / norm_prod).otherwise(F.lit(0.0))
 
 
 def brute_force_topk(
@@ -45,8 +46,13 @@ def brute_force_topk(
     vec_col: str = "embedding", id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact top-k neighbors per query (excluding self)."""
-    v = vectors.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    ok = F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+    v = vectors.filter(ok).select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec")
+    )
+    q = queries.filter(ok).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
     scored = (
         q.crossJoin(v)
         .filter(F.col("query_id") != F.col("nbr_id"))
@@ -142,6 +148,10 @@ def lsh_topk(
             )
         dim = len(first[0][0])
     codes = lsh_codes_udf(dim, bits, n_tables, seed)
+    # null/empty embeddings are dropped in the plan (the codes UDF
+    # np.stack would otherwise crash the task on a 0-d array — the same
+    # hostile-row posture as ivf_cells_expr's empty-cell guard)
+    vectors = vectors.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
     tagged = vectors.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
@@ -240,10 +250,20 @@ def embedding_near_dup_pairs(
         vectors, k=50, bits=bits, n_tables=n_tables,
         vec_col=vec_col, id_col=id_col, dim=dim,
     )
+    # canonicalize (least, greatest) then dedup: a one-directional
+    # query_id < nbr_id filter silently LOSES pairs found only in the
+    # high-id -> low-id direction (a dense near-dup cluster larger than
+    # k fills the low id's top-k with lower ids, so (low, high) exists
+    # only as (query=high, nbr=low)). cos is direction-symmetric (the
+    # expression commutes), so either row carries the same value.
     return (
         top.filter(F.col("cos") >= threshold)
-        .filter(F.col("query_id") < F.col("nbr_id"))
-        .select(F.col("query_id").alias("a"), F.col("nbr_id").alias("b"), "cos")
+        .select(
+            F.least("query_id", "nbr_id").alias("a"),
+            F.greatest("query_id", "nbr_id").alias("b"),
+            "cos",
+        )
+        .dropDuplicates(["a", "b"])
     )
 
 
@@ -296,7 +316,8 @@ def lsh_topk_exact(
         lambda acc, v: acc + v,
     )
     base = (
-        vectors.select(F.col(id_col).alias("vid"), qv.alias("q"))
+        vectors.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+        .select(F.col(id_col).alias("vid"), qv.alias("q"))
         .withColumn("nq", nq)
     )
     planes = rademacher_planes(dim, bits, n_tables).reshape(n_tables * bits, dim)
@@ -335,8 +356,13 @@ def lsh_topk_exact(
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    cos = dot.cast("double") / (
-        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    # zero-norm guard, same as cosine()/cluster.py: a zero-quantized
+    # vector (every |x| < 0.5/scale) would 0/0 under ANSI
+    _norm_prod = F.sqrt(F.col("na").cast("double")) * F.sqrt(
+        F.col("nb").cast("double")
+    )
+    cos = F.when(_norm_prod > 0, dot.cast("double") / _norm_prod).otherwise(
+        F.lit(0.0)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
     return (

@@ -46,8 +46,16 @@ def filter_planet(nodes: DataFrame, ways: DataFrame) -> tuple[DataFrame, DataFra
     Returns (kept_nodes, kept_ways). The node-id set of kept ways is usually
     ≪ nodes (<1% of planet per reference README.md:283-286), so Catalyst's
     AQE will typically broadcast it.
+
+    The FILTER program keeps EVERY natural=coastline way including
+    coastline=bogus ones (osmcoastline_filter.cpp:143 has no bogus
+    check) — bogus exclusion happens later, in the main program's way
+    intake (osmcoastline.cpp:253, our coastline_ways). Filtering bogus
+    here would strip those ways and their exclusive nodes from the
+    extract, so a downstream osmcoastline run on the filtered file
+    could no longer reproduce the full-planet result.
     """
-    kept_ways = coastline_ways(ways)
+    kept_ways = ways.filter(F.col("tags").getItem("natural") == "coastline")
     way_node_ids = kept_ways.select(F.explode("node_ids").alias("node_id")).distinct()
     tagged = nodes.filter(F.col("tags").getItem("natural") == "coastline")
     kept_nodes = (

@@ -36,7 +36,11 @@ def ring_segments(rings: DataFrame) -> DataFrame:
     ring_id, idx, x1, y1, x2, y2 with (x1,y1) <= (x2,y2) lexicographically
     (the reference's UndirectedSegment normalization).
     """
-    segs = rings.select(
+    # rings with <2 points produce no segments; unguarded, sequence(1, 0)
+    # generates the DESCENDING array [1, 0] and xs[1] throws
+    # INVALID_ARRAY_INDEX under ANSI (same trap documented at
+    # similarity.ivf_cells_expr)
+    segs = rings.filter(F.size("xs") >= 2).select(
         "ring_id",
         F.posexplode(
             F.expr(
@@ -107,7 +111,13 @@ def intersection_pairs(segments: DataFrame, cell_deg: float = DEFAULT_CELL_DEG) 
     """All crossing segment pairs as (a_ring, b_ring, x, y) — ONE cell-binned
     join serving both the 'intersection' error points and the ring-validity
     triage (same-ring rows = self-intersections, G5/G13)."""
-    with_id = segments.withColumn("seg_id", F.xxhash64("ring_id", "idx"))
+    # segment identity is the COMPOSITE (ring_id, idx) struct, compared
+    # lexicographically — a hashed 64-bit id would make the a_id < b_id
+    # pair dedup collision-prone: two distinct crossing segments whose
+    # hashes collide would compare equal and their intersection would be
+    # silently dropped (at ~1e9 segments a collision existing is a
+    # percent-level birthday event)
+    with_id = segments.withColumn("seg_id", F.struct("ring_id", "idx"))
     covered = with_id.withColumn(
         "cell",
         F.explode(

@@ -384,3 +384,22 @@ def test_filter_min_area_subtracts_holes(spark):
     # shell-only area would keep BOTH (100 > 20 and 25 > 20); net area
     # keeps only the solid square (19 < 20 < 25)
     assert len(kept) == 1 and kept[0].shell_x[1] == 5.0
+
+
+def test_filter_planet_keeps_bogus_ways(spark):
+    """osmcoastline_filter keeps every natural=coastline way INCLUDING
+    coastline=bogus (osmcoastline_filter.cpp:143 — bogus is only dropped
+    later by the main program's way intake); filtering bogus in the
+    extract would lose those ways and their exclusive nodes."""
+    nodes, ways = fixture_df(
+        spark,
+        [(100, 1.0, 1.0), (101, 1.1, 1.0)],
+        [(300, [100, 101], {"natural": "coastline", "coastline": "bogus"})],
+    )
+    kept_nodes, kept_ways = filter_planet(nodes, ways)
+    assert kept_ways.count() == 1
+    assert {r.node_id for r in kept_nodes.collect()} == {100, 101}
+    # the MAIN program's intake still excludes it
+    from osmcoastline_spark.operators.filter import coastline_ways
+
+    assert coastline_ways(ways).count() == 0
