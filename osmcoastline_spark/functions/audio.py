@@ -117,7 +117,10 @@ def with_audio_features(audio: DataFrame, id_col: str = "audio_id") -> DataFrame
                 rms = float(np.sqrt((c0 * c0).sum() / n)) if n else 0.0
                 # bool arrays reject np.diff's subtract — compare shifts
                 zcr = int(np.count_nonzero((c0[1:] < 0) != (c0[:-1] < 0))) if n > 1 else 0
-                peak = int(np.abs(x[:, 0]).max()) if n else 0
+                # abs over the float64 channel, NOT the int16 array:
+                # np.abs(int16(-32768)) silently wraps to -32768, so a
+                # full-scale negative sample would corrupt the peak
+                peak = int(np.abs(c0).max()) if n else 0
                 rows.append(
                     (getattr(r, id_col), rate, n, n / rate, rms, zcr, peak)
                 )

@@ -99,6 +99,22 @@ def test_with_audio_features_and_drop_path(spark):
     assert out[2].rms is None and out[3].rms is None  # dropped, not failed
 
 
+def test_with_audio_features_full_scale_negative_peak(spark):
+    """np.abs on the raw int16 plane wraps -32768 to -32768; the peak must
+    come from the float64 channel so a full-scale negative clip reports
+    32768, not a negative 'peak'."""
+    import numpy as np
+
+    clip = np.full(64, -32768, dtype=np.int16)
+    df = spark.createDataFrame(
+        [(1, bytearray(A.encode_wav(clip, 8000)), "wav")],
+        "audio_id long, bytes binary, fmt string",
+    )
+    row = A.with_audio_features(df).collect()[0]
+    assert row.peak == 32768
+    assert math.isclose(row.rms, 32768.0)
+
+
 def test_with_audio_windows(spark):
     # 10 samples, win 4 hop 3 -> windows at 0, 3, 6 (tail dropped)
     x = np.array([4, -4, 4, -4, 8, 8, 8, 8, 0, 0], dtype=np.int16)
