@@ -51,6 +51,11 @@ def asof_join(
     right rows. Right rows with NULL ts are dropped up front (they can
     never satisfy `right.ts <= left.ts`; under nulls-first ordering
     they would otherwise win as a bogus baseline for every left row).
+    Right rows with a NULL key are dropped too: `partitionBy` groups
+    NULLs together, so they would otherwise match NULL-key left rows —
+    SQL/DuckDB ASOF equality never matches NULL = NULL. NULL-key left
+    rows therefore land in an all-left partition and carry NULL payload,
+    exactly what a LEFT ASOF JOIN produces for them.
     """
     lcols = left.columns
     pay = list(payload_cols)
@@ -69,7 +74,7 @@ def asof_join(
             + ">"
         ),
     )
-    r_tag = right.filter(F.col(ts_col).isNotNull()).select(
+    r_tag = right.filter(F.col(ts_col).isNotNull() & F.col(on).isNotNull()).select(
         F.col(on),
         F.col(ts_col),
         F.lit(0).alias("_src"),

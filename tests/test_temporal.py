@@ -123,6 +123,24 @@ def test_asof_join_null_right_ts_excluded(spark):
     assert out[0].asof_value is None and out[0].asof_ts is None
 
 
+def test_asof_join_null_key_never_matches(spark):
+    """SQL/DuckDB ASOF equality never matches NULL = NULL, but
+    partitionBy groups NULLs together — a NULL-key right row must be
+    dropped so it can't become the baseline for NULL-key left rows,
+    which get NULL payload like any unmatched left row."""
+    left = spark.createDataFrame(
+        [(1, None, _ts(100), 0.0)],
+        "event_id: long, user_id: long, ts: timestamp, value: double",
+    )
+    right = spark.createDataFrame(
+        [(10, None, _ts(50), 7.0)],
+        "event_id: long, user_id: long, ts: timestamp, value: double",
+    )
+    out = asof_join(left, right, on="user_id").collect()
+    assert len(out) == 1
+    assert out[0].asof_value is None and out[0].asof_ts is None
+
+
 def test_asof_join_plan_is_joinless(spark):
     left = _events(spark, [(1, 1, 100, 0.0)])
     right = _events(spark, [(10, 1, 50, 7.0)])
