@@ -121,9 +121,10 @@ def synth_nodes_ways(spark: SparkSession, n_islands: int, seed: int = 42) -> tup
 
 
 def encode_raw(pixels: np.ndarray) -> bytes:
-    """The deterministic 'raw' codec: uint8 RGB array → bytes. Real formats
-    (jpeg/png) are stubbed (no codec libs in this container) — see
-    functions/image.py; the Spark-side plumbing is identical."""
+    """The deterministic 'raw' codec: uint8 RGB array → bytes. Compressed
+    formats ride through the from-scratch codecs (PNG/JPEG/WebP-lossless,
+    see functions/image.py, functions/jpeg.py, functions/webp.py); the
+    Spark-side plumbing is identical for all of them."""
     return pixels.astype(np.uint8).tobytes()
 
 
