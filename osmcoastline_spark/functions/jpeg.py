@@ -33,6 +33,13 @@ ZIGZAG = np.array([
 ], dtype=np.int32)
 UNZIGZAG = np.argsort(ZIGZAG)
 
+# decode-side allocation bound: the coefficient store costs ~12 bytes/px
+# (3 planes × int32) before the float64 IDCT, so 64 MP ≈ 0.8 GB — large
+# enough for any real photo, small enough that a corrupt SOF can't turn
+# one row into a task-killing allocation (same posture as
+# image.PNG_MAX_SLOW_FILTER_PIXELS)
+JPEG_MAX_DECODE_PIXELS = 64_000_000
+
 # ITU-T T.81 Annex K.1 — example quantization tables
 QUANT_LUMA = np.array([
     16, 11, 10, 16, 24, 40, 51, 61,
@@ -430,6 +437,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if len(comps) != 3 or len(scan_comps) != 3:
         raise NotImplementedError("only 3-component (YCbCr) streams")
 
+    if h * w > JPEG_MAX_DECODE_PIXELS:
+        # a corrupt SOF can declare 65535×65535 — without this bound the
+        # coefficient store below would be a ~51 GB allocation and the
+        # escape would be MemoryError, not the ValueError the per-row
+        # drop path catches
+        raise ValueError(f"jpeg dims {h}x{w} above decode cap")
     ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
     nby, nbx = ph // 8, pw // 8
     n_blocks = nby * nbx
@@ -465,8 +478,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError(f"SOS references undefined huffman table {(td, ta)}")
             zz = coeffs[ci][bi]
             size = read_symbol(dct)
+            if size > 11:
+                # T.81 table F.1: DC difference categories are 0..11 for
+                # 8-bit precision; a corrupt stream decoding to a larger
+                # symbol would read `size` raw bits and overflow the
+                # int32 coefficient store (OverflowError, not ValueError)
+                raise ValueError(f"bad DC size category {size}")
             diff = _extend(br.bits(size), size) if size else 0
             prev_dc[ci] += diff
+            if not -2048 <= prev_dc[ci] <= 2047:
+                # valid 8-bit baseline DC values fit category 11 (±2047);
+                # only corrupt diff chains can walk the accumulator out
+                raise ValueError("DC accumulator out of range")
             zz[0] = prev_dc[ci]
             k = 1
             while k <= 63:
@@ -480,6 +503,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 k += r
                 if k > 63:
                     raise ValueError("bad AC run past end of block")
+                if size > 10:
+                    # Annex K AC tables define size categories 1..10 only
+                    raise ValueError(f"bad AC size category {size}")
                 zz[k] = _extend(br.bits(size), size)
                 k += 1
 
