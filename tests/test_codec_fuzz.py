@@ -55,18 +55,14 @@ def _assert_contract(label: str, decode, blob: bytes, what: str) -> None:
         )
 
 
-@pytest.mark.parametrize("label_idx", range(5))
-def test_every_truncation_raises_valueerror_only(label_idx):
-    label, good, decode = _streams()[label_idx]
+def _fuzz_truncations(label, good, decode):
     # every prefix, including the empty stream
     for cut in range(len(good)):
         _assert_contract(label, decode, good[:cut], f"truncation at {cut}")
 
 
-@pytest.mark.parametrize("label_idx", range(5))
-def test_byte_flip_sweep_raises_valueerror_only(label_idx):
-    label, good, decode = _streams()[label_idx]
-    rng = np.random.default_rng(99 + label_idx)
+def _fuzz_byte_flips(label, good, decode, seed):
+    rng = np.random.default_rng(seed)
     n = len(good)
     # every position for short streams; 600 seeded positions otherwise
     positions = range(n) if n <= 600 else sorted(rng.choice(n, 600, replace=False))
@@ -79,6 +75,18 @@ def test_byte_flip_sweep_raises_valueerror_only(label_idx):
             buf[pos] = val
             _assert_contract(label, decode, bytes(buf), f"byte flip at {pos}->{val}")
         buf[pos] = orig
+
+
+@pytest.mark.parametrize("label_idx", range(5))
+def test_every_truncation_raises_valueerror_only(label_idx):
+    label, good, decode = _streams()[label_idx]
+    _fuzz_truncations(label, good, decode)
+
+
+@pytest.mark.parametrize("label_idx", range(5))
+def test_byte_flip_sweep_raises_valueerror_only(label_idx):
+    label, good, decode = _streams()[label_idx]
+    _fuzz_byte_flips(label, good, decode, 99 + label_idx)
 
 
 @pytest.mark.parametrize("label_idx", range(5))
@@ -99,3 +107,59 @@ def test_random_garbage_and_splices_raise_valueerror_only(label_idx):
             blob[at : at + 4] = rng.integers(0, 256, 4).astype(np.uint8).tobytes()
             blob = bytes(blob)
         _assert_contract(label, decode, blob, f"garbage trial {trial}")
+
+
+# ----------------------------------------------------- lossy VP8 (decode-only)
+# Our VP8 codec is decode-only, so a valid lossy stream has to come from a
+# real encoder: libwebp via ctypes, the same tests-only oracle used by
+# test_webp_libwebp_oracle.py. Skips cleanly where the library is absent.
+
+
+def _lossy_webp_stream() -> bytes | None:
+    import ctypes
+
+    try:
+        lib = ctypes.CDLL("libwebp.so.7")
+        lib.WebPEncodeRGB.restype = ctypes.c_size_t
+        lib.WebPEncodeRGB.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_float,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ]
+        lib.WebPFree.argtypes = [ctypes.c_void_p]
+    except (OSError, AttributeError):
+        return None
+    rng = np.random.default_rng(4242)
+    px = np.ascontiguousarray(rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8))
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = lib.WebPEncodeRGB(
+        px.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), 24, 24, 72, 80.0,
+        ctypes.byref(out),
+    )
+    if not n:
+        return None
+    blob = ctypes.string_at(out, n)
+    lib.WebPFree(out)
+    return blob
+
+
+_LOSSY = _lossy_webp_stream()
+_needs_libwebp = pytest.mark.skipif(_LOSSY is None, reason="libwebp unavailable")
+
+
+@_needs_libwebp
+def test_lossy_vp8_truncations_raise_valueerror_only():
+    from osmcoastline_spark.functions.webp import decode_webp
+
+    decode_webp(_LOSSY)  # sanity: the pristine stream decodes
+    _fuzz_truncations("vp8-lossy", _LOSSY, decode_webp)
+
+
+@_needs_libwebp
+def test_lossy_vp8_byte_flips_raise_valueerror_only():
+    from osmcoastline_spark.functions.webp import decode_webp
+
+    _fuzz_byte_flips("vp8-lossy", _LOSSY, decode_webp, 4243)
