@@ -69,6 +69,11 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 PNG_MAX_SLOW_FILTER_PIXELS = 4_000_000
 
+# decode-side allocation bound, same posture as jpeg.JPEG_MAX_DECODE_PIXELS:
+# large enough for any real photo, small enough that hostile IHDR dims
+# can't size a task-killing buffer (64 MP → ≤ ~192 MB inflate bound)
+PNG_MAX_DECODE_PIXELS = 64_000_000
+
 
 def _avg_unfilter_lane(l: np.ndarray, u: np.ndarray) -> np.ndarray:
     """Exact vectorized PNG Average unfilter for one channel lane.
@@ -164,9 +169,22 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + ln
     if w is None:
         raise ValueError("png without IHDR")
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if w * h > PNG_MAX_DECODE_PIXELS:
+        # corrupt/hostile IHDR dims: fail before sizing any buffer off them
+        raise ValueError(f"png dims {h}x{w} above decode cap")
     stride = 1 + w * 3
-    raw = raw.reshape(h, stride)
+    expected = h * stride
+    # bound the inflate at the size the IHDR promises: a crafted IDAT can
+    # otherwise decompress to ~1000× its wire size (zip bomb) before the
+    # reshape-mismatch check would ever see it
+    d = zlib.decompressobj()
+    raw_b = d.decompress(bytes(idat), expected + 1)
+    if len(raw_b) != expected:
+        raise ValueError(
+            f"png IDAT inflates to {len(raw_b)}{'+' if len(raw_b) > expected else ''}"
+            f" bytes, IHDR promises {expected}"
+        )
+    raw = np.frombuffer(raw_b, dtype=np.uint8).reshape(h, stride)
     filters = raw[:, 0]
     if (filters == 4).any() and w * h > PNG_MAX_SLOW_FILTER_PIXELS:
         # Paeth's predictor SELECTION depends on the previous reconstructed

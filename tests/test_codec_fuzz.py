@@ -163,3 +163,39 @@ def test_lossy_vp8_byte_flips_raise_valueerror_only():
     from osmcoastline_spark.functions.webp import decode_webp
 
     _fuzz_byte_flips("vp8-lossy", _LOSSY, decode_webp, 4243)
+
+
+# ------------------------------------------------ PNG allocation-bomb guards
+
+
+def test_png_zip_bomb_is_bounded_and_raises():
+    """A tiny IDAT that inflates far past the IHDR promise must die at the
+    bounded-inflate check, not allocate the full bomb then fail reshape."""
+    import struct
+    import zlib
+
+    from osmcoastline_spark.functions.image import _png_chunk, decode_png
+
+    # IHDR promises 4x4 RGB (expected inflate = 4*(1+12) = 52 bytes)...
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    # ...but the IDAT inflates to 10 MB of zeros (wire size ~10 KB)
+    bomb = zlib.compress(b"\x00" * 10_000_000, 9)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", bomb)
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="inflates"):
+        decode_png(data)
+
+
+def test_png_hostile_dims_raise_before_allocation():
+    import struct
+
+    from osmcoastline_spark.functions.image import _png_chunk, decode_png
+
+    ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 0)
+    data = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="decode cap"):
+        decode_png(data)
