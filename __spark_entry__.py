@@ -952,6 +952,49 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.sample_frames(clips, every=2, with_hash=False)
 
 
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal image: synthesize one two-tone 16×16 PNG per document
+    (left/right half values are pure functions of doc_id), push the bytes
+    through the REAL from-scratch PNG codec (zlib inflate bounded at the
+    IHDR promise, filter reconstruction) via image.with_image_features,
+    and report phash + mean luma. Closed-form oracle: the mean of a
+    half-lo/half-hi image is (lo+hi)/2 exactly, and the 8×8 average-hash
+    of a vertical split is one of two constants — 0x0F0F0F0F0F0F0F0F when
+    the right half is brighter, its complement (as signed int64) when the
+    left is — so DuckDB verifies the entire decode+feature path without
+    inflating a byte. The q_audio_features/q_video_frames trick applied
+    to the input-hint's primary payload type."""
+    import numpy
+    import pandas as pd
+
+    from osmcoastline_spark.functions import image as IM
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                lo = 10 + did % 97
+                hi = 130 + did % 97
+                left, right = (lo, hi) if did % 2 == 0 else (hi, lo)
+                px = numpy.zeros((16, 16, 3), dtype=numpy.uint8)
+                px[:, :8] = left
+                px[:, 8:] = right
+                rows.append((str(did), IM.encode_png(px), 16, 16, "png"))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt"]
+            )
+
+    images = docs.mapInPandas(
+        synth, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    return IM.with_image_features(images).select(
+        "image_id", "computed_phash", "mean_luma"
+    )
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
@@ -1506,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_redact": q_pii_redact,
         "q_audio_features": q_audio_features,
         "q_video_frames": q_video_frames,
+        "q_image_features": q_image_features,
         "q_embedding_topk": q_embedding_topk,
         "q_embedding_lsh_topk": q_embedding_lsh_topk,
         "q_embedding_lsh_exact": q_embedding_lsh_exact,
@@ -1893,6 +1937,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pii_redact": _PII_REDACT_SQL,
         "q_audio_features": _AUDIO_FEATURES_SQL,
         "q_video_frames": _VIDEO_FRAMES_SQL,
+        "q_image_features": _IMAGE_FEATURES_SQL,
         "q_embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 100 = 0),
             v AS (SELECT vec_id AS nbr_id, embedding::DOUBLE[] AS nv FROM embeddings),
@@ -2984,6 +3029,23 @@ f AS (
 SELECT video_id, frame_idx,
        CAST((video_id * 7 + 31 * frame_idx) % 256 AS DOUBLE) AS mean_luma
 FROM f
+"""
+
+
+# q_image_features twin: a vertical two-tone 16x16 image has mean
+# (lo+hi)/2 exactly (both int, /2 exact in IEEE), and its 8x8 average
+# hash is right-half-bits when the right half is brighter (row-major
+# bit 63 first -> 0x0F0F0F0F0F0F0F0F = 1085102592571150095) or the
+# complement when the left is (0xF0F0F0F0F0F0F0F0 wraps to signed
+# -1085102592571150096). Verified bit-for-bit against the decoder in
+# tests and by the driver's value-hash compare.
+_IMAGE_FEATURES_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS image_id,
+       CASE WHEN doc_id % 2 = 0 THEN 1085102592571150095
+            ELSE -1085102592571150096 END AS computed_phash,
+       CAST((10 + doc_id % 97) + (130 + doc_id % 97) AS DOUBLE) / 2
+           AS mean_luma
+FROM documents
 """
 
 
