@@ -1114,6 +1114,23 @@ def q_embedding_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KM.ivf_topk_trained(emb, k=3, k_cells=8, iters=3, nprobe=2)
 
 
+def q_embedding_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (cluster.ivfpq_topk): the production 100-TB index shape
+    (FAISS IVFPQ, public) — trained coarse cells bucket the space, and
+    inside the lists the database side is an m-byte RESIDUAL product-
+    quantization code, never the vector; queries score candidates with
+    asymmetric ADC lookup tables built in the same narrow Arrow pass that
+    picks their probe cells.  Every step (quantization, both Lloyd
+    trainings, residuals, LUT sums) is int64-exact, so the DuckDB twin
+    unrolls coarse AND per-subspace training and matches bit-for-bit."""
+    from osmcoastline_spark.functions import cluster as KM
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return KM.ivfpq_topk(
+        emb, k=3, k_cells=8, iters=2, nprobe=2, m=4, k_sub=16, pq_iters=2
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (clean.pack_sequences) over the chunking stage's
     output: per-bucket pack-and-slice with exact integer running sums —
@@ -1559,6 +1576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phash_neardup": q_phash_neardup,
         "q_quality_classifier": q_quality_classifier,
         "q_embedding_ivf_trained": q_embedding_ivf_trained,
+        "q_embedding_ivfpq": q_embedding_ivfpq,
         "q_pack_sequences": q_pack_sequences,
         "q_bpe_merges": q_bpe_merges,
         "q_bpe_token_counts": q_bpe_token_counts,
@@ -2141,6 +2159,7 @@ def oracle_sql() -> dict[str, str]:
         "q_phash_neardup": _PHASH_NEARDUP_SQL,
         "q_quality_classifier": _QUALITY_SQL,
         "q_embedding_ivf_trained": _IVF_TRAINED_SQL,
+        "q_embedding_ivfpq": _IVFPQ_SQL,
         "q_pack_sequences": _PACK_SEQUENCES_SQL,
         "q_bpe_merges": _BPE_MERGES_SQL,
         "q_bpe_token_counts": _BPE_TOKEN_COUNTS_SQL,
@@ -2460,6 +2479,132 @@ _IVF_TRAINED_SQL = (
     SELECT query_id, nbr_id, cos, CAST(rank AS INT) AS rank FROM rk WHERE rank <= 3
 """
 )
+
+
+def _ivfpq_sql(
+    k: int = 3,
+    k_cells: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    m: int = 4,
+    k_sub: int = 16,
+    pq_iters: int = 2,
+    dim: int = 64,
+) -> str:
+    """IVF-PQ twin: reuses the unrolled coarse k-means CTEs, derives the
+    exact int64 residuals against the final coarse centroids, unrolls the
+    per-subspace PQ Lloyd training over residual slices, and scores probe
+    candidates with the same ADC lookup-table sums the Spark side
+    computes — every quantity is integer, so the hash compare is exact.
+    A (query, nbr) pair matches through exactly one cell (the nbr's
+    single list cell), so the adc GROUP BY sums exactly m LUT rows."""
+    sd = dim // m
+    parts = [
+        f"""rsd AS (
+          SELECT a.vec_id, a.mj.j AS cell,
+                 list_transform(a.q, (x,i) -> x - c.m[i]) AS r
+          FROM afin a JOIN c{iters} c ON c.j = a.mj.j
+        )""",
+        f"""psub AS (
+          SELECT vec_id, g.s, list_slice(r, g.s*{sd}+1, (g.s+1)*{sd}) AS sq
+          FROM rsd, range({m}) g(s)
+        )""",
+        f"p0 AS (SELECT s, vec_id AS j, sq AS m FROM psub WHERE vec_id < {k_sub})",
+    ]
+    for t in range(pq_iters):
+        parts.append(
+            f"""pa{t} AS (
+              SELECT p.vec_id, p.s,
+                     min(struct_pack(
+                         d := CAST(list_sum(list_transform(p.sq, (x,i) -> (x - c.m[i])*(x - c.m[i]))) AS BIGINT),
+                         j := c.j)) AS mj
+              FROM psub p JOIN p{t} c ON c.s = p.s GROUP BY p.vec_id, p.s
+            )"""
+        )
+        parts.append(
+            f"""ps{t} AS (
+              SELECT a.s, a.mj.j AS j, t.u.i AS i, CAST(sum(t.u.x) AS BIGINT) AS sm, count(*) AS n
+              FROM pa{t} a JOIN psub p ON p.vec_id = a.vec_id AND p.s = a.s,
+                   unnest(list_transform(p.sq, (x,i) -> struct_pack(x:=x, i:=i))) t(u)
+              GROUP BY 1, 2, 3
+            )"""
+        )
+        parts.append(
+            f"""p{t + 1} AS (
+              SELECT c.s, c.j, COALESCE(nm.m, c.m) AS m
+              FROM p{t} c LEFT JOIN (
+                SELECT s, j, list(CAST(floor(CAST(sm AS DOUBLE)/n + 0.5) AS BIGINT) ORDER BY i) AS m
+                FROM ps{t} GROUP BY s, j
+              ) nm ON nm.s = c.s AND nm.j = c.j
+            )"""
+        )
+    parts.append(
+        f"""pcodes AS (
+          SELECT p.vec_id, p.s,
+                 min(struct_pack(
+                     d := CAST(list_sum(list_transform(p.sq, (x,i) -> (x - c.m[i])*(x - c.m[i]))) AS BIGINT),
+                     j := c.j)).j AS code
+          FROM psub p JOIN p{pq_iters} c ON c.s = p.s GROUP BY p.vec_id, p.s
+        )"""
+    )
+    parts.append(
+        f"""cdist AS (
+          SELECT p.vec_id, c.j,
+                 CAST(list_sum(list_transform(p.q, (x,i) -> (x - c.m[i])*(x - c.m[i]))) AS BIGINT) AS d
+          FROM pts p CROSS JOIN c{iters} c
+        )"""
+    )
+    parts.append(
+        """pqrankedcells AS (
+          SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS pr
+          FROM cdist
+        )"""
+    )
+    parts.append(
+        f"pqprobes AS (SELECT vec_id AS query_id, j AS cell FROM pqrankedcells WHERE pr <= {nprobe})"
+    )
+    parts.append(
+        f"""qres AS (
+          SELECT pr.query_id, pr.cell, list_transform(p.q, (x,i) -> x - c.m[i]) AS rq
+          FROM pqprobes pr
+          JOIN pts p ON p.vec_id = pr.query_id
+          JOIN c{iters} c ON c.j = pr.cell
+        )"""
+    )
+    parts.append(
+        f"""lut AS (
+          SELECT q.query_id, q.cell, pc.s, pc.j,
+                 CAST(list_sum(list_transform(list_slice(q.rq, pc.s*{sd}+1, (pc.s+1)*{sd}), (x,i) -> (x - pc.m[i])*(x - pc.m[i]))) AS BIGINT) AS d
+          FROM qres q CROSS JOIN p{pq_iters} pc
+        )"""
+    )
+    parts.append(
+        """adc AS (
+          SELECT pr.query_id, r.vec_id AS nbr_id, CAST(sum(l.d) AS BIGINT) AS adc_d2
+          FROM pqprobes pr
+          JOIN rsd r ON r.cell = pr.cell AND r.vec_id != pr.query_id
+          JOIN pcodes pc ON pc.vec_id = r.vec_id
+          JOIN lut l ON l.query_id = pr.query_id AND l.cell = pr.cell
+                    AND l.s = pc.s AND l.j = pc.code
+          GROUP BY 1, 2
+        )"""
+    )
+    parts.append(
+        """pqrk AS (
+          SELECT query_id, nbr_id, adc_d2,
+                 row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, nbr_id) AS rank
+          FROM adc
+        )"""
+    )
+    return (
+        _kmeans_ctes(f"SELECT vec_id, {_QUANT} AS q FROM embeddings", k=k_cells, iters=iters)
+        + ",\n"
+        + ",\n".join(parts)
+        + f"\nSELECT query_id, nbr_id, adc_d2, CAST(rank AS INT) AS rank FROM pqrk WHERE rank <= {k}"
+    )
+
+
+_IVFPQ_SQL = _ivfpq_sql()
 
 
 # quality-classifier twin: same tokenizer as the repetition twin, same

@@ -46,7 +46,14 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmeans_train", "kmeans_quantized", "semantic_dedup", "ivf_topk_trained"]
+__all__ = [
+    "kmeans_train",
+    "kmeans_quantized",
+    "semantic_dedup",
+    "ivf_topk_trained",
+    "pq_train",
+    "ivfpq_topk",
+]
 
 
 def quantize_expr(vec_col: str, scale: float) -> Column:
@@ -339,4 +346,248 @@ def ivf_topk_trained(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "cos", "rank")
+    )
+
+
+def _pq_assign_udf(codebooks: np.ndarray):
+    """Per-subspace code assignment against the broadcast PQ codebooks.
+
+    ``codebooks`` is (m, k_sub, subdim) int64.  Exact int64 distances per
+    subspace; argmin's first-minimum tie-break matches the oracle's
+    min(struct(d, j))."""
+    from pyspark.sql.functions import pandas_udf
+
+    cbs = codebooks.astype(np.int64)  # (m, ks, sd)
+    m, ks, sd = cbs.shape
+
+    @pandas_udf("array<int>")
+    def codes(qs):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        if not len(qs):
+            return pd.Series([], dtype=object)
+        v = np.stack([np.asarray(x, dtype=np.int64) for x in qs])  # (n, dim)
+        sub = v.reshape(len(v), m, 1, sd)  # (n, m, 1, sd)
+        d2 = ((sub - cbs[None, :, :, :]) ** 2).sum(axis=3)  # (n, m, ks)
+        return pd.Series(list(d2.argmin(axis=2).astype(np.int32)))
+
+    return codes
+
+
+def _resid_udf(centroids: np.ndarray):
+    """Nearest coarse cell + exact int64 residual (q − centroid) in one
+    narrow Arrow pass — the IVFPQ database-side encode input.  Residual
+    encoding is the FAISS IVFPQ default (by_residual): residual magnitudes
+    are smaller than raw coordinates, so the same code budget spends its
+    precision where the within-list distances actually live."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = centroids.astype(np.int64)
+
+    @pandas_udf("struct<cell: int, r: array<long>>")
+    def resid(qs):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        if not len(qs):
+            return pd.DataFrame({"cell": [], "r": []})
+        v = np.stack([np.asarray(x, dtype=np.int64) for x in qs])
+        d2 = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        idx = d2.argmin(axis=1)  # first min ⇒ lowest cell id, oracle-tied
+        return pd.DataFrame(
+            {"cell": idx.astype(np.int32), "r": list(v - cents[idx])}
+        )
+
+    return resid
+
+
+def _probe_lut_udf(centroids: np.ndarray, codebooks: np.ndarray, nprobe: int):
+    """Per-query probe cells WITH their ADC lookup tables, one narrow pass.
+
+    Returns array<struct<cell, lut>> ordered by (coarse d2, cell id); the
+    lut for probe cell c is flattened m·k_sub longs —
+    lut[s·k_sub + j] = exact ∑ᵢ (resid_sub[i] − C[s,j,i])² where
+    resid = q − coarse_centroid_c (the query's residual IN THAT CELL,
+    matching the residual the database side was encoded against).  The
+    candidate join downstream therefore never touches a vector: ADC is
+    element_at over this array, pure Catalyst."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = centroids.astype(np.int64)
+    cbs = codebooks.astype(np.int64)
+    m, ks, sd = cbs.shape
+
+    @pandas_udf("array<struct<cell: int, lut: array<long>>>")
+    def probe_lut(qs):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        if not len(qs):
+            return pd.Series([], dtype=object)
+        v = np.stack([np.asarray(x, dtype=np.int64) for x in qs])
+        d2 = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)  # (n, k)
+        order = np.lexsort(
+            (np.broadcast_to(np.arange(len(cents)), d2.shape), d2), axis=1
+        )[:, :nprobe]
+        out = []
+        for row, cells in zip(v, order):
+            entries = []
+            for c in cells:
+                rq = (row - cents[c]).reshape(m, 1, sd)
+                lut = ((rq - cbs) ** 2).sum(axis=2)  # (m, ks)
+                entries.append(
+                    {"cell": int(c), "lut": lut.reshape(m * ks).tolist()}
+                )
+            out.append(entries)
+        return pd.Series(out)
+
+    return probe_lut
+
+
+def pq_train(
+    base: DataFrame,
+    m: int = 4,
+    k_sub: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+) -> np.ndarray:
+    """Train per-subspace PQ codebooks with the same exact-integer Lloyd
+    loop as kmeans_train (public algorithm: Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"; FAISS's IndexPQ trains the
+    same way).  ``base`` must carry (vid, q) — the quantized output of
+    kmeans_train.
+
+    Broadcast-model structure: the codebooks (m × k_sub × subdim int64 —
+    ~8 KB at the defaults) live on the driver; per iteration the plan is a
+    narrow Arrow assignment (zero shuffle) plus ONE posexplode/groupBy
+    whose partial aggregation collapses each map task to ≤ m·k_sub·subdim
+    rows before the shuffle — model-sized shuffle bytes regardless of
+    corpus size, the identical shape as kmeans_train's re-center.
+
+    Init: codebook s starts from the sub-vectors of the k_sub lowest ids
+    (deterministic, data-derived).  Empty codes keep their previous
+    centroid.  Every step is int64/IEEE exact, so the DuckDB oracle can
+    unroll the iterations and agree bit-for-bit."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sd = dim // m
+    init = base.filter(F.col("vid") < k_sub).orderBy("vid").collect()
+    if [r["vid"] for r in init] != list(range(k_sub)):
+        raise ValueError(f"need ids 0..{k_sub - 1} present exactly once for PQ init")
+    arr = np.array([r["q"] for r in init], dtype=np.int64)  # (k_sub, dim)
+    # codebook s, entry j ← sub-vector s of init vector j
+    cbs = np.ascontiguousarray(arr.reshape(k_sub, m, sd).transpose(1, 0, 2))
+
+    for _ in range(iters):
+        assigned = base.withColumn("codes", _pq_assign_udf(cbs)(F.col("q")))
+        # one explode covers every (subspace, dim) cell: global position
+        # gi → (s = gi div sd, i = gi mod sd), code = codes[s].
+        sums = (
+            assigned.select(F.col("codes"), F.posexplode("q").alias("gi", "x"))
+            .select(
+                (F.col("gi") / sd).cast("int").alias("s"),
+                (F.col("gi") % sd).alias("i"),
+                F.element_at("codes", (F.col("gi") / sd).cast("int") + 1).alias("j"),
+                "x",
+            )
+            .groupBy("s", "j", "i")
+            .agg(F.sum("x").alias("ssum"), F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: m·k_sub·subdim rows — model, not data
+        )
+        new = cbs.copy()  # empty code ⇒ keep previous centroid
+        for r in sums:
+            # floor(S/n + 0.5) in doubles — the kmeans_train idiom
+            new[r["s"], r["j"], r["i"]] = int(math.floor(r["ssum"] / r["n"] + 0.5))
+        cbs = new
+    return cbs
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    k: int = 3,
+    k_cells: int = 8,
+    iters: int = 3,
+    nprobe: int = 2,
+    m: int = 4,
+    k_sub: int = 16,
+    pq_iters: int = 2,
+    scale: float = 1000.0,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ ANN — the production 100-TB index shape (FAISS IVFPQ,
+    public): a trained coarse quantizer buckets the space into inverted
+    lists, and inside the lists the database side is a PQ CODE (m small
+    ints ≈ m bytes — 64× smaller than a float32 vector at the defaults),
+    never the vector itself.  Query-side distances are asymmetric ADC:
+    each query precomputes an m·k_sub lookup table of exact int64
+    subspace distances in the SAME narrow Arrow pass that picks its probe
+    cells, and the candidate join then scores with pure Catalyst
+    element_at arithmetic — the join's hot stage moves codes and LUTs
+    only, touches no embedding, and runs zero Python.
+
+    Residual encoding (the FAISS by_residual default): codes quantize
+    q − coarse_centroid, not q — the code budget spends its precision on
+    within-list offsets, where the distances that decide the ranking
+    actually live.  The query side mirrors it: each probe cell gets its
+    own LUT built from the query's residual IN THAT CELL, so a database
+    code and the LUT it is scored against always share a coarse origin.
+
+    Plan: one localCheckpoint'd narrow pass (coarse assign + residual),
+    one Arrow encode pass for the lists, one Arrow probe+LUT pass for the
+    queries, one equi-join on the cell key, and a per-query top-k window
+    already partitioned by the join key's hash.  A (query, nbr) pair
+    meets through at most one cell (the nbr's single list cell), so the
+    candidate join needs no dedup.
+
+    Exactness: quantization, both Lloyd trainings, residuals, probe
+    ranking and ADC sums are all int64/IEEE exact ⇒ the DuckDB twin
+    unrolls both trainings and matches bit-for-bit (full value-hash
+    oracle, unlike random-rotation PQ variants)."""
+    from pyspark.sql.window import Window
+
+    base, cents = kmeans_train(
+        vectors, k=k_cells, iters=iters, scale=scale, vec_col=vec_col, id_col=id_col
+    )
+    # one narrow pass derives (cell, residual) for every row; checkpoint
+    # so pq_train's iterations, its init collect, and the lists branch all
+    # reuse it instead of re-running the assignment UDF (the semantic_dedup
+    # lesson, measured there)
+    res = (
+        base.withColumn("a", _resid_udf(cents)(F.col("q")))
+        .select("vid", F.col("a.cell").alias("cell"), F.col("a.r").alias("r"))
+        .localCheckpoint(eager=True)
+    )
+    cbs = pq_train(
+        res.select("vid", F.col("r").alias("q")), m=m, k_sub=k_sub,
+        iters=pq_iters, dim=dim,
+    )
+    lists = res.withColumn("codes", _pq_assign_udf(cbs)(F.col("r"))).select(
+        F.col("vid").alias("nbr_id"), F.col("codes"), F.col("cell")
+    )
+    probes = base.withColumn(
+        "pl", F.explode(_probe_lut_udf(cents, cbs, nprobe)(F.col("q")))
+    ).select(
+        F.col("vid").alias("query_id"),
+        F.col("pl.cell").alias("cell"),
+        F.col("pl.lut").alias("lut"),
+    )
+    # ADC: ∑ₛ lut[s·k_sub + codes[s]] — pure Catalyst over the broadcast-free
+    # join output; int64 sum is order-independent, so exact.
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.element_at("lut", s * k_sub + F.element_at("codes", s + 1) + 1),
+    )
+    # window partitioned by the join key's own hash distribution — no extra
+    # exchange before the top-k (the knn_join lesson: ClusteredDistribution
+    # on a superset-compatible key is satisfied by the join's partitioning)
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("nbr_id"))
+    return (
+        probes.join(lists, "cell")
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .withColumn("adc_d2", adc)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "adc_d2", "rank")
     )
