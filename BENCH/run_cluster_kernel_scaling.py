@@ -16,6 +16,13 @@ Kernels:
             widens bands to keep that invariant; see the section note).
   quality — hashed linear classifier over amplified sf0.1 documents:
             pure narrow projection (the zero-shuffle path).
+  ivfpq   — residual IVF-PQ ANN over the amplified embeddings in the
+            production posture (queries ≪ corpus via n_queries): corpus-
+            wide coarse + subspace training and list encoding, then the
+            code-only ADC candidate join for a fixed 2048-query panel.
+            k_cells scales with the corpus (64 at the default 64×
+            amplification) so list sizes stay bounded, mirroring how a
+            real deployment grows nlist with n.
 
 Appends a section to BENCH/KERNELS.md and prints one JSON line.
 """
@@ -84,9 +91,21 @@ def act(fn):
 dt, n = act(lambda: KM.kmeans_quantized(emb, k=8, iters=3)); res["kmeans"] = [dt, n]
 dt, n = act(lambda: phash_near_dup_pairs(imgs, max_distance=3, band_bits=15)); res["phash"] = [dt, n]
 dt, n = act(lambda: C.quality_classifier(docs)); res["quality"] = [dt, n]
+k_cells = int(os.environ.get("SPARK_GRAFT_IVFPQ_CELLS", "64"))
+dt, n = act(lambda: KM.ivfpq_topk(
+    emb, k=10, k_cells=k_cells, iters=2, nprobe=2, m=4, k_sub=16,
+    pq_iters=2, n_queries=2048,
+)); res["ivfpq"] = [dt, n]
 print(json.dumps({"cpus": cpus, "kernels": res}))
 spark.stop()
 """
+
+
+def host_probe() -> dict:
+    sys.path.insert(0, os.path.join(REPO, "BENCH"))
+    from host_probe import probe
+
+    return probe()
 
 
 def main() -> None:
@@ -97,8 +116,27 @@ def main() -> None:
     hi = int(os.environ.get("SPARK_GRAFT_SCALING_HI", "8"))
     repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
     env = dict(os.environ, REPO=REPO)
+    probes = []
+
+    def gate() -> None:
+        """Same bracket discipline as run_decode_kernel_scaling: probe
+        before EVERY child (and after the last) so each timed region is
+        probe-clean on both sides; degraded windows abort, never record."""
+        p = host_probe()
+        probes.append(p)
+        if not p["healthy"] and not os.environ.get("SPARK_GRAFT_ALLOW_DEGRADED"):
+            print(json.dumps({
+                "aborted": "host degraded", "probes": probes,
+                "attempts": {str(k): v for k, v in attempts.items()},
+            }))
+            raise SystemExit(
+                f"host fault-path degraded (alloc probe {p['alloc192MB_s']}s): "
+                "numbers from this window are not promotable; set "
+                "SPARK_GRAFT_ALLOW_DEGRADED=1 to record anyway"
+            )
 
     def level(cpus: int) -> dict:
+        gate()
         per_core = float(os.environ.get("SPARK_GRAFT_MEM_PER_CORE", "1"))
         lenv = dict(env, SPARK_GRAFT_DRIVER_MEM=f"{max(int(cpus * per_core), 4)}g")
         out = subprocess.run(
@@ -117,6 +155,7 @@ def main() -> None:
     for _ in range(repeats):
         attempts[lo].append(level(lo))
         attempts[hi].append(level(hi))
+    gate()  # trailing bracket for the last child
 
     def best(la: list[dict]) -> dict:
         return {name: [min(a[name][0] for a in la), la[0][name][1]] for name in la[0]}
@@ -134,14 +173,17 @@ def main() -> None:
     )
     section = f"""
 
-## Clustering / image-dedup kernels ({lo} vs {hi} cores, emb×{amp_e} doc×{amp_d} phash×{amp_p}, best of {repeats} interleaved)
+## Clustering / image-dedup kernels ({lo} vs {hi} cores, emb×{amp_e} doc×{amp_d} phash×{amp_p}, best of {repeats} interleaved, probe-bracketed)
 
 Round-5 additions measured under the main-table protocol (fresh JVM per
-level, noop-sink action, per-kernel min). kmeans is timed end-to-end
-including its per-iteration k·dim model collects — the iterative
-algorithm IS multi-action. phash amplification is capped by the 15-bit
-band load factor (n/2^15 per band stays O(1); at 10^12 images production
-widens bands so the invariant holds — the join shape is unchanged).
+level, noop-sink action, per-kernel min; every child probe-bracketed).
+kmeans is timed end-to-end including its per-iteration k·dim model
+collects — the iterative algorithm IS multi-action. phash amplification
+is capped by the 15-bit band load factor (n/2^15 per band stays O(1); at
+10^12 images production widens bands so the invariant holds — the join
+shape is unchanged). ivfpq runs the production posture (2048 queries ≪
+corpus, corpus-wide training/encoding, code-only ADC join) with k_cells
+grown alongside the corpus the way a deployment grows nlist.
 
 | kernel | local[{lo}] s | local[{hi}] s | rows | speedup | efficiency |
 |---|---|---|---|---|---|

@@ -15,7 +15,8 @@ the DuckDB oracle can verify spatial operators without a spatial extension):
                 corpus-LM familiarity, stratified mixing sampler, Gopher
                 rule gates, hashed linear quality classifier, embedding
                 cosine top-k (brute force + LSH + IVF, heuristic and
-                trained quantizers), exact-integer k-means, SemDeDup,
+                trained quantizers, residual IVF-PQ with ADC code-only
+                candidate joins), exact-integer k-means, SemDeDup,
                 phash multi-index Hamming near-dup, cleaning family
                 (line dedup, C4 filters, PII, chunking, packing),
                 curation chain, BPE training/encoding, vocab counts,

@@ -513,6 +513,7 @@ def ivfpq_topk(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_queries: int | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN — the production 100-TB index shape (FAISS IVFPQ,
     public): a trained coarse quantizer buckets the space into inverted
@@ -542,7 +543,15 @@ def ivfpq_topk(
     Exactness: quantization, both Lloyd trainings, residuals, probe
     ranking and ADC sums are all int64/IEEE exact ⇒ the DuckDB twin
     unrolls both trainings and matches bit-for-bit (full value-hash
-    oracle, unlike random-rotation PQ variants)."""
+    oracle, unlike random-rotation PQ variants).
+
+    ``n_queries`` restricts the query side to ids < n_queries (the
+    production posture: queries ≪ corpus, every corpus row stays in the
+    lists).  The result is exactly the full self-join output filtered to
+    those query ids — the filter sits BEFORE the probe/LUT pass, so
+    probe work and candidate rows scale with the query count while
+    training and encoding still see the whole corpus.  Default None
+    keeps the all-pairs self-ANN used by the sf oracle."""
     from pyspark.sql.window import Window
 
     base, cents = kmeans_train(
@@ -564,7 +573,8 @@ def ivfpq_topk(
     lists = res.withColumn("codes", _pq_assign_udf(cbs)(F.col("r"))).select(
         F.col("vid").alias("nbr_id"), F.col("codes"), F.col("cell")
     )
-    probes = base.withColumn(
+    qside = base if n_queries is None else base.filter(F.col("vid") < n_queries)
+    probes = qside.withColumn(
         "pl", F.explode(_probe_lut_udf(cents, cbs, nprobe)(F.col("q")))
     ).select(
         F.col("vid").alias("query_id"),

@@ -303,6 +303,25 @@ def test_ivfpq_plan_shape(spark):
     assert plan.count("Exchange hashpartitioning") <= 2, plan
 
 
+def test_ivfpq_n_queries_is_exact_subset(spark):
+    """n_queries (the production queries ≪ corpus posture) returns exactly
+    the full self-ANN output filtered to those query ids — training and
+    lists are corpus-wide either way, so ranks and distances agree."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    full = {
+        (r["query_id"], r["nbr_id"], r["adc_d2"], r["rank"])
+        for r in C.ivfpq_topk(emb, k=3, k_cells=8, iters=2, nprobe=2).collect()
+        if r["query_id"] < 40
+    }
+    sub = {
+        (r["query_id"], r["nbr_id"], r["adc_d2"], r["rank"])
+        for r in C.ivfpq_topk(
+            emb, k=3, k_cells=8, iters=2, nprobe=2, n_queries=40
+        ).collect()
+    }
+    assert sub == full and sub
+
+
 def test_pq_train_rejects_bad_dim(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     with pytest.raises(ValueError, match="not divisible"):
