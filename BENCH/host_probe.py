@@ -42,6 +42,34 @@ def probe() -> dict:
     }
 
 
+def gate_or_abort(probes: list, attempts: dict) -> None:
+    """Probe-bracket gate shared by the kernel harnesses (the single
+    implementation, so the degradation policy cannot silently diverge):
+    probe BEFORE every timed child and after the last, append the sample
+    to ``probes``, and abort the harness in a degraded window — the
+    degradation swings within minutes (knn control run: 0.15 -> 8.3 s),
+    so a timed region is only probe-clean if bracketed on both sides;
+    the next child's leading probe is the previous child's trailing one.
+    Completed attempts are printed before the abort (minutes of child
+    runs are data even when the window closes mid-harness).
+    SPARK_GRAFT_ALLOW_DEGRADED=1 records anyway."""
+    import json
+    import os
+
+    p = probe()
+    probes.append(p)
+    if not p["healthy"] and not os.environ.get("SPARK_GRAFT_ALLOW_DEGRADED"):
+        print(json.dumps({
+            "aborted": "host degraded", "probes": probes,
+            "attempts": {str(k): v for k, v in attempts.items()},
+        }))
+        raise SystemExit(
+            f"host fault-path degraded (alloc probe {p['alloc192MB_s']}s): "
+            "numbers from this window are not promotable; set "
+            "SPARK_GRAFT_ALLOW_DEGRADED=1 to record anyway"
+        )
+
+
 if __name__ == "__main__":
     p = probe()
     print(

@@ -19,7 +19,11 @@ Kernels:
   ivfpq   — residual IVF-PQ ANN over the amplified embeddings in the
             production posture (queries ≪ corpus via n_queries): corpus-
             wide coarse + subspace training and list encoding, then the
-            code-only ADC candidate join for a fixed 2048-query panel.
+            code-only ADC candidate join for a fixed 1024-query panel
+            (base ids 0..1023 — the base table has 2000 distinct
+            vectors, so the panel is a strict subset; amplified
+            copies give each query amp-1 exact duplicates in the
+            lists, which the ADC join scores like any candidate).
             k_cells scales with the corpus (64 at the default 64×
             amplification) so list sizes stay bounded, mirroring how a
             real deployment grows nlist with n.
@@ -35,6 +39,8 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "BENCH"))
+from host_probe import gate_or_abort  # noqa: E402
 
 CHILD = r"""
 import json, os, sys, time
@@ -94,18 +100,11 @@ dt, n = act(lambda: C.quality_classifier(docs)); res["quality"] = [dt, n]
 k_cells = int(os.environ.get("SPARK_GRAFT_IVFPQ_CELLS", "64"))
 dt, n = act(lambda: KM.ivfpq_topk(
     emb, k=10, k_cells=k_cells, iters=2, nprobe=2, m=4, k_sub=16,
-    pq_iters=2, n_queries=2048,
+    pq_iters=2, n_queries=1024,
 )); res["ivfpq"] = [dt, n]
 print(json.dumps({"cpus": cpus, "kernels": res}))
 spark.stop()
 """
-
-
-def host_probe() -> dict:
-    sys.path.insert(0, os.path.join(REPO, "BENCH"))
-    from host_probe import probe
-
-    return probe()
 
 
 def main() -> None:
@@ -119,21 +118,8 @@ def main() -> None:
     probes = []
 
     def gate() -> None:
-        """Same bracket discipline as run_decode_kernel_scaling: probe
-        before EVERY child (and after the last) so each timed region is
-        probe-clean on both sides; degraded windows abort, never record."""
-        p = host_probe()
-        probes.append(p)
-        if not p["healthy"] and not os.environ.get("SPARK_GRAFT_ALLOW_DEGRADED"):
-            print(json.dumps({
-                "aborted": "host degraded", "probes": probes,
-                "attempts": {str(k): v for k, v in attempts.items()},
-            }))
-            raise SystemExit(
-                f"host fault-path degraded (alloc probe {p['alloc192MB_s']}s): "
-                "numbers from this window are not promotable; set "
-                "SPARK_GRAFT_ALLOW_DEGRADED=1 to record anyway"
-            )
+        # single shared implementation — see host_probe.gate_or_abort
+        gate_or_abort(probes, attempts)
 
     def level(cpus: int) -> dict:
         gate()
@@ -181,7 +167,7 @@ kmeans is timed end-to-end including its per-iteration k·dim model
 collects — the iterative algorithm IS multi-action. phash amplification
 is capped by the 15-bit band load factor (n/2^15 per band stays O(1); at
 10^12 images production widens bands so the invariant holds — the join
-shape is unchanged). ivfpq runs the production posture (2048 queries ≪
+shape is unchanged). ivfpq runs the production posture (1024 queries ≪
 corpus, corpus-wide training/encoding, code-only ADC join) with k_cells
 grown alongside the corpus the way a deployment grows nlist.
 

@@ -29,6 +29,8 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "BENCH"))
+from host_probe import gate_or_abort  # noqa: E402
 
 CHILD = r"""
 import json, os, sys, time
@@ -91,12 +93,6 @@ spark.stop()
 """
 
 
-def host_probe() -> dict:
-    sys.path.insert(0, os.path.join(REPO, "BENCH"))
-    from host_probe import probe
-
-    return probe()
-
 
 def main() -> None:
     n_png = int(os.environ.get("SPARK_GRAFT_DECODE_PNG", "200000"))
@@ -110,20 +106,8 @@ def main() -> None:
     probes = []
 
     def gate() -> None:
-        """Same bracket discipline as run_knn_kernel_scaling: probe before
-        EVERY child so each timed region is probe-clean on both sides."""
-        p = host_probe()
-        probes.append(p)
-        if not p["healthy"] and not os.environ.get("SPARK_GRAFT_ALLOW_DEGRADED"):
-            print(json.dumps({
-                "aborted": "host degraded", "probes": probes,
-                "attempts": {str(k): v for k, v in attempts.items()},
-            }))
-            raise SystemExit(
-                f"host fault-path degraded (alloc probe {p['alloc192MB_s']}s): "
-                "numbers from this window are not promotable; set "
-                "SPARK_GRAFT_ALLOW_DEGRADED=1 to record anyway"
-            )
+        # single shared implementation — see host_probe.gate_or_abort
+        gate_or_abort(probes, attempts)
 
     def level(cpus: int) -> dict:
         gate()

@@ -20,6 +20,8 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "BENCH"))
+from host_probe import gate_or_abort  # noqa: E402
 
 CHILD = r"""
 import json, os, sys, time
@@ -66,17 +68,6 @@ spark.stop()
 """
 
 
-def host_probe() -> dict:
-    """Shared fault-path/CPU probe (BENCH/host_probe.py): this kernel
-    materializes ~23 GB of fresh pages per child, so hypervisor fault-path
-    degradation (alloc >> 0.12 s while cpu is normal) inflates its wall
-    time up to ~11x (measured 25.3 s vs 281 s, identical input)."""
-    sys.path.insert(0, os.path.join(REPO, "BENCH"))
-    from host_probe import probe
-
-    return probe()
-
-
 def main() -> None:
     npts = int(os.environ.get("SPARK_GRAFT_KNN_POINTS", "1000000"))
     nsites = int(os.environ.get("SPARK_GRAFT_KNN_SITES", "250000"))
@@ -109,24 +100,11 @@ def main() -> None:
     probes = []
 
     def gate() -> None:
-        """Probe BEFORE EVERY child, not once per repeat: the degradation
-        swings within minutes (control run: 0.15 -> 8.3 s), so a timed
-        region is only probe-clean if bracketed on both sides — the next
-        child's leading probe is the previous child's trailing one."""
-        p = host_probe()
-        probes.append(p)
-        if not p["healthy"] and not os.environ.get("SPARK_GRAFT_ALLOW_DEGRADED"):
-            # keep the completed attempts: minutes of child runs are data
-            # even when the window closes mid-harness
-            print(json.dumps({
-                "aborted": "host degraded", "probes": probes,
-                "attempts": {str(k): v for k, v in attempts.items()},
-            }))
-            raise SystemExit(
-                f"host fault-path degraded (alloc probe {p['alloc192MB_s']}s): "
-                "numbers from this window are not promotable; set "
-                "SPARK_GRAFT_ALLOW_DEGRADED=1 to record anyway"
-            )
+        # single shared implementation — see host_probe.gate_or_abort.
+        # This kernel materializes ~23 GB of fresh pages per child, so the
+        # hypervisor fault path (alloc >> 0.12 s, cpu normal) inflates its
+        # wall time up to ~11x (measured 25.3 s vs 281 s, identical input).
+        gate_or_abort(probes, attempts)
 
     for _ in range(repeats):
         gate()

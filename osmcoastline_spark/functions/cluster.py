@@ -554,16 +554,22 @@ def ivfpq_topk(
     keeps the all-pairs self-ANN used by the sf oracle."""
     from pyspark.sql.window import Window
 
+    if dim % m:  # fail before the coarse training burns corpus-wide work
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+
     base, cents = kmeans_train(
         vectors, k=k_cells, iters=iters, scale=scale, vec_col=vec_col, id_col=id_col
     )
-    # one narrow pass derives (cell, residual) for every row; checkpoint
-    # so pq_train's iterations, its init collect, and the lists branch all
-    # reuse it instead of re-running the assignment UDF (the semantic_dedup
-    # lesson, measured there)
+    # one narrow pass derives (cell, residual) for every row; checkpoint —
+    # WITH the quantized vector, so pq_train's iterations, the lists branch
+    # AND the query/probe branch all reuse it instead of re-scanning the
+    # source and re-running quantization (the semantic_dedup lesson,
+    # measured there)
     res = (
         base.withColumn("a", _resid_udf(cents)(F.col("q")))
-        .select("vid", F.col("a.cell").alias("cell"), F.col("a.r").alias("r"))
+        .select(
+            "vid", "q", F.col("a.cell").alias("cell"), F.col("a.r").alias("r")
+        )
         .localCheckpoint(eager=True)
     )
     cbs = pq_train(
@@ -573,7 +579,7 @@ def ivfpq_topk(
     lists = res.withColumn("codes", _pq_assign_udf(cbs)(F.col("r"))).select(
         F.col("vid").alias("nbr_id"), F.col("codes"), F.col("cell")
     )
-    qside = base if n_queries is None else base.filter(F.col("vid") < n_queries)
+    qside = res if n_queries is None else res.filter(F.col("vid") < n_queries)
     probes = qside.withColumn(
         "pl", F.explode(_probe_lut_udf(cents, cbs, nprobe)(F.col("q")))
     ).select(

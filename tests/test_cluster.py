@@ -281,7 +281,10 @@ def test_ivfpq_planted_cluster_recall(spark):
     approx = {}
     for r in top.collect():
         approx.setdefault(r["query_id"], set()).add(r["nbr_id"])
-    Q = np.floor(V.astype(np.float64) * 1000 + 0.5).astype(np.int64)
+    # truth grid from the float32-rounded values the operator actually
+    # receives (the DataFrame stores float32), not the pre-rounding V —
+    # near .5 grid boundaries the two can quantize one step apart
+    Q = np.floor(V.astype(np.float32).astype(np.float64) * 1000 + 0.5).astype(np.int64)
     d2 = ((Q[:, None, :] - Q[None, :, :]) ** 2).sum(2)
     np.fill_diagonal(d2, 2**62)
     truth = np.argsort(d2, axis=1, kind="stable")[:, :3]
