@@ -19,6 +19,7 @@ the DuckDB oracle can verify spatial operators without a spatial extension):
                 candidate joins), exact-integer k-means, SemDeDup,
                 phash multi-index Hamming near-dup, cleaning family
                 (line dedup, C4 filters, PII, chunking, packing),
+                mergeable HLL cardinality sketches,
                 curation chain, BPE training/encoding, vocab counts,
                 duplicated-substring spans, fuzzy-dedup clustering
   spatial-idx : raster→vector run-merge (empty-tile water slabs),
@@ -1132,6 +1133,22 @@ def q_embedding_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL cardinality (sketch.hll_sketch + hll_cardinality):
+    per-event-type approximate distinct users at p=5 (m=32 — the raw-
+    estimate regime for the sf cardinalities).  Every step is md5-digit /
+    int64 exact and the one runtime division consumes a Python-precomputed
+    numerator literal, so the DuckDB twin reproduces estimates
+    bit-for-bit.  The sketch shuffle is ≤ m rows per group per task —
+    model-sized at any corpus scale — and merging day-sketches is an
+    exact per-register max (pinned by test)."""
+    from osmcoastline_spark.functions import sketch as SK
+
+    ev = _read(spark, sf_dir, "events")
+    sk = SK.hll_sketch(ev, ["event_type"], "user_id", p=5)
+    return SK.hll_cardinality(sk, ["event_type"], p=5)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (clean.pack_sequences) over the chunking stage's
     output: per-bucket pack-and-slice with exact integer running sums —
@@ -1578,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_classifier": q_quality_classifier,
         "q_embedding_ivf_trained": q_embedding_ivf_trained,
         "q_embedding_ivfpq": q_embedding_ivfpq,
+        "q_hll_users_by_type": q_hll_users_by_type,
         "q_pack_sequences": q_pack_sequences,
         "q_bpe_merges": q_bpe_merges,
         "q_bpe_token_counts": q_bpe_token_counts,
@@ -2161,6 +2179,7 @@ def oracle_sql() -> dict[str, str]:
         "q_quality_classifier": _QUALITY_SQL,
         "q_embedding_ivf_trained": _IVF_TRAINED_SQL,
         "q_embedding_ivfpq": _IVFPQ_SQL,
+        "q_hll_users_by_type": _HLL_SQL,
         "q_pack_sequences": _PACK_SEQUENCES_SQL,
         "q_bpe_merges": _BPE_MERGES_SQL,
         "q_bpe_token_counts": _BPE_TOKEN_COUNTS_SQL,
@@ -2606,6 +2625,59 @@ def _ivfpq_sql(
 
 
 _IVFPQ_SQL = _ivfpq_sql()
+
+
+def _hll_sql(p: int = 5) -> str:
+    """HLL twin: the same md5-digit register pipeline (12-bit hex-prefix
+    bucket >> (12-p), digit-wise leading-zero rho capped at 40, exact
+    int64 harmonic sum scaled by 2^40) with the estimate's numerator as
+    the SAME Python-precomputed double literal the Spark side embeds —
+    the one runtime division is the only FP op, IEEE-identical."""
+    from osmcoastline_spark.functions.sketch import RHO_CAP, _numerator
+
+    m = 1 << p
+    scale = 1 << RHO_CAP
+    hx = "instr('0123456789abcdef', substr({s}, {i}, 1)) - 1"
+    d1 = hx.format(s="tw", i=1)
+    return f"""
+        WITH h AS (
+          SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hxs
+          FROM events WHERE user_id IS NOT NULL
+        ),
+        t AS (
+          SELECT event_type,
+                 (({hx.format(s='hxs', i=1)}) * 256
+                  + ({hx.format(s='hxs', i=2)}) * 16
+                  + ({hx.format(s='hxs', i=3)})) >> {12 - p} AS bucket,
+                 regexp_replace(substr(hxs, 4, 12), '^0+', '') AS tw
+          FROM h
+        ),
+        r AS (
+          SELECT event_type, bucket,
+                 least(CASE WHEN tw = '' THEN 49
+                       ELSE (12 - length(tw)) * 4
+                            + (CASE WHEN {d1} >= 8 THEN 0
+                                    WHEN {d1} >= 4 THEN 1
+                                    WHEN {d1} >= 2 THEN 2
+                                    ELSE 3 END) + 1 END, {RHO_CAP}) AS rho
+          FROM t
+        ),
+        regs AS (SELECT event_type, bucket, max(rho) AS reg FROM r GROUP BY 1, 2),
+        agg AS (
+          SELECT event_type,
+                 CAST(sum(CAST(1 AS BIGINT) << CAST({RHO_CAP} - reg AS INT)) AS BIGINT) AS sp,
+                 CAST({m} - count(*) AS BIGINT) AS zero_regs
+          FROM regs GROUP BY 1
+        )
+        SELECT event_type,
+               CAST('{_numerator(m)!r}' AS DOUBLE)
+                 / CAST(sp + zero_regs * {scale} AS DOUBLE) AS est_raw,
+               zero_regs
+        FROM agg
+    """
+
+
+_HLL_SQL = _hll_sql()
 
 
 # quality-classifier twin: same tokenizer as the repetition twin, same
