@@ -19,7 +19,7 @@ the DuckDB oracle can verify spatial operators without a spatial extension):
                 candidate joins), exact-integer k-means, SemDeDup,
                 phash multi-index Hamming near-dup, cleaning family
                 (line dedup, C4 filters, PII, chunking, packing),
-                mergeable HLL cardinality sketches,
+                mergeable HLL + KMV distinct sketches,
                 curation chain, BPE training/encoding, vocab counts,
                 duplicated-substring spans, fuzzy-dedup clustering
   spatial-idx : raster→vector run-merge (empty-tile water slabs),
@@ -1149,6 +1149,20 @@ def q_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.hll_cardinality(sk, ["event_type"], p=5)
 
 
+def q_kmv_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct sketch (sketch.kmv_sketch + kmv_cardinality):
+    per-event-type distinct users at k=32 (saturated — exercises the
+    Beyer et al. estimator, not the exact-count fallback).  Bottom-k is
+    exact algebra, so sketch, witnesses and estimate are all
+    deterministic; the numerator (k−1)·2^60 is a shared double literal
+    and the one runtime division is the only FP op — bit-exact twin."""
+    from osmcoastline_spark.functions import sketch as SK
+
+    ev = _read(spark, sf_dir, "events")
+    sk = SK.kmv_sketch(ev, ["event_type"], "user_id", k=32)
+    return SK.kmv_cardinality(sk, ["event_type"], k=32)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (clean.pack_sequences) over the chunking stage's
     output: per-bucket pack-and-slice with exact integer running sums —
@@ -1596,6 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_ivf_trained": q_embedding_ivf_trained,
         "q_embedding_ivfpq": q_embedding_ivfpq,
         "q_hll_users_by_type": q_hll_users_by_type,
+        "q_kmv_users_by_type": q_kmv_users_by_type,
         "q_pack_sequences": q_pack_sequences,
         "q_bpe_merges": q_bpe_merges,
         "q_bpe_token_counts": q_bpe_token_counts,
@@ -2180,6 +2195,7 @@ def oracle_sql() -> dict[str, str]:
         "q_embedding_ivf_trained": _IVF_TRAINED_SQL,
         "q_embedding_ivfpq": _IVFPQ_SQL,
         "q_hll_users_by_type": _HLL_SQL,
+        "q_kmv_users_by_type": _KMV_SQL,
         "q_pack_sequences": _PACK_SEQUENCES_SQL,
         "q_bpe_merges": _BPE_MERGES_SQL,
         "q_bpe_token_counts": _BPE_TOKEN_COUNTS_SQL,
@@ -2678,6 +2694,47 @@ def _hll_sql(p: int = 5) -> str:
 
 
 _HLL_SQL = _hll_sql()
+
+
+def _kmv_sql(k: int = 32) -> str:
+    """KMV twin: the same bottom-k pipeline computed globally (DuckDB has
+    no partial-agg stage to mirror — bottom-k of per-part bottom-k's IS
+    bottom-k of the union, the mergeability the Spark tests pin).  The
+    15-hex→int64 hash uses digit shifts; the saturated estimator shares
+    the Spark side's double-literal numerator."""
+    from osmcoastline_spark.functions.sketch import KMV_SPACE
+
+    num = float((k - 1) * KMV_SPACE)
+    return f"""
+        WITH h AS (
+          SELECT event_type,
+                 list_sum(list_transform(generate_series(1, 15),
+                   i -> (CAST(instr('0123456789abcdef',
+                              substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1
+                         AS BIGINT) << CAST(4 * (15 - i) AS INT)))) AS h,
+                 CAST(user_id AS VARCHAR) AS v
+          FROM events WHERE user_id IS NOT NULL
+        ),
+        mins AS (SELECT event_type, CAST(h AS BIGINT) AS h, min(v) AS v FROM h GROUP BY 1, 2),
+        rk AS (
+          SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h, v) AS pos
+          FROM mins
+        ),
+        sk AS (SELECT event_type, h FROM rk WHERE pos <= {k}),
+        agg AS (
+          SELECT event_type, max(h) AS hk, count(*) AS n FROM sk GROUP BY 1
+        )
+        SELECT event_type,
+               CASE WHEN n < {k} THEN CAST(n AS DOUBLE)
+                    ELSE CAST('{num!r}' AS DOUBLE) / CAST(hk AS DOUBLE)
+               END AS est,
+               CAST(n AS BIGINT) AS sketch_size
+        FROM agg
+    """
+
+
+_KMV_SQL = _kmv_sql()
 
 
 # quality-classifier twin: same tokenizer as the repetition twin, same

@@ -45,7 +45,16 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_sketch", "hll_merge", "hll_cardinality", "RHO_CAP"]
+__all__ = [
+    "hll_sketch",
+    "hll_merge",
+    "hll_cardinality",
+    "kmv_sketch",
+    "kmv_merge",
+    "kmv_cardinality",
+    "RHO_CAP",
+    "KMV_SPACE",
+]
 
 RHO_CAP = 40
 
@@ -166,3 +175,144 @@ def hll_cardinality(
     return out.select(*group_cols, "est_raw", "zero_regs", *(
         ["est"] if corrected else []
     ))
+
+
+# --------------------------------------------------------------------------
+# KMV (k minimum values) — bottom-k distinct sketch
+# --------------------------------------------------------------------------
+
+KMV_SPACE = 1 << 60  # md5 60-bit hash space (15 hex digits)
+
+
+def _kmv_hash(value_col: str) -> Column:
+    """60-bit integer from the first 15 md5 hex digits — exact in any
+    engine (15 hex digits fit a signed int64), same canonical-string
+    hashing as the HLL side."""
+    return F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group bottom-k distinct sketch: (group..., h, v) — the k
+    SMALLEST distinct 60-bit hashes with a witness value each.
+
+    Unlike HLL this keeps actual values, so the sketch doubles as a
+    uniform sample of the DISTINCT values per group (the hash is uniform
+    and value-determined, so the bottom-k is a simple random sample of
+    the distinct set — duplicates get no extra weight).  Bottom-k is
+    exact algebra, so the whole pipeline is deterministic and the merge
+    is exact: bottom-k of a union equals bottom-k of the per-part
+    bottom-k's.
+
+    Plan: ONE Arrow partial aggregation (mapInPandas keeps the k
+    smallest per group per PARTITION — bounded output, groups·k rows per
+    task, the sketch-combine shape Spark's own approx aggs use JVM-side)
+    then one groupBy exchange over those candidates (≤ tasks·k rows per
+    group), window bottom-k.  The corpus itself is never shuffled.
+
+    Witness tie-break: per hash, the MIN value string — md5 collisions
+    inside 2^60 are vanishing, but the tie-break keeps the output
+    deterministic even then."""
+    import pandas as pd
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql.window import Window
+
+    src = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            *group_cols,
+            _kmv_hash(value_col).alias("h"),
+            F.col(value_col).cast("string").alias("v"),
+        )
+    )
+    gcols = list(group_cols)
+
+    def partial(batches):
+        best: dict = {}  # group key -> {h: min v}
+        for pdf in batches:
+            for key, sub in pdf.groupby(gcols, sort=False, dropna=False):
+                kk = key if isinstance(key, tuple) else (key,)
+                cur = best.setdefault(kk, {})
+                # per-hash min witness, then keep the k smallest hashes
+                agg = sub.groupby("h", sort=False)["v"].min()
+                for h, v in agg.items():
+                    old = cur.get(h)
+                    if old is None or v < old:
+                        cur[h] = v
+                if len(cur) > 4 * k:  # bound memory between batches
+                    for h in sorted(cur)[k:]:
+                        del cur[h]
+        rows = []
+        for kk, cur in best.items():
+            for h in sorted(cur)[:k]:
+                rows.append((*kk, h, cur[h]))
+        if rows:
+            yield pd.DataFrame(rows, columns=[*gcols, "h", "v"])
+
+    schema = ", ".join(
+        [f"`{c}` {t}" for c, t in src.select(*gcols).dtypes]
+        + ["h long", "v string"]
+    )
+    cand = src.mapInPandas(partial, schema)
+    w = Window.partitionBy(*gcols).orderBy(F.asc("h"), F.asc("v"))
+    return (
+        cand.groupBy(*gcols, "h")
+        .agg(F.min("v").alias("v"))
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .select(*gcols, "h", "v")
+    )
+
+
+def kmv_merge(k: int, *sketches: DataFrame) -> DataFrame:
+    """Exact sketch union: bottom-k over the per-part bottom-k's (union,
+    per-hash min witness, keep k smallest) — equals the sketch of the
+    unioned inputs exactly, in any merge order."""
+    from pyspark.sql.window import Window
+
+    if not sketches:
+        raise ValueError("kmv_merge needs at least one sketch")
+    gcols = [c for c in sketches[0].columns if c not in ("h", "v")]
+    u = reduce(lambda a, b: a.unionByName(b), sketches)
+    w = Window.partitionBy(*gcols).orderBy(F.asc("h"), F.asc("v"))
+    return (
+        u.groupBy(*gcols, "h")
+        .agg(F.min("v").alias("v"))
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .select(*gcols, "h", "v")
+    )
+
+
+def kmv_cardinality(
+    sketch: DataFrame, group_cols: list[str], k: int = 256
+) -> DataFrame:
+    """Distinct-count estimate from a bottom-k sketch:
+    (group..., est, sketch_size).
+
+    Saturated groups (sketch_size = k) use the Beyer et al. 2007
+    unbiased estimator (k−1)·2^60 / h_k.  The numerator exceeds int64 but
+    (k−1)·2^60 is EXACTLY representable as a double for any sane k
+    (k−1 < 2^53), so it is embedded as a shared double literal and the
+    one runtime division is the only FP op — the DuckDB twin matches
+    bit-for-bit.  Unsaturated groups hold EVERY distinct hash, so the
+    estimate is the exact distinct count."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.max("h").alias("_hk"), F.count(F.lit(1)).alias("sketch_size")
+    )
+    num = float((k - 1) * KMV_SPACE)
+    est = F.when(
+        F.col("sketch_size") < k,
+        F.col("sketch_size").cast("double"),
+    ).otherwise(
+        F.expr(f"cast('{num!r}' as double) / cast(_hk as double)")
+    )
+    return agg.select(*group_cols, est.alias("est"), "sketch_size")

@@ -134,3 +134,105 @@ def test_hll_rejects_bad_p(spark):
     ev = spark.read.parquet(f"{SF}/events.parquet")
     with pytest.raises(ValueError, match="p must be"):
         SK.hll_sketch(ev, ["event_type"], "user_id", p=13)
+
+
+# --------------------------------------------------------------------------
+# KMV bottom-k
+# --------------------------------------------------------------------------
+
+
+def _py_kmv(values, k):
+    """Sequential replica: bottom-k distinct 60-bit md5 hashes with min
+    string witnesses."""
+    mins = {}
+    for v in values:
+        s = str(v)
+        h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        if h not in mins or s < mins[h]:
+            mins[h] = s
+    return sorted(mins.items())[:k]
+
+
+def test_kmv_matches_python_replica(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    sk = SK.kmv_sketch(ev, ["event_type"], "user_id", k=32)
+    got = {}
+    for r in sk.collect():
+        got.setdefault(r["event_type"], []).append((r["h"], r["v"]))
+    rows = ev.select("event_type", "user_id").collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["user_id"])
+    exp = {t: _py_kmv(vs, 32) for t, vs in by_type.items()}
+    assert {t: sorted(v) for t, v in got.items()} == exp
+    # saturated estimator replica
+    est = {
+        r["event_type"]: (r["est"], r["sketch_size"])
+        for r in SK.kmv_cardinality(sk, ["event_type"], k=32).collect()
+    }
+    for t, pairs in exp.items():
+        hk = max(h for h, _ in pairs)
+        assert est[t] == (float(31 * SK.KMV_SPACE) / float(hk), 32)
+
+
+def test_kmv_accuracy_and_exact_small(spark):
+    """Saturated: 50k distinct at k=256 within 20% (3 sigma ~ 19%).
+    Unsaturated: 100 distinct at k=256 is EXACT."""
+    big = spark.range(50_000).select(F.lit("g").alias("g"), F.col("id"))
+    est = SK.kmv_cardinality(
+        SK.kmv_sketch(big, ["g"], "id", k=256), ["g"], k=256
+    ).collect()[0]
+    assert est["sketch_size"] == 256
+    assert abs(est["est"] / 50_000 - 1) < 0.20, est["est"]
+    small = spark.range(100).select(F.lit("g").alias("g"), F.col("id"))
+    r = SK.kmv_cardinality(
+        SK.kmv_sketch(small, ["g"], "id", k=256), ["g"], k=256
+    ).collect()[0]
+    assert (r["est"], r["sketch_size"]) == (100.0, 100)
+
+
+def test_kmv_merge_equals_union_sketch(spark):
+    """Bottom-k of per-part bottom-k's equals bottom-k of the union —
+    exact, any split, with overlap and duplicate values."""
+    a = spark.range(0, 4000).select(F.lit("g").alias("g"), F.col("id"))
+    b = spark.range(3000, 8000).select(F.lit("g").alias("g"), F.col("id"))
+    merged = SK.kmv_merge(
+        64,
+        SK.kmv_sketch(a, ["g"], "id", k=64),
+        SK.kmv_sketch(b, ["g"], "id", k=64),
+    )
+    union = SK.kmv_sketch(a.unionByName(b), ["g"], "id", k=64)
+    as_set = lambda df: {(r["g"], r["h"], r["v"]) for r in df.collect()}
+    assert as_set(merged) == as_set(union)
+
+
+def test_kmv_sample_is_distinct_and_stable_under_duplication(spark):
+    """The sketch is a sample of the DISTINCT set: replicating every row
+    5x changes nothing, and witnesses are the values themselves."""
+    one = spark.range(1000).select(F.lit("g").alias("g"), F.col("id"))
+    five = one
+    for _ in range(4):
+        five = five.unionByName(one)
+    as_set = lambda df: {(r["h"], r["v"]) for r in df.collect()}
+    s1 = as_set(SK.kmv_sketch(one, ["g"], "id", k=64))
+    assert s1 == as_set(SK.kmv_sketch(five, ["g"], "id", k=64))
+    assert all(v.isdigit() and int(v) < 1000 for _, v in s1)
+
+
+def test_kmv_plan_shape(spark):
+    """One Arrow partial stage over the corpus; only candidate rows
+    (tasks x k per group) reach the exchanges — never corpus rows."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    est = SK.kmv_cardinality(
+        SK.kmv_sketch(ev, ["event_type"], "user_id", k=32), ["event_type"], k=32
+    )
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_kmv_rejects_bad_k(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    with pytest.raises(ValueError, match="k must be"):
+        SK.kmv_sketch(ev, ["event_type"], "user_id", k=1)
