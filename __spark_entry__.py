@@ -1163,6 +1163,33 @@ def q_kmv_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.kmv_cardinality(sk, ["event_type"], k=32)
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch (sketch.cms_sketch + cms_estimate):
+    per-event-type user frequencies estimated from d=3 × w=64 int64
+    counters, heavy-hitter flag at est ≥ 48.  The sketch is ONE
+    model-sized exchange (≤ d·w rows per group survive partial agg);
+    the readout is d BROADCAST joins of that tiny state against the
+    candidate keys — zero key-side shuffle.  Every cell and estimate is
+    an exact int64 over md5 buckets, so the DuckDB twin is value-exact
+    (one-sided CMS guarantee est ≥ true is pinned in pytest)."""
+    from osmcoastline_spark.functions import sketch as SK
+
+    ev = _read(spark, sf_dir, "events")
+    sk = SK.cms_sketch(ev, ["event_type"], "user_id", d=3, w=64)
+    keys = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    est = SK.cms_estimate(sk, keys, ["event_type"], "user_id", d=3, w=64)
+    return est.select(
+        "event_type",
+        "user_id",
+        F.col("est").alias("est"),
+        (F.col("est") >= 48).alias("is_heavy"),
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (clean.pack_sequences) over the chunking stage's
     output: per-bucket pack-and-slice with exact integer running sums —
@@ -1611,6 +1638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_ivfpq": q_embedding_ivfpq,
         "q_hll_users_by_type": q_hll_users_by_type,
         "q_kmv_users_by_type": q_kmv_users_by_type,
+        "q_cms_heavy_hitters": q_cms_heavy_hitters,
         "q_pack_sequences": q_pack_sequences,
         "q_bpe_merges": q_bpe_merges,
         "q_bpe_token_counts": q_bpe_token_counts,
@@ -2196,6 +2224,7 @@ def oracle_sql() -> dict[str, str]:
         "q_embedding_ivfpq": _IVFPQ_SQL,
         "q_hll_users_by_type": _HLL_SQL,
         "q_kmv_users_by_type": _KMV_SQL,
+        "q_cms_heavy_hitters": _CMS_SQL,
         "q_pack_sequences": _PACK_SEQUENCES_SQL,
         "q_bpe_merges": _BPE_MERGES_SQL,
         "q_bpe_token_counts": _BPE_TOKEN_COUNTS_SQL,
@@ -2735,6 +2764,48 @@ def _kmv_sql(k: int = 32) -> str:
 
 
 _KMV_SQL = _kmv_sql()
+
+
+def _cms_sql(d: int = 3, w: int = 64, threshold: int = 48) -> str:
+    """Count-min twin: identical md5 bucket arithmetic (15-hex-digit
+    int64 of md5("<depth>:<value>") mod w), exact int64 cells, min over
+    the d counters per candidate key — no FP anywhere, value-exact."""
+    bucket = """
+        (list_sum(list_transform(generate_series(1, 15),
+           i -> (CAST(instr('0123456789abcdef',
+                      substr(md5(CAST({dep} AS VARCHAR) || ':' || {val}), i, 1)) - 1
+                 AS BIGINT) << CAST(4 * (15 - i) AS INT)))) % {w})
+    """
+    return f"""
+        WITH src AS (
+          SELECT event_type, user_id, CAST(user_id AS VARCHAR) AS v
+          FROM events WHERE user_id IS NOT NULL
+        ),
+        depths AS (SELECT unnest(generate_series(0, {d - 1})) AS depth),
+        cells AS (
+          SELECT event_type, depth,
+                 {bucket.format(dep='depth', val='v', w=w)} AS bucket,
+                 count(*) AS cnt
+          FROM src, depths GROUP BY 1, 2, 3
+        ),
+        keys AS (SELECT DISTINCT event_type, user_id, v FROM src),
+        kb AS (
+          SELECT event_type, user_id, depth,
+                 {bucket.format(dep='depth', val='v', w=w)} AS bucket
+          FROM keys, depths
+        ),
+        est AS (
+          SELECT kb.event_type, kb.user_id,
+                 CAST(min(COALESCE(cells.cnt, 0)) AS BIGINT) AS est
+          FROM kb LEFT JOIN cells USING (event_type, depth, bucket)
+          GROUP BY 1, 2
+        )
+        SELECT event_type, user_id, est, (est >= {threshold}) AS is_heavy
+        FROM est
+    """
+
+
+_CMS_SQL = _cms_sql()
 
 
 # quality-classifier twin: same tokenizer as the repetition twin, same

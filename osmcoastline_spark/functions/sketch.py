@@ -52,6 +52,9 @@ __all__ = [
     "kmv_sketch",
     "kmv_merge",
     "kmv_cardinality",
+    "cms_sketch",
+    "cms_merge",
+    "cms_estimate",
     "RHO_CAP",
     "KMV_SPACE",
 ]
@@ -316,3 +319,111 @@ def kmv_cardinality(
         F.expr(f"cast('{num!r}' as double) / cast(_hk as double)")
     )
     return agg.select(*group_cols, est.alias("est"), "sketch_size")
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch — frequency estimation / heavy hitters
+# --------------------------------------------------------------------------
+
+
+def _cms_bucket(value: Column, depth, w: int) -> Column:
+    """Bucket for one hash row: md5("<depth>:<value>") first 15 hex
+    digits as int64 (non-negative, < 2^60), mod w — integer-exact in any
+    engine.  ``depth`` may be a Python int or a Column."""
+    dcol = depth if isinstance(depth, Column) else F.lit(int(depth))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(dcol.cast("string"), F.lit(":"), value)), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % F.lit(int(w))
+
+
+def cms_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Per-group count-min sketch: (group..., depth, bucket, cnt).
+
+    The third sketch-family member (Cormode & Muthukrishnan 2005): HLL
+    answers "how many distinct", KMV adds "which ones (a sample)", CMS
+    answers "how often" — per-key frequency estimates with the one-sided
+    guarantee est ≥ true and P[est > true + e·N/w] ≤ e^-d, from d·w
+    int64 counters per group.  At 10^12 rows an exact per-key frequency
+    table is a full shuffle of every key; the CMS state is d·w cells.
+
+    md5-parity discipline: every cell is an exact int64 count over
+    deterministic md5 buckets, so the sketch AND every estimate read off
+    it carry a full value-hash DuckDB oracle — no FP anywhere.
+
+    Plan: one narrow projection, an in-task d-way explode, then ONE
+    groupBy(group, depth, bucket) exchange whose partial aggregation
+    collapses each map task to ≤ d·w rows per group — model-sized
+    shuffle bytes regardless of corpus size (the HLL/kmeans re-center
+    shape).  Zero Python.
+
+    NULL values are ignored (frequency of NULL is not a key)."""
+    if d < 1 or w < 2:
+        raise ValueError(f"need d >= 1 and w >= 2, got d={d}, w={w}")
+    v = F.col(value_col).cast("string")
+    depth = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("depth")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, v.alias("_v"), depth)
+        .select(
+            *group_cols,
+            "depth",
+            _cms_bucket(F.col("_v"), F.col("depth"), w).alias("bucket"),
+        )
+        .groupBy(*group_cols, "depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Exact sketch union: cells add.  merge-then-estimate equals
+    sketch-of-the-union bit-for-bit (counts are associative/commutative
+    int64 sums), so sketches compose across partitions, days, tables."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    keys = [c for c in sketches[0].columns if c != "cnt"]
+    u = reduce(lambda a, b: a.unionByName(b), sketches)
+    return u.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Frequency estimates for a candidate-key frame: keys' columns plus
+    ``est`` = min over the d counters each key hashes to (0 if a cell is
+    absent — only possible for keys the sketch never saw).
+
+    Plan: the sketch is model-sized (≤ groups·d·w rows), so each depth
+    is a BROADCAST hash join against the keys frame — d map-side joins,
+    zero exchange of the key side, est = least(...) in-row.  No explode,
+    no re-aggregation."""
+    out = keys
+    ests = []
+    for i in range(d):
+        cnt_i = f"_cnt{i}"
+        side = (
+            sketch.filter(F.col("depth") == i)
+            .withColumnRenamed("bucket", f"_b{i}")
+            .select(*group_cols, f"_b{i}", F.col("cnt").alias(cnt_i))
+        )
+        out = out.withColumn(
+            f"_b{i}", _cms_bucket(F.col(value_col).cast("string"), i, w)
+        ).join(F.broadcast(side), [*group_cols, f"_b{i}"], "left")
+        ests.append(F.coalesce(F.col(cnt_i), F.lit(0).cast("long")))
+    est = ests[0] if d == 1 else F.least(*ests)
+    return out.select(*keys.columns, est.alias("est"))

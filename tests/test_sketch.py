@@ -236,3 +236,111 @@ def test_kmv_rejects_bad_k(spark):
     ev = spark.read.parquet(f"{SF}/events.parquet")
     with pytest.raises(ValueError, match="k must be"):
         SK.kmv_sketch(ev, ["event_type"], "user_id", k=1)
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch
+# --------------------------------------------------------------------------
+
+
+def _py_cms_bucket(depth, value, w):
+    return int(hashlib.md5(f"{depth}:{value}".encode()).hexdigest()[:15], 16) % w
+
+
+def test_cms_matches_python_replica(spark):
+    """Cells and per-key estimates reproduce the sequential replica
+    bit-for-bit — the same guarantee the DuckDB oracle checks."""
+    d, w = 3, 16
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    sk = SK.cms_sketch(ev, ["event_type"], "user_id", d=d, w=w)
+    got = {
+        (r["event_type"], r["depth"], r["bucket"]): r["cnt"]
+        for r in sk.collect()
+    }
+    rows = ev.select("event_type", "user_id").collect()
+    exp = {}
+    for r in rows:
+        if r["user_id"] is None:
+            continue
+        for i in range(d):
+            key = (r["event_type"], i, _py_cms_bucket(i, r["user_id"], w))
+            exp[key] = exp.get(key, 0) + 1
+    assert got == exp
+    keys = ev.select("event_type", "user_id").distinct()
+    est = {
+        (r["event_type"], r["user_id"]): r["est"]
+        for r in SK.cms_estimate(
+            sk, keys, ["event_type"], "user_id", d=d, w=w
+        ).collect()
+    }
+    for (t, u), e in est.items():
+        want = min(
+            exp.get((t, i, _py_cms_bucket(i, u, w)), 0) for i in range(d)
+        )
+        assert e == want, (t, u, e, want)
+
+
+def test_cms_one_sided_and_bounded(spark):
+    """The CMS contract on a skewed stream: est >= true for EVERY key,
+    and the heavy key's estimate is within the e*N/w additive bound."""
+    import math
+
+    d, w = 4, 128
+    # zipf-ish: key 0 appears 5000x, keys 1..999 once each
+    heavy = spark.range(5000).select(F.lit("g").alias("g"), F.lit(0).alias("v"))
+    tail = spark.range(1, 1000).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    df = heavy.unionByName(tail)
+    n = 5999
+    sk = SK.cms_sketch(df, ["g"], "v", d=d, w=w)
+    keys = df.distinct()
+    est = {
+        r["v"]: r["est"]
+        for r in SK.cms_estimate(sk, keys, ["g"], "v", d=d, w=w).collect()
+    }
+    true = {0: 5000, **{i: 1 for i in range(1, 1000)}}
+    assert all(est[k] >= true[k] for k in true)
+    bound = math.e * n / w  # per-row overflow bound, P[exceed] <= e^-d
+    assert est[0] - true[0] <= bound, est[0]
+    # the guarantee holds for ~all keys; allow the e^-d tail
+    bad = sum(1 for k in true if est[k] - true[k] > bound)
+    assert bad <= len(true) * 0.05, bad
+
+
+def test_cms_merge_equals_union_sketch(spark):
+    """Merging per-part sketches gives the identical cell counts as
+    sketching the union — counts add exactly."""
+    a = spark.range(0, 4000).select(F.lit("g").alias("g"), (F.col("id") % 37).alias("v"))
+    b = spark.range(0, 3000).select(F.lit("g").alias("g"), (F.col("id") % 11).alias("v"))
+    merged = SK.cms_merge(
+        SK.cms_sketch(a, ["g"], "v", d=3, w=32),
+        SK.cms_sketch(b, ["g"], "v", d=3, w=32),
+    )
+    union = SK.cms_sketch(a.unionByName(b), ["g"], "v", d=3, w=32)
+    as_set = lambda df: {
+        (r["g"], r["depth"], r["bucket"], r["cnt"]) for r in df.collect()
+    }
+    assert as_set(merged) == as_set(union)
+
+
+def test_cms_plan_shape(spark):
+    """Sketch is ONE exchange; the estimate side joins the model-sized
+    sketch d times BROADCAST — zero exchange of the key side, zero
+    Python stages anywhere."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    sk = SK.cms_sketch(ev, ["event_type"], "user_id", d=3, w=16)
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    keys = ev.select("event_type", "user_id").distinct()
+    est = SK.cms_estimate(sk, keys, ["event_type"], "user_id", d=3, w=16)
+    eplan = est._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in eplan and "CartesianProduct" not in eplan
+    assert eplan.count("BroadcastHashJoin") == 3, eplan
+
+
+def test_cms_rejects_bad_params(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    with pytest.raises(ValueError, match="need d"):
+        SK.cms_sketch(ev, ["event_type"], "user_id", d=0, w=16)
+    with pytest.raises(ValueError, match="need d"):
+        SK.cms_sketch(ev, ["event_type"], "user_id", d=2, w=1)
