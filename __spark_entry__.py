@@ -1190,6 +1190,32 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning (sketch.bloom_build + bloom_prune): the
+    orders keys with o_totalprice > 400000 collapse to ≤ m set-bit rows
+    (ONE distinct exchange), then lineitem is pruned IN PLACE by k=3
+    broadcast bit-joins — the probe side is never shuffled, the contract
+    is no-false-negatives + bounded false positives (the same shape as
+    Spark's runtime bloom pruning, explicit and mergeable).  m=2^14 is
+    sized to leave a measurable FP excess over the exact semi-join so
+    the oracle checks the Bloom verdict itself, not a vacuous pass-all.
+    Output: per surviving order key, its lineitem row count."""
+    from osmcoastline_spark.functions import sketch as SK
+
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    build = orders.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_orderkey").alias("key")
+    )
+    bloom = SK.bloom_build(build, "key", m_bits=1 << 14, k=3)
+    kept = SK.bloom_prune(
+        li.select("l_orderkey"), bloom, "l_orderkey", m_bits=1 << 14, k=3
+    )
+    return kept.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (clean.pack_sequences) over the chunking stage's
     output: per-bucket pack-and-slice with exact integer running sums —
@@ -1639,6 +1665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hll_users_by_type": q_hll_users_by_type,
         "q_kmv_users_by_type": q_kmv_users_by_type,
         "q_cms_heavy_hitters": q_cms_heavy_hitters,
+        "q_bloom_prune": q_bloom_prune,
         "q_pack_sequences": q_pack_sequences,
         "q_bpe_merges": q_bpe_merges,
         "q_bpe_token_counts": q_bpe_token_counts,
@@ -2225,6 +2252,7 @@ def oracle_sql() -> dict[str, str]:
         "q_hll_users_by_type": _HLL_SQL,
         "q_kmv_users_by_type": _KMV_SQL,
         "q_cms_heavy_hitters": _CMS_SQL,
+        "q_bloom_prune": _BLOOM_SQL,
         "q_pack_sequences": _PACK_SEQUENCES_SQL,
         "q_bpe_merges": _BPE_MERGES_SQL,
         "q_bpe_token_counts": _BPE_TOKEN_COUNTS_SQL,
@@ -2806,6 +2834,45 @@ def _cms_sql(d: int = 3, w: int = 64, threshold: int = 48) -> str:
 
 
 _CMS_SQL = _cms_sql()
+
+
+def _bloom_sql(m_bits: int = 1 << 14, k: int = 3) -> str:
+    """Bloom-prune twin: identical md5("<i>:<key>") mod m bit positions
+    (the shared CMS hash family), membership = all k bits present —
+    integer-exact, so the FP excess over the exact semi-join is
+    reproduced verbatim."""
+    bit = """
+        (list_sum(list_transform(generate_series(1, 15),
+           i -> (CAST(instr('0123456789abcdef',
+                      substr(md5(CAST({dep} AS VARCHAR) || ':' || {val}), i, 1)) - 1
+                 AS BIGINT) << CAST(4 * (15 - i) AS INT)))) % {m})
+    """
+    return f"""
+        WITH depths AS (SELECT unnest(generate_series(0, {k - 1})) AS depth),
+        bits AS (
+          SELECT DISTINCT
+                 {bit.format(dep='depth', val='CAST(o_orderkey AS VARCHAR)', m=m_bits)} AS bit
+          FROM orders, depths WHERE o_totalprice > 400000
+        ),
+        probe AS (
+          SELECT l_orderkey, CAST(l_orderkey AS VARCHAR) AS v
+          FROM lineitem WHERE l_orderkey IS NOT NULL
+        ),
+        verdict AS (
+          SELECT p.l_orderkey,
+                 bool_and({bit.format(dep='d.depth', val='p.v', m=m_bits)} IN
+                          (SELECT bit FROM bits)) AS keep
+          FROM probe p, depths d
+          GROUP BY p.l_orderkey, p.v
+        )
+        SELECT p.l_orderkey, count(*) AS n_lines
+        FROM probe p JOIN verdict x
+          ON p.l_orderkey = x.l_orderkey AND x.keep
+        GROUP BY p.l_orderkey
+    """
+
+
+_BLOOM_SQL = _bloom_sql()
 
 
 # quality-classifier twin: same tokenizer as the repetition twin, same

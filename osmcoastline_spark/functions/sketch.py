@@ -55,6 +55,9 @@ __all__ = [
     "cms_sketch",
     "cms_merge",
     "cms_estimate",
+    "bloom_build",
+    "bloom_merge",
+    "bloom_prune",
     "RHO_CAP",
     "KMV_SPACE",
 ]
@@ -427,3 +430,84 @@ def cms_estimate(
         ests.append(F.coalesce(F.col(cnt_i), F.lit(0).cast("long")))
     est = ests[0] if d == 1 else F.least(*ests)
     return out.select(*keys.columns, est.alias("est"))
+
+
+# --------------------------------------------------------------------------
+# Bloom filter — membership sketch / join pruning
+# --------------------------------------------------------------------------
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom filter over a key column as a frame of distinct set-bit
+    positions: (bit,).  The fourth sketch-family member: HLL = how many
+    distinct, KMV = which ones, CMS = how often, Bloom = is this one of
+    them — the membership primitive behind build-side join pruning.
+
+    At 10^12 probe rows the win is structural: instead of shuffling the
+    probe side to meet the build keys, the build side collapses to
+    ≤ min(m_bits, n·k) int64 rows that BROADCAST, and the probe side is
+    filtered in place — no false negatives ever, false positives at the
+    classic (1-(1-1/m)^kn)^k rate, to be re-checked by the real join if
+    exactness matters (the same contract as Spark's own runtime bloom
+    pruning, here as an explicit, mergeable, cross-engine-exact op).
+
+    Hash family: the SAME md5("<i>:<value>") mod m arithmetic as the CMS
+    buckets (_cms_bucket) — deterministic, integer-exact in any engine,
+    so membership verdicts carry a full value-hash DuckDB oracle.
+
+    Plan: narrow in-task k-way explode + ONE distinct exchange on bit;
+    partial aggregation dedups map-side, so ≤ m_bits rows survive any
+    task.  Zero Python."""
+    if k < 1 or m_bits < 2:
+        raise ValueError(f"need k >= 1 and m_bits >= 2, got k={k}, m_bits={m_bits}")
+    v = F.col(value_col).cast("string")
+    bits = F.array(*[_cms_bucket(v, i, m_bits) for i in range(k)])
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.explode(bits).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """Exact filter union: the set-bit union (bitwise OR in bitmap form).
+    merge-then-probe equals build-on-the-union bit-for-bit, so filters
+    compose across partitions, days, tables — in any order."""
+    if not filters:
+        raise ValueError("bloom_merge needs at least one filter")
+    return reduce(lambda a, b: a.unionByName(b), filters).distinct()
+
+
+def bloom_prune(
+    df: DataFrame,
+    bloom: DataFrame,
+    value_col: str,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> DataFrame:
+    """Keep the rows of ``df`` whose ``value_col`` passes the Bloom
+    filter (all k bit positions set).  Never drops a true member; keeps
+    a bounded-rate excess of false positives.
+
+    Plan: k BROADCAST left joins of the model-sized bit frame against
+    the probe side — the probe side is never shuffled, never exploded;
+    the verdict is an in-row AND of k null-checks.  NULL keys are
+    dropped (membership of NULL is not a question the sketch answers)."""
+    out = df.filter(F.col(value_col).isNotNull())
+    v = F.col(value_col).cast("string")
+    conds = []
+    for i in range(k):
+        side = bloom.select(
+            F.col("bit").alias(f"_b{i}"), F.lit(True).alias(f"_hit{i}")
+        )
+        out = out.withColumn(f"_b{i}", _cms_bucket(v, i, m_bits)).join(
+            F.broadcast(side), [f"_b{i}"], "left"
+        )
+        conds.append(F.col(f"_hit{i}").isNotNull())
+    keep = reduce(lambda a, b: a & b, conds)
+    return out.filter(keep).select(*df.columns)

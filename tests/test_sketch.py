@@ -344,3 +344,82 @@ def test_cms_rejects_bad_params(spark):
         SK.cms_sketch(ev, ["event_type"], "user_id", d=0, w=16)
     with pytest.raises(ValueError, match="need d"):
         SK.cms_sketch(ev, ["event_type"], "user_id", d=2, w=1)
+
+
+# --------------------------------------------------------------------------
+# Bloom filter
+# --------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_replica(spark):
+    """Every true member passes (the Bloom contract), and the kept set
+    reproduces the sequential hashlib replica exactly — the same
+    guarantee the DuckDB oracle checks."""
+    m, k = 1 << 10, 3
+    build = spark.range(0, 300).select((F.col("id") * 7).alias("key"))
+    probe = spark.range(0, 3000).select(F.col("id").alias("key"))
+    bloom = SK.bloom_build(build, "key", m_bits=m, k=k)
+    kept = {
+        r["key"]
+        for r in SK.bloom_prune(probe, bloom, "key", m_bits=m, k=k).collect()
+    }
+    bits = set()
+    for v in range(0, 300):
+        for i in range(k):
+            bits.add(_py_cms_bucket(i, v * 7, m))
+    exp = {
+        v
+        for v in range(3000)
+        if all(_py_cms_bucket(i, v, m) in bits for i in range(k))
+    }
+    assert kept == exp
+    true_members = {v * 7 for v in range(300) if v * 7 < 3000}
+    assert true_members <= kept  # no false negatives
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    """Disjoint probe keys: measured FP rate within 3x of the classic
+    (1-(1-1/m)^kn)^k bound."""
+    m, k, n = 1 << 12, 3, 500
+    build = spark.range(0, n).select(F.col("id").alias("key"))
+    probe = spark.range(100_000, 110_000).select(F.col("id").alias("key"))
+    bloom = SK.bloom_build(build, "key", m_bits=m, k=k)
+    fp = SK.bloom_prune(probe, bloom, "key", m_bits=m, k=k).count()
+    rate = fp / 10_000
+    theory = (1 - (1 - 1 / m) ** (k * n)) ** k
+    assert rate <= 3 * theory + 0.005, (rate, theory)
+
+
+def test_bloom_merge_equals_union_build(spark):
+    a = spark.range(0, 400).select(F.col("id").alias("key"))
+    b = spark.range(300, 900).select(F.col("id").alias("key"))
+    merged = SK.bloom_merge(
+        SK.bloom_build(a, "key", m_bits=1 << 10, k=3),
+        SK.bloom_build(b, "key", m_bits=1 << 10, k=3),
+    )
+    union = SK.bloom_build(a.unionByName(b), "key", m_bits=1 << 10, k=3)
+    as_set = lambda df: {r["bit"] for r in df.collect()}
+    assert as_set(merged) == as_set(union)
+
+
+def test_bloom_plan_shape(spark):
+    """Build is ONE distinct exchange; prune is k BROADCAST joins with
+    the probe side never shuffled; zero Python stages."""
+    build = spark.range(0, 500).select(F.col("id").alias("key"))
+    probe = spark.range(0, 5000).select(F.col("id").alias("key"))
+    bloom = SK.bloom_build(build, "key", m_bits=1 << 12, k=3)
+    bplan = bloom._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in bplan
+    assert bplan.count("Exchange hashpartitioning") <= 1, bplan
+    pruned = SK.bloom_prune(probe, bloom, "key", m_bits=1 << 12, k=3)
+    pplan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in pplan and "CartesianProduct" not in pplan
+    assert pplan.count("BroadcastHashJoin") == 3, pplan
+
+
+def test_bloom_rejects_bad_params(spark):
+    df = spark.range(3).select(F.col("id").alias("key"))
+    with pytest.raises(ValueError, match="need k"):
+        SK.bloom_build(df, "key", m_bits=1 << 10, k=0)
+    with pytest.raises(ValueError, match="at least one"):
+        SK.bloom_merge()
