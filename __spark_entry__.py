@@ -1216,6 +1216,24 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-sample quantile sketch (sketch.sample_sketch +
+    sample_quantiles): per-event-type p25/p50/p75/p95 of value from a
+    25% md5-Bernoulli row sample.  The sample is a pure function of
+    (salt, event_id, rate) — a NARROW zero-shuffle corpus pass — and
+    the readout's rank is exact integer arithmetic picking a COPIED
+    value (never arithmetic on doubles), so the DuckDB twin is
+    bit-exact.  DKW bounds the rank error; merge = plain union over
+    disjoint-id parts (pinned by test)."""
+    from osmcoastline_spark.functions import sketch as SK
+
+    ev = _read(spark, sf_dir, "events")
+    sk = SK.sample_sketch(
+        ev, ["event_type"], "value", "event_id", rate_hex=16384
+    )
+    return SK.sample_quantiles(sk, ["event_type"])
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (clean.pack_sequences) over the chunking stage's
     output: per-bucket pack-and-slice with exact integer running sums —
@@ -1666,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmv_users_by_type": q_kmv_users_by_type,
         "q_cms_heavy_hitters": q_cms_heavy_hitters,
         "q_bloom_prune": q_bloom_prune,
+        "q_value_quantiles": q_value_quantiles,
         "q_pack_sequences": q_pack_sequences,
         "q_bpe_merges": q_bpe_merges,
         "q_bpe_token_counts": q_bpe_token_counts,
@@ -2253,6 +2272,7 @@ def oracle_sql() -> dict[str, str]:
         "q_kmv_users_by_type": _KMV_SQL,
         "q_cms_heavy_hitters": _CMS_SQL,
         "q_bloom_prune": _BLOOM_SQL,
+        "q_value_quantiles": _QUANTILES_SQL,
         "q_pack_sequences": _PACK_SEQUENCES_SQL,
         "q_bpe_merges": _BPE_MERGES_SQL,
         "q_bpe_token_counts": _BPE_TOKEN_COUNTS_SQL,
@@ -2873,6 +2893,41 @@ def _bloom_sql(m_bits: int = 1 << 14, k: int = 3) -> str:
 
 
 _BLOOM_SQL = _bloom_sql()
+
+
+def _quantiles_sql(rate_hex: int = 16384) -> str:
+    """Sample-quantile twin: identical md5 16-bit-prefix Bernoulli
+    verdict, identical exact-integer rank (num·n + den − 1) // den, est
+    copied from the sampled row — bit-exact even on doubles."""
+    from osmcoastline_spark.functions.sketch import QUANTILES
+
+    lattice = ", ".join(
+        f"('{label}', {num}, {den})" for label, (num, den) in QUANTILES.items()
+    )
+    return f"""
+        WITH s AS (
+          SELECT event_type, value
+          FROM events
+          WHERE value IS NOT NULL AND event_id IS NOT NULL
+            AND (list_sum(list_transform(generate_series(1, 4),
+                   i -> (CAST(instr('0123456789abcdef',
+                              substr(md5('q:' || CAST(event_id AS VARCHAR)), i, 1)) - 1
+                         AS BIGINT) << CAST(4 * (4 - i) AS INT))))) < {rate_hex}
+        ),
+        r AS (
+          SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM s
+        ),
+        lat AS (SELECT * FROM (VALUES {lattice}) t(q, num, den))
+        SELECT event_type, q, value AS est
+        FROM r, lat
+        WHERE rn = greatest(1, (num * n + den - 1) // den)
+    """
+
+
+_QUANTILES_SQL = _quantiles_sql()
 
 
 # quality-classifier twin: same tokenizer as the repetition twin, same

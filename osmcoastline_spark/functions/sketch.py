@@ -58,6 +58,10 @@ __all__ = [
     "bloom_build",
     "bloom_merge",
     "bloom_prune",
+    "sample_sketch",
+    "sample_quantiles",
+    "QUANTILES",
+    "SAMPLE_SPACE",
     "RHO_CAP",
     "KMV_SPACE",
 ]
@@ -511,3 +515,106 @@ def bloom_prune(
         conds.append(F.col(f"_hit{i}").isNotNull())
     keep = reduce(lambda a, b: a & b, conds)
     return out.filter(keep).select(*df.columns)
+
+
+# --------------------------------------------------------------------------
+# Deterministic-sample quantile sketch — distribution summary
+# --------------------------------------------------------------------------
+
+SAMPLE_SPACE = 1 << 16  # md5 16-bit prefix (4 hex digits)
+
+
+def sample_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    rate_hex: int = 4096,
+    salt: str = "q",
+) -> DataFrame:
+    """Deterministic Bernoulli row sample as a distribution sketch:
+    (group..., value) for rows whose md5("<salt>:<id>") 16-bit prefix
+    falls below ``rate_hex`` (rate = rate_hex / 65536).  The fifth
+    sketch-family member: HLL/KMV/CMS/Bloom answer distinct/sample/
+    frequency/membership — this one answers "how are the values
+    DISTRIBUTED" (quantiles, via sample_quantiles).
+
+    The sample is a pure function of (salt, id, rate) — no RNG state, no
+    partition order — so it is reproducible across engines, runs, and
+    partitionings (the stratified_sample discipline), and it composes:
+    sampling disjoint-id parts and unioning equals sampling the union
+    EXACTLY (same per-row verdicts), so the sketch merges by plain
+    union.  Rank error obeys DKW: sup|F̂−F| ≤ sqrt(ln(2/δ)/2n) w.p. 1−δ.
+
+    Plan: a NARROW filter — zero shuffle, zero Python; the corpus pass
+    is embarrassingly parallel and the surviving rows are rate·N."""
+    if not 1 <= rate_hex <= SAMPLE_SPACE:
+        raise ValueError(f"rate_hex must be in 1..{SAMPLE_SPACE}, got {rate_hex}")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.filter(F.col(value_col).isNotNull() & F.col(id_col).isNotNull())
+        .filter(h < rate_hex)
+        .select(*group_cols, F.col(value_col).alias("value"))
+    )
+
+
+# default quantile lattice: label -> (numerator, denominator)
+QUANTILES = {"p25": (1, 4), "p50": (1, 2), "p75": (3, 4), "p95": (19, 20)}
+
+
+def sample_quantiles(
+    sketch: DataFrame,
+    group_cols: list[str],
+    quantiles: dict[str, tuple[int, int]] | None = None,
+) -> DataFrame:
+    """Per-group quantiles from a sample sketch: (group..., q, est).
+
+    The q-quantile is the order statistic at rank max(1, ceil(q·n)) —
+    computed in EXACT integer arithmetic ((num·n + den − 1) div den), and
+    ``est`` is a value COPIED from the sample (never arithmetic on it),
+    so the readout is bit-exact cross-engine even for doubles, and
+    row_number tie order among equal values cannot affect it.
+
+    Plan: ONE exchange — the rank window and the per-group count share
+    the same hash partitioning on the group key; the quantile lattice is
+    an in-task explode.  Zero Python."""
+    from pyspark.sql.window import Window
+
+    qs = QUANTILES if quantiles is None else quantiles
+    w = Window.partitionBy(*group_cols).orderBy(F.asc("value"))
+    wn = Window.partitionBy(*group_cols)
+    lattice = F.array(
+        *[
+            F.struct(
+                F.lit(label).alias("q"),
+                F.lit(num).alias("num"),
+                F.lit(den).alias("den"),
+            )
+            for label, (num, den) in qs.items()
+        ]
+    )
+    ranked = sketch.select(
+        *group_cols,
+        "value",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    return (
+        ranked.withColumn("_q", F.explode(lattice))
+        .filter(
+            F.col("_rn")
+            == F.greatest(
+                F.lit(1).cast("long"),
+                F.expr("(_q.num * _n + _q.den - 1) DIV _q.den"),
+            )
+        )
+        .select(*group_cols, F.col("_q.q").alias("q"), F.col("value").alias("est"))
+    )

@@ -423,3 +423,92 @@ def test_bloom_rejects_bad_params(spark):
         SK.bloom_build(df, "key", m_bits=1 << 10, k=0)
     with pytest.raises(ValueError, match="at least one"):
         SK.bloom_merge()
+
+
+# --------------------------------------------------------------------------
+# Deterministic-sample quantile sketch
+# --------------------------------------------------------------------------
+
+
+def _py_sample(rows, rate_hex, salt="q"):
+    keep = []
+    for rid, group, value in rows:
+        h = int(hashlib.md5(f"{salt}:{rid}".encode()).hexdigest()[:4], 16)
+        if h < rate_hex:
+            keep.append((group, value))
+    return keep
+
+
+def test_sample_quantiles_matches_python_replica(spark):
+    """Sampled rows and every quantile readout reproduce the sequential
+    replica exactly — est is COPIED from the sample, never computed."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    sk = SK.sample_sketch(ev, ["event_type"], "value", "event_id", rate_hex=16384)
+    rows = [
+        (r["event_id"], r["event_type"], r["value"])
+        for r in ev.select("event_id", "event_type", "value").collect()
+        if r["value"] is not None and r["event_id"] is not None
+    ]
+    exp_sample = _py_sample(rows, 16384)
+    got_sample = [(r["event_type"], r["value"]) for r in sk.collect()]
+    assert sorted(got_sample) == sorted(exp_sample)
+    got = {
+        (r["event_type"], r["q"]): r["est"]
+        for r in SK.sample_quantiles(sk, ["event_type"]).collect()
+    }
+    by_g = {}
+    for g, v in exp_sample:
+        by_g.setdefault(g, []).append(v)
+    for g, vs in by_g.items():
+        vs.sort()
+        n = len(vs)
+        for label, (num, den) in SK.QUANTILES.items():
+            pos = max(1, -(-num * n // den))  # ceil
+            assert got[(g, label)] == vs[pos - 1], (g, label)
+
+
+def test_sample_quantiles_dkw_accuracy(spark):
+    """Uniform 0..99999 values, ~12.5% sample: each quantile's RANK error
+    is within the DKW 3-sigma band."""
+    df = spark.range(100_000).select(
+        F.lit("g").alias("g"), F.col("id").alias("rid"), F.col("id").cast("double").alias("v")
+    )
+    sk = SK.sample_sketch(df, ["g"], "v", "rid", rate_hex=8192)
+    n = sk.count()
+    eps = (2.0 / n) ** 0.5 * 1.5  # ~3 sigma of DKW
+    got = {r["q"]: r["est"] for r in SK.sample_quantiles(sk, ["g"]).collect()}
+    for label, (num, den) in SK.QUANTILES.items():
+        q = num / den
+        assert abs(got[label] / 100_000 - q) < eps, (label, got[label], eps)
+
+
+def test_sample_sketch_merge_equals_union(spark):
+    """Disjoint-id parts: union of part sketches equals the sketch of the
+    union EXACTLY (per-row verdicts are id-determined)."""
+    a = spark.range(0, 5000).select(F.lit("g").alias("g"), F.col("id").alias("rid"), (F.col("id") % 97).cast("double").alias("v"))
+    b = spark.range(5000, 9000).select(F.lit("g").alias("g"), F.col("id").alias("rid"), (F.col("id") % 89).cast("double").alias("v"))
+    merged = SK.sample_sketch(a, ["g"], "v", "rid", rate_hex=8192).unionByName(
+        SK.sample_sketch(b, ["g"], "v", "rid", rate_hex=8192)
+    )
+    union = SK.sample_sketch(a.unionByName(b), ["g"], "v", "rid", rate_hex=8192)
+    coll = lambda df: sorted((r["g"], r["value"]) for r in df.collect())
+    assert coll(merged) == coll(union)
+
+
+def test_sample_quantiles_plan_shape(spark):
+    """Sketch is a NARROW filter (zero exchange); the readout's window +
+    count share one exchange; zero Python stages."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    sk = SK.sample_sketch(ev, ["event_type"], "value", "event_id", rate_hex=16384)
+    splan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in splan and "Python" not in splan, splan
+    est = SK.sample_quantiles(sk, ["event_type"])
+    eplan = est._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in eplan
+    assert eplan.count("Exchange hashpartitioning") <= 1, eplan
+
+
+def test_sample_sketch_rejects_bad_rate(spark):
+    ev = spark.range(3).select(F.lit("g").alias("g"), F.col("id").alias("rid"), F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError, match="rate_hex"):
+        SK.sample_sketch(ev, ["g"], "v", "rid", rate_hex=0)
