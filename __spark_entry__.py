@@ -19,7 +19,9 @@ the DuckDB oracle can verify spatial operators without a spatial extension):
                 candidate joins), exact-integer k-means, SemDeDup,
                 phash multi-index Hamming near-dup, cleaning family
                 (line dedup, C4 filters, PII, chunking, packing),
-                mergeable HLL + KMV distinct sketches,
+                the mergeable sketch family (HLL distinct, KMV
+                distinct-sample, count-min frequency, Bloom join
+                pruning, deterministic-sample quantiles),
                 curation chain, BPE training/encoding, vocab counts,
                 duplicated-substring spans, fuzzy-dedup clustering
   spatial-idx : raster→vector run-merge (empty-tile water slabs),
