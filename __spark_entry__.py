@@ -1218,6 +1218,22 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus overlap from sketches alone (sketch.kmv_overlap):
+    pairwise user-set Jaccard / union / intersection estimates between
+    event types, read entirely off the k=32 bottom-k sketches — the
+    corpus is touched once (by kmv_sketch) and never re-shuffled; the
+    pair lattice operates on ≤ groups·k rows.  Counting is exact
+    integer; the estimate columns are a fixed order of correctly-rounded
+    IEEE ops over exact ints and the shared (k−1)·2^60 literal, so the
+    DuckDB twin is bit-exact."""
+    from osmcoastline_spark.functions import sketch as SK
+
+    ev = _read(spark, sf_dir, "events")
+    sk = SK.kmv_sketch(ev, ["event_type"], "user_id", k=32)
+    return SK.kmv_overlap(sk, "event_type", k=32)
+
+
 def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic-sample quantile sketch (sketch.sample_sketch +
     sample_quantiles): per-event-type p25/p50/p75/p95 of value from a
@@ -1687,6 +1703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cms_heavy_hitters": q_cms_heavy_hitters,
         "q_bloom_prune": q_bloom_prune,
         "q_value_quantiles": q_value_quantiles,
+        "q_kmv_overlap": q_kmv_overlap,
         "q_pack_sequences": q_pack_sequences,
         "q_bpe_merges": q_bpe_merges,
         "q_bpe_token_counts": q_bpe_token_counts,
@@ -2275,6 +2292,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cms_heavy_hitters": _CMS_SQL,
         "q_bloom_prune": _BLOOM_SQL,
         "q_value_quantiles": _QUANTILES_SQL,
+        "q_kmv_overlap": _KMV_OVERLAP_SQL,
         "q_pack_sequences": _PACK_SEQUENCES_SQL,
         "q_bpe_merges": _BPE_MERGES_SQL,
         "q_bpe_token_counts": _BPE_TOKEN_COUNTS_SQL,
@@ -2895,6 +2913,72 @@ def _bloom_sql(m_bits: int = 1 << 14, k: int = 3) -> str:
 
 
 _BLOOM_SQL = _bloom_sql()
+
+
+def _kmv_overlap_sql(k: int = 32) -> str:
+    """kmv_overlap twin: same per-group bottom-k (the _kmv_sql pipeline),
+    then per unordered pair the union's bottom-k with exact membership
+    counts and the same fixed IEEE op order for the estimates."""
+    from osmcoastline_spark.functions.sketch import KMV_SPACE
+
+    num = float((k - 1) * KMV_SPACE)
+    return f"""
+        WITH h AS (
+          SELECT event_type AS g,
+                 list_sum(list_transform(generate_series(1, 15),
+                   i -> (CAST(instr('0123456789abcdef',
+                              substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1
+                         AS BIGINT) << CAST(4 * (15 - i) AS INT)))) AS h,
+                 CAST(user_id AS VARCHAR) AS v
+          FROM events WHERE user_id IS NOT NULL
+        ),
+        mins AS (SELECT g, CAST(h AS BIGINT) AS h, min(v) AS v FROM h GROUP BY 1, 2),
+        rk AS (
+          SELECT g, h, v,
+                 row_number() OVER (PARTITION BY g ORDER BY h, v) AS pos
+          FROM mins
+        ),
+        sk AS (SELECT g, h FROM rk WHERE pos <= {k}),
+        lat AS (
+          SELECT a.g AS g1, b.g AS g2
+          FROM (SELECT DISTINCT g FROM sk) a, (SELECT DISTINCT g FROM sk) b
+          WHERE a.g < b.g
+        ),
+        u AS (
+          SELECT l.g1, l.g2, s.h,
+                 max(CASE WHEN s.g = l.g1 THEN 1 END) AS ina,
+                 max(CASE WHEN s.g = l.g2 THEN 1 END) AS inb
+          FROM lat l JOIN sk s ON s.g IN (l.g1, l.g2)
+          GROUP BY 1, 2, 3
+        ),
+        topk AS (
+          SELECT * FROM (
+            SELECT g1, g2, h, ina, inb,
+                   row_number() OVER (PARTITION BY g1, g2 ORDER BY h) AS pos
+            FROM u
+          ) WHERE pos <= {k}
+        ),
+        agg AS (
+          SELECT g1, g2,
+                 CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS common,
+                 CAST(count(*) AS BIGINT) AS basis,
+                 max(h) AS hk
+          FROM topk GROUP BY 1, 2
+        )
+        SELECT g1, g2, common, basis,
+               CAST(common AS DOUBLE) / CAST(basis AS DOUBLE) AS jaccard_est,
+               CASE WHEN basis < {k} THEN CAST(basis AS DOUBLE)
+                    ELSE CAST('{num!r}' AS DOUBLE) / CAST(hk AS DOUBLE)
+               END AS union_est,
+               (CAST(common AS DOUBLE) / CAST(basis AS DOUBLE))
+                 * (CASE WHEN basis < {k} THEN CAST(basis AS DOUBLE)
+                         ELSE CAST('{num!r}' AS DOUBLE) / CAST(hk AS DOUBLE)
+                    END) AS inter_est
+        FROM agg
+    """
+
+
+_KMV_OVERLAP_SQL = _kmv_overlap_sql()
 
 
 def _quantiles_sql(rate_hex: int = 16384) -> str:

@@ -52,6 +52,7 @@ __all__ = [
     "kmv_sketch",
     "kmv_merge",
     "kmv_cardinality",
+    "kmv_overlap",
     "cms_sketch",
     "cms_merge",
     "cms_estimate",
@@ -617,4 +618,97 @@ def sample_quantiles(
             )
         )
         .select(*group_cols, F.col("_q.q").alias("q"), F.col("value").alias("est"))
+    )
+
+
+def kmv_overlap(
+    sketch: DataFrame,
+    group_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Pairwise set-overlap estimates between groups, from their bottom-k
+    sketches ALONE: (g1, g2, common, basis, jaccard_est, union_est,
+    inter_est) for every unordered group pair g1 < g2.
+
+    The estimator (Beyer et al. 2007): take the k smallest hashes of the
+    COMBINED sketch pair (the union's bottom-k — exact, because a union
+    member that belongs to A is necessarily in A's own bottom-k), count
+    how many belong to both sides (``common``) out of ``basis`` =
+    min(k, candidate count); then jaccard_est = common/basis,
+    union_est = the kmv_cardinality rule on the union bottom-k, and
+    inter_est = jaccard_est · union_est.  When both groups are
+    unsaturated the sketches ARE the distinct sets and every output is
+    exact.  This answers "how much do two corpora overlap" — the
+    cross-dataset contamination question — without ever touching or
+    shuffling the raw values again.
+
+    All counting is exact integer; the three estimate columns are IEEE
+    divisions/multiplications of exact ints and the shared (k−1)·2^60
+    double literal, in a fixed expression order the DuckDB twin mirrors
+    — correctly-rounded ops, bit-identical cross-engine.
+
+    Plan note: the input is a SKETCH (≤ groups·k rows), so the pair
+    lattice, joins and windows below are model-sized by construction —
+    the corpus-scale work ended when the sketch was built."""
+    from pyspark.sql.window import Window
+
+    g = F.col(group_col)
+    a = sketch.select(g.alias("g1"), F.col("h"))
+    b = sketch.select(g.alias("g2"), F.col("h"))
+    # membership of each hash on each side of each pair: full outer join
+    # per hash within the pair lattice (g1 < g2 keeps pairs unordered)
+    both = (
+        a.withColumn("_ina", F.lit(1))
+        .join(
+            b.withColumn("_inb", F.lit(1)),
+            ["h"],
+            "full",
+        )
+        .filter(F.col("g1") < F.col("g2"))
+    )
+    # the full join above only pairs SHARED hashes; add each side's
+    # non-shared hashes against every other group via the pair lattice
+    groups = sketch.select(g.alias("_g")).distinct()
+    lat = (
+        groups.select(F.col("_g").alias("g1"))
+        .join(groups.select(F.col("_g").alias("g2")))
+        .filter(F.col("g1") < F.col("g2"))
+    )
+    onlya = (
+        lat.join(a, ["g1"])
+        .join(b, ["g2", "h"], "left_anti")
+        .select("g1", "g2", "h", F.lit(1).alias("_ina"), F.lit(None).cast("int").alias("_inb"))
+    )
+    onlyb = (
+        lat.join(b, ["g2"])
+        .join(a, ["g1", "h"], "left_anti")
+        .select("g1", "g2", "h", F.lit(None).cast("int").alias("_ina"), F.lit(1).alias("_inb"))
+    )
+    shared = (
+        both.filter(F.col("_ina").isNotNull() & F.col("_inb").isNotNull())
+        .select("g1", "g2", "h", "_ina", "_inb")
+    )
+    u = shared.unionByName(onlya).unionByName(onlyb)
+    w = Window.partitionBy("g1", "g2").orderBy(F.asc("h"))
+    topk = u.withColumn("_pos", F.row_number().over(w)).filter(F.col("_pos") <= k)
+    agg = topk.groupBy("g1", "g2").agg(
+        F.sum(
+            F.when(F.col("_ina").isNotNull() & F.col("_inb").isNotNull(), 1).otherwise(0)
+        ).alias("common"),
+        F.count(F.lit(1)).alias("basis"),
+        F.max("h").alias("_hk"),
+    )
+    num = float((k - 1) * KMV_SPACE)
+    union_est = F.when(
+        F.col("basis") < k, F.col("basis").cast("double")
+    ).otherwise(F.expr(f"cast('{num!r}' as double) / cast(_hk as double)"))
+    jac = F.col("common").cast("double") / F.col("basis").cast("double")
+    return agg.select(
+        "g1",
+        "g2",
+        "common",
+        "basis",
+        jac.alias("jaccard_est"),
+        union_est.alias("union_est"),
+        (jac * union_est).alias("inter_est"),
     )

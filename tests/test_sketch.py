@@ -512,3 +512,76 @@ def test_sample_sketch_rejects_bad_rate(spark):
     ev = spark.range(3).select(F.lit("g").alias("g"), F.col("id").alias("rid"), F.col("id").cast("double").alias("v"))
     with pytest.raises(ValueError, match="rate_hex"):
         SK.sample_sketch(ev, ["g"], "v", "rid", rate_hex=0)
+
+
+# --------------------------------------------------------------------------
+# KMV pairwise overlap
+# --------------------------------------------------------------------------
+
+
+def test_kmv_overlap_exact_when_unsaturated(spark):
+    """Both groups below k: the sketches ARE the distinct sets, so
+    common/basis/jaccard/union/intersection are all exact."""
+    a = spark.range(0, 30).select(F.lit("a").alias("g"), F.col("id").alias("v"))
+    b = spark.range(20, 50).select(F.lit("b").alias("g"), F.col("id").alias("v"))
+    sk = SK.kmv_sketch(a.unionByName(b), ["g"], "v", k=256)
+    r = SK.kmv_overlap(sk, "g", k=256).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["g1"], row["g2"]) == ("a", "b")
+    assert row["common"] == 10 and row["basis"] == 50
+    assert row["jaccard_est"] == 10 / 50
+    assert row["union_est"] == 50.0
+    assert row["inter_est"] == (10 / 50) * 50.0
+
+
+def test_kmv_overlap_accuracy_saturated(spark):
+    """Two 20k-element sets with true Jaccard 1/3 (10k shared): the k=512
+    estimate lands within ~4 sigma of sqrt(J(1-J)/k)."""
+    a = spark.range(0, 20_000).select(F.lit("a").alias("g"), F.col("id").alias("v"))
+    b = spark.range(10_000, 30_000).select(F.lit("b").alias("g"), F.col("id").alias("v"))
+    sk = SK.kmv_sketch(a.unionByName(b), ["g"], "v", k=512)
+    row = SK.kmv_overlap(sk, "g", k=512).collect()[0]
+    true_j = 10_000 / 30_000
+    sigma = (true_j * (1 - true_j) / 512) ** 0.5
+    assert abs(row["jaccard_est"] - true_j) < 4 * sigma, row["jaccard_est"]
+    assert abs(row["union_est"] / 30_000 - 1) < 0.2
+    assert abs(row["inter_est"] / 10_000 - 1) < 0.35
+
+
+def test_kmv_overlap_matches_python_replica(spark):
+    """Pairwise readout over the events sketch reproduces a sequential
+    replica bit-for-bit (the DuckDB-oracle guarantee)."""
+    k = 32
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    sk = SK.kmv_sketch(ev, ["event_type"], "user_id", k=k)
+    got = {
+        (r["g1"], r["g2"]): (
+            r["common"], r["basis"], r["jaccard_est"], r["union_est"], r["inter_est"]
+        )
+        for r in SK.kmv_overlap(sk, "event_type", k=k).collect()
+    }
+    bottoms = {}
+    for r in sk.collect():
+        bottoms.setdefault(r["event_type"], set()).add(r["h"])
+    num = float((k - 1) * SK.KMV_SPACE)
+    exp = {}
+    for g1 in sorted(bottoms):
+        for g2 in sorted(bottoms):
+            if g1 >= g2:
+                continue
+            u = sorted(bottoms[g1] | bottoms[g2])[:k]
+            basis = len(u)
+            common = sum(1 for h in u if h in bottoms[g1] and h in bottoms[g2])
+            union_est = float(basis) if basis < k else num / float(u[-1])
+            jac = common / basis
+            exp[(g1, g2)] = (common, basis, jac, union_est, jac * union_est)
+    assert got == exp
+
+
+def test_kmv_overlap_disjoint_sets(spark):
+    a = spark.range(0, 5000).select(F.lit("a").alias("g"), F.col("id").alias("v"))
+    b = spark.range(10_000, 15_000).select(F.lit("b").alias("g"), F.col("id").alias("v"))
+    sk = SK.kmv_sketch(a.unionByName(b), ["g"], "v", k=128)
+    row = SK.kmv_overlap(sk, "g", k=128).collect()[0]
+    assert row["common"] == 0 and row["jaccard_est"] == 0.0 and row["inter_est"] == 0.0
