@@ -46,6 +46,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "hll_register_exprs",
+    "hll_estimate_expr",
     "hll_sketch",
     "hll_merge",
     "hll_cardinality",
@@ -104,6 +106,32 @@ def _rho_expr(hexh: Column) -> Column:
     return F.least(rho, F.lit(RHO_CAP))
 
 
+def hll_register_exprs(value_col: str, p: int) -> tuple[Column, Column]:
+    """(bucket, rho) register projection for one value — the plan-side md5
+    arithmetic shared by the batch sketch and the streaming twin
+    (streaming.events.stream_hll_distinct), so both produce identical
+    registers for identical values and their estimates agree bit-for-bit."""
+    if not 1 <= p <= 12:
+        raise ValueError(f"p must be in 1..12, got {p}")
+    hexh = F.md5(F.col(value_col).cast("string"))
+    bucket = F.shiftright(
+        F.conv(F.substring(hexh, 1, 3), 16, 10).cast("long"), 12 - p
+    )
+    return bucket, _rho_expr(hexh)
+
+
+def hll_estimate_expr(p: int) -> Column:
+    """Raw harmonic-mean estimate from exact int64 columns ``_sp`` (sum of
+    2^(RHO_CAP − reg) over present registers) and ``zero_regs`` — the ONE
+    IEEE division shared by hll_cardinality and the streaming twin."""
+    m = 1 << p
+    scale = 1 << RHO_CAP
+    return F.expr(
+        f"cast('{_numerator(m)!r}' as double)"
+        f" / cast(_sp + zero_regs * {scale}L as double)"
+    )
+
+
 def hll_sketch(
     df: DataFrame,
     group_cols: list[str],
@@ -115,18 +143,13 @@ def hll_sketch(
     NULL values are ignored (COUNT DISTINCT semantics).  ``p`` ≤ 12 —
     the bucket is the md5 12-bit prefix right-shifted to p bits, the rho
     tail (hex digits 4..15) is disjoint from it at every p."""
-    if not 1 <= p <= 12:
-        raise ValueError(f"p must be in 1..12, got {p}")
-    hexh = F.md5(F.col(value_col).cast("string"))
-    bucket = F.shiftright(
-        F.conv(F.substring(hexh, 1, 3), 16, 10).cast("long"), 12 - p
-    )
+    bucket, rho = hll_register_exprs(value_col, p)
     return (
         df.filter(F.col(value_col).isNotNull())
         .select(
             *group_cols,
             bucket.alias("bucket"),
-            _rho_expr(hexh).alias("rho"),
+            rho.alias("rho"),
         )
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("reg"))
@@ -162,18 +185,11 @@ def hll_cardinality(
     and est_raw ≤ 2.5m) — kept OUT of the oracle surface because ln()
     differs by 1 ULP across engines (measured, BM25 note in PLANS.md)."""
     m = 1 << p
-    scale = 1 << RHO_CAP
     sp = F.sum(F.expr(f"shiftleft(1L, cast({RHO_CAP} - reg as int))"))
     out = (
         sketch.groupBy(*group_cols)
         .agg(sp.alias("_sp"), (F.lit(m) - F.count(F.lit(1))).alias("zero_regs"))
-        .withColumn(
-            "est_raw",
-            F.expr(
-                f"cast('{_numerator(m)!r}' as double)"
-                f" / cast(_sp + zero_regs * {scale}L as double)"
-            ),
-        )
+        .withColumn("est_raw", hll_estimate_expr(p))
     )
     if corrected:
         low = (F.col("zero_regs") > 0) & (F.col("est_raw") <= 2.5 * m)

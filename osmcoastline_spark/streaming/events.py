@@ -371,3 +371,97 @@ def stream_sessionize(
         outputMode="append",
         timeoutConf="EventTimeTimeout",
     )
+
+
+def stream_hll_distinct(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "user_id",
+    p: int = 12,
+) -> DataFrame:
+    """Streaming twin of sketch.hll_sketch → hll_cardinality: an
+    incremental per-key COUNT DISTINCT estimate over an unbounded stream,
+    refreshed every micro-batch that touches the key.
+
+    The register projection (md5 → bucket, rho) runs PLAN-SIDE via the
+    shared sketch.hll_register_exprs, so a value hashes to the identical
+    register here and in the batch sketch; the stateful operator only
+    max-merges registers (associative/commutative/idempotent ⇒ the state
+    after any batch split equals the batch sketch over the union of all
+    arrived rows, and re-delivered rows are absorbed — at-least-once
+    safe). The emitted (_sp, zero_regs) are exact int64 readouts of the
+    register state, and est_raw is computed by the SAME plan expression
+    as the batch twin (sketch.hll_estimate_expr), so after the final
+    batch the streaming estimate equals hll_cardinality over the full
+    input BIT-FOR-BIT (pinned by test_stream_hll_distinct).
+
+    State per key is one m-byte register vector (m = 2^p ≤ 4096) plus a
+    batch counter — O(keys), independent of stream length: the whole
+    point of carrying a sketch instead of a seen-set. NULL values are
+    ignored (COUNT DISTINCT semantics, matching the batch sketch).
+
+    Output: key, updates (number of micro-batches that touched the key —
+    monotone, so "latest row per key" is well-defined under update
+    mode), zero_regs, est_raw.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from osmcoastline_spark.functions import sketch as SK
+
+    bucket, rho = SK.hll_register_exprs(value_col, p)
+    rows = stream.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col),
+        bucket.cast("int").alias("_bucket"),
+        rho.cast("int").alias("_rho"),
+    )
+    m = 1 << p
+    key_type = stream.schema[key_col].dataType.simpleString()
+
+    def upd(key, pdfs, state):
+        if state.exists:
+            regs_bytes, batches = state.get
+            regs = np.frombuffer(bytes(regs_bytes), dtype=np.uint8).copy()
+        else:
+            regs, batches = np.zeros(m, dtype=np.uint8), 0
+        touched = False
+        for pdf in pdfs:
+            if len(pdf):
+                touched = True
+                np.maximum.at(
+                    regs,
+                    pdf["_bucket"].to_numpy(np.int64),
+                    pdf["_rho"].to_numpy(np.uint8),
+                )
+        if not touched:
+            return iter(())
+        batches += 1
+        state.update((regs.tobytes(), batches))
+        nz = regs[regs > 0].astype(np.int64)
+        # exact int64: each term ≤ 2^(RHO_CAP-1), ≤ 4096 terms ⇒ ≤ 2^51
+        sp = int(np.sum(np.int64(1) << (SK.RHO_CAP - nz))) if nz.size else 0
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        key_col: [key[0]],
+                        "updates": [batches],
+                        "_sp": [sp],
+                        "zero_regs": [int(m - nz.size)],
+                    }
+                )
+            ]
+        )
+
+    out = rows.groupBy(key_col).applyInPandasWithState(
+        upd,
+        outputStructType=(
+            f"{key_col} {key_type}, updates int, _sp long, zero_regs long"
+        ),
+        stateStructType="regs binary, batches int",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    return out.withColumn("est_raw", SK.hll_estimate_expr(p)).select(
+        key_col, "updates", "zero_regs", "est_raw"
+    )

@@ -585,3 +585,67 @@ def test_stream_sessionize_null_ts_and_value_tolerated(spark, tmp_path):
         q.stop()
     # 2 events (the null-ts row dropped), null value adds 0 micros
     assert got == [(1, 1, 2, 1_500_000)]
+
+
+def test_stream_hll_distinct(spark, tmp_path):
+    """Streaming HLL distinct: registers max-merge across MICRO-BATCHES
+    (keyed binary state), duplicates re-delivered in a later batch are
+    absorbed (idempotent merge), and after the final batch the per-key
+    (zero_regs, est_raw) equals the batch hll_sketch → hll_cardinality
+    over the union of all arrived rows BIT-FOR-BIT (shared plan-side
+    register + estimate expressions)."""
+    import json
+
+    from osmcoastline_spark.functions import sketch as SK
+    from osmcoastline_spark.streaming.events import stream_hll_distinct
+
+    src = tmp_path / "ev_in"
+    src.mkdir()
+    b1 = [("a", i) for i in range(40)] + [("b", i) for i in range(7)]
+    # batch 2: overlapping 'a' values (idempotence), one dup 'b', new key 'c'
+    b2 = [("a", i) for i in range(20, 60)] + [("b", 3), ("c", 1)]
+    with open(src / "b1.json", "w") as f:
+        for k, v in b1:
+            f.write(json.dumps({"k": k, "v": v}) + "\n")
+
+    stream = (
+        spark.readStream.schema("k string, v long")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        stream_hll_distinct(stream, key_col="k", value_col="v", p=5)
+        .writeStream.format("memory")
+        .queryName("hll_out")
+        .outputMode("update")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        with open(src / "b2.json", "w") as f:
+            for k, v in b2:
+                f.write(json.dumps({"k": k, "v": v}) + "\n")
+        q.processAllAvailable()
+        rows = spark.sql("select * from hll_out").collect()
+    finally:
+        q.stop()
+
+    latest = {}
+    for r in rows:
+        if r.k not in latest or r.updates > latest[r.k].updates:
+            latest[r.k] = r
+
+    batch = spark.createDataFrame(b1 + b2, "k string, v long")
+    exp = {
+        r.k: r
+        for r in SK.hll_cardinality(
+            SK.hll_sketch(batch, ["k"], "v", p=5), ["k"], p=5
+        ).collect()
+    }
+    assert set(latest) == set(exp)
+    for k in exp:
+        assert latest[k].zero_regs == exp[k].zero_regs, k
+        assert latest[k].est_raw == exp[k].est_raw, k  # bit-exact
+    # 'a' was touched by both micro-batches, 'c' only by the second
+    assert latest["a"].updates == 2 and latest["c"].updates == 1
