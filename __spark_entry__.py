@@ -1460,6 +1460,21 @@ def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window rolling stats (functions/temporal.py): per event,
+    the count and int64-micros value sum of the same user's events in the
+    trailing 24 h (RANGE frame — ONE exchange, no self-join; pinned by
+    test) plus the gap to the previous event. RANGE frames are
+    peer-inclusive so the frame columns are tie-safe by construction; the
+    lag gap is made deterministic by the (ts, event_id) tiebreak. 24 h at
+    ~4 events/user-day keeps the frame non-vacuous (n_window spans 1..8+
+    at sf0.01)."""
+    from osmcoastline_spark.functions import temporal as T
+
+    ev = _read(spark, sf_dir, "events")
+    return T.rolling_stats(ev, window_seconds=86400)
+
+
 def q_uncompact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """compact() → uncompact() point-set identity on the zoom-5 occupied
     cover: the Spark side runs the full 3-level round trip
@@ -1710,6 +1725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vectorize_water": q_vectorize_water,
         "q_compact_cells": q_compact_cells,
         "q_sessionize": q_sessionize,
+        "q_rolling_stats": q_rolling_stats,
         "q_asof_events": q_asof_events,
         "q_uncompact_roundtrip": q_uncompact_roundtrip,
         "q_grid_disk": q_grid_disk,
@@ -2373,6 +2389,23 @@ SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
        coalesce(epoch_us(r.ts), -1) AS asof_ts_us
 FROM clicks l ASOF LEFT JOIN errors r
   ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        # trailing-window rolling stats — RANGE-frame twin; the frame
+        # columns are tie-safe (peer-inclusive) and the sum is exact int64
+        "q_rolling_stats": """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v
+  FROM events)
+SELECT event_id, user_id, ts_us,
+       count(*) OVER w AS n_window,
+       CAST(sum(v) OVER w AS BIGINT) AS sum_window_micros,
+       coalesce(ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                         ORDER BY ts_us, event_id),
+                CAST(-1 AS BIGINT)) AS gap_prev_us
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN CAST(86400 AS BIGINT) * 1000000 PRECEDING
+                   AND CURRENT ROW)""",
         # compact→uncompact round trip: the oracle IS the input cell set
         "q_uncompact_roundtrip": f"""
 WITH nodes AS ({_nodes_sql()})

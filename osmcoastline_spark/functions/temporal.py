@@ -1,4 +1,5 @@
-"""Temporal event operators: as-of join + gap sessionization.
+"""Temporal event operators: as-of join, gap sessionization, binned
+range join, and trailing-window rolling stats.
 
 Classic engine operators a training-data/event pipeline needs that Spark
 lacks as built-ins. Both are single-shuffle, pure-Catalyst plans:
@@ -230,4 +231,63 @@ def range_join(
         pt.join(iv, cond, "inner")
         .filter((p_us >= plo) & (p_us < phi))
         .drop("_bin")
+    )
+
+
+def rolling_stats(
+    events: DataFrame,
+    window_seconds: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Per-event trailing-window features: for every event, the count and
+    value sum of the same key's events in `[ts - window_seconds, ts]`,
+    plus the gap to the key's previous event — the fourth classic
+    temporal operator (the others live above). The canonical use is
+    feature engineering over an event log: "requests by this user in the
+    last 24 h", "time since their previous action".
+
+    Plan: a RANGE frame over micros (`rangeBetween(-W, 0)` on
+    `unix_micros(ts)`), NOT a self-join — the naive formulation is a
+    range self-join producing O(rows × window_fanout) pairs and then a
+    regroup; the window form touches each row once. Both frame columns
+    and the lag share `partitionBy(key)`, so the whole operator is ONE
+    exchange (pinned by test); the range frame adds a second sort but no
+    second shuffle.
+
+    Exactness: RANGE frames are peer-inclusive — rows tied on the order
+    value all see the same frame in every engine, so the frame count/sum
+    are deterministic without a tiebreak. `lag` IS order-sensitive under
+    ties, so the gap window orders by `(ts, order_tiebreak)`; the first
+    event per key carries the -1 sentinel (a NULL would round-trip as
+    float64 through the comparator). The value sum is per-row
+    micro-quantized to int64 before the frame sum (same idiom as
+    `sessionize`), so it is order-independent and engine-exact.
+
+    Scale posture: one hash exchange on the key; frame evaluation is a
+    bounded backward scan per partition (Spark keeps only the live
+    frame in memory, not the whole partition, for bounded-preceding
+    RANGE frames). Hot keys are an input property — AQE skew handling
+    applies as with the other temporal operators.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    vmicros = F.floor(F.col(value_col) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    ev = events.withColumn("_ts_us", us).withColumn("_v_us", vmicros)
+    w_frame = (
+        Window.partitionBy(key_col)
+        .orderBy("_ts_us")
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    w_lag = Window.partitionBy(key_col).orderBy("_ts_us", order_tiebreak)
+    return ev.select(
+        order_tiebreak,
+        key_col,
+        F.col("_ts_us").alias("ts_us"),
+        F.count(F.lit(1)).over(w_frame).alias("n_window"),
+        F.sum("_v_us").over(w_frame).alias("sum_window_micros"),
+        F.coalesce(
+            F.col("_ts_us") - F.lag("_ts_us").over(w_lag), F.lit(-1).cast("long")
+        ).alias("gap_prev_us"),
     )

@@ -309,3 +309,66 @@ def test_asof_random_matches_pure_python(spark):
         cands = [(ss, v) for _i, uu, ss, v in rrows if uu == u and ss <= s]
         want = max(cands)[1] if cands else None
         assert got[e] == want, (e, got[e], want)
+
+
+def test_rolling_stats_hand_computed(spark):
+    from osmcoastline_spark.functions.temporal import rolling_stats
+
+    ev = _events(
+        spark,
+        [
+            # user 1: events at 0, 30, 100, 200 s; 100 s window
+            (1, 1, 0, 1.0),
+            (2, 1, 30, 2.0),
+            (3, 1, 100, 4.0),
+            (4, 1, 200, 8.0),
+            # user 2: single event
+            (5, 2, 10, 16.0),
+        ],
+    )
+    out = {
+        r["event_id"]: r
+        for r in rolling_stats(ev, window_seconds=100).collect()
+    }
+    # frame is [ts-100s, ts] inclusive on both ends
+    assert (out[1]["n_window"], out[1]["sum_window_micros"]) == (1, 1_000_000)
+    assert (out[2]["n_window"], out[2]["sum_window_micros"]) == (2, 3_000_000)
+    # event 3 at t=100: frame [0,100] includes all three → 7.0
+    assert (out[3]["n_window"], out[3]["sum_window_micros"]) == (3, 7_000_000)
+    # event 4 at t=200: frame [100,200] includes events 3,4 → 12.0
+    assert (out[4]["n_window"], out[4]["sum_window_micros"]) == (2, 12_000_000)
+    assert out[5]["n_window"] == 1
+    # gaps: first event per user carries the -1 sentinel
+    assert out[1]["gap_prev_us"] == -1
+    assert out[2]["gap_prev_us"] == 30_000_000
+    assert out[3]["gap_prev_us"] == 70_000_000
+    assert out[5]["gap_prev_us"] == -1
+
+
+def test_rolling_stats_ties_are_peer_inclusive(spark):
+    from osmcoastline_spark.functions.temporal import rolling_stats
+
+    # two events at the SAME (user, ts): RANGE frames are peer-inclusive,
+    # so both rows must see both events regardless of intra-peer order
+    ev = _events(spark, [(1, 1, 50, 1.0), (2, 1, 50, 2.0)])
+    rows = {r["event_id"]: r for r in rolling_stats(ev, 100).collect()}
+    for e in (1, 2):
+        assert rows[e]["n_window"] == 2
+        assert rows[e]["sum_window_micros"] == 3_000_000
+    # lag is made deterministic by the (ts, event_id) tiebreak
+    assert rows[1]["gap_prev_us"] == -1
+    assert rows[2]["gap_prev_us"] == 0
+
+
+def test_rolling_stats_single_exchange(spark):
+    from osmcoastline_spark.functions.temporal import rolling_stats
+
+    ev = _events(spark, [(1, 1, 0, 1.0), (2, 1, 30, 2.0)])
+    plan = (
+        rolling_stats(ev, 3600)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
