@@ -723,6 +723,32 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_clusters(edges, alldocs.select("doc_id"))
 
 
+def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs edit-distance join (dedup.fuzzy_pairs): every
+    unordered pair within Levenshtein distance 2, via lossless
+    Ed-Join-style set-prefix filtering (d*q+1 rarest distinct q-grams
+    per string) + an exhaustive small tier — never a cross join. The
+    corpus is the 24-char document prefixes plus a deterministic
+    single-char mutation of every fifth doc (id + 1_000_000), so ~100
+    planted ed-1 pairs exist alongside any natural prefix clones. The
+    oracle is DuckDB's brute-force self-join + native levenshtein():
+    definitional vs algorithmic, like q_spatial_knn."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        "doc_id",
+        F.substring("text", 1, 24).alias("s"),
+        (F.col("doc_id") % 20).cast("int").alias("p"),
+    )
+    mut = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.expr("left(s, p)"), F.lit("Z"), F.expr("substring(s, p + 2)")
+        ).alias("s"),
+    )
+    corpus = base.select("doc_id", "s").unionByName(mut)
+    return D.fuzzy_pairs(corpus, text_col="s", id_col="doc_id", d=2, q=3)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     return D.simhash64(docs)
@@ -1685,6 +1711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_dedup_clusters": q_dedup_clusters,
+        "q_fuzzy_dedup": q_fuzzy_dedup,
         "q_simhash": q_simhash,
         "q_text_features": q_text_features,
         "q_lang_guess": q_lang_guess,
@@ -2002,6 +2029,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b
             WHERE CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i) >= 0.2
+        """,
+        # brute-force definitional twin: every pair, native levenshtein —
+        # cross-checks the prefix-filter algorithm against the definition
+        "q_fuzzy_dedup": """
+            WITH base AS (
+              SELECT doc_id, substring(text, 1, 24) AS s,
+                     CAST(doc_id % 20 AS INT) AS p
+              FROM documents
+            ),
+            mut AS (
+              SELECT doc_id + 1000000 AS doc_id,
+                     left(s, p) || 'Z' || substring(s, p + 2) AS s
+              FROM base WHERE doc_id % 5 = 0
+            ),
+            corpus AS (
+              SELECT doc_id, s FROM base
+              UNION ALL SELECT doc_id, s FROM mut
+            )
+            SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+                   CAST(b.doc_id AS BIGINT) AS id_b,
+                   CAST(levenshtein(a.s, b.s) AS INT) AS dist
+            FROM corpus a JOIN corpus b ON a.doc_id < b.doc_id
+            WHERE abs(length(a.s) - length(b.s)) <= 2
+              AND levenshtein(a.s, b.s) <= 2
         """,
         "q_dedup_clusters": """
             WITH RECURSIVE

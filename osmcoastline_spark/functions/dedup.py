@@ -481,3 +481,165 @@ def duplicated_spans(
             "n_dup_windows",
         )
     )
+
+
+# --------------------------------------------------- fuzzy (edit-distance)
+
+
+def fuzzy_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    d: int = 2,
+    q: int = 3,
+    max_band_rows: int = 20000,
+) -> DataFrame:
+    """ALL unordered pairs within Levenshtein distance ``d`` — exactly,
+    never approximately — via q-gram set-prefix filtering (the Ed-Join
+    design, Xiao/Wang/Lin VLDB'08, adapted to distinct-gram SETS so the
+    prefix bound survives repetitive strings).
+
+    Output: one row per pair (id_a < id_b): id_a, id_b, dist (int,
+    the exact edit distance, <= d).
+
+    Losslessness argument (distinct-gram sets, not positional multisets):
+    one edit touches at most q positional q-grams, hence removes at most
+    q values from the distinct-gram set, so
+        |set(a) ∩ set(b)| >= max(|set(a)|, |set(b)|) - d*q   (*)
+    for any pair with ed <= d. With every string's distinct grams sorted
+    by ONE global order (ascending document frequency, gram value as the
+    tiebreak — rarest first, which simultaneously kills hot-gram join
+    skew), the classic prefix-filter pigeonhole says two sets with
+    overlap >= t intersect within their (|set| - t + 1)-prefixes; with
+    t = max(|set(a)|,|set(b)|) - d*q from (*), both prefixes are at most
+    d*q + 1 long. So indexing ONLY the d*q+1 rarest grams per string is
+    lossless whenever (*) gives t >= 1, i.e. whenever at least one side
+    has more than d*q distinct grams. Strings with |set| <= d*q (short
+    strings, len < q included, and degenerate repetitive ones like
+    'aaaa…') can only pair with strings whose set is within d*q of
+    theirs — handled exhaustively by a separate small tier.
+
+    Plan shape at 100 TB:
+      * gram df agg + df join + per-id prefix window: exchanges over the
+        (id, gram) frame — strings do NOT ride these shuffles (8-byte ids
+        + q-byte grams only).
+      * prefix self-join on gram: fan-in per gram is bounded by the
+        rarest-first prefix selection; candidates dedup to (id_a, id_b)
+        ints BEFORE the strings are fetched.
+      * two id-equi-joins fetch the strings for the final exact
+        levenshtein verify — the only step that moves text, and it moves
+        each candidate's text once.
+      * small tier: length-band equi-join (each pair produced exactly
+        once: the left side emits bands len±d, the right its own length)
+        with an in-plan per-band loud cap (`raise_error`, same idiom as
+        temporal.range_join) so a degenerate corpus fails loudly instead
+        of planning a quadratic band.
+
+    Reference analog: the reference dedups segments by exact equality
+    (src/coastline_polygons.cpp duplicate-segment detect); fuzzy text
+    identity is the training-data generalization.
+    """
+    if d < 1:
+        raise ValueError("fuzzy_pairs: d must be >= 1 (use dedup_exact for d=0)")
+    if q < 2:
+        raise ValueError("fuzzy_pairs: q must be >= 2")
+    from pyspark.sql.window import Window
+
+    prefix_len = d * q + 1
+    sid, s = F.col(id_col), F.col(text_col)
+    # sequence(1, len-q+1) would run DESCENDING for len < q — guard, like
+    # duplicated_spans; expr form because the lambda start index feeds
+    # substring's pos argument
+    gram_set = F.when(
+        F.length(s) >= q,
+        F.expr(
+            f"array_distinct(transform(sequence(1, length({text_col}) - {q - 1}), "
+            f"i -> substring({text_col}, i, {q})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    base = docs.select(
+        sid.alias("fid"),
+        s.alias("fs"),
+        F.length(s).alias("flen"),
+        gram_set.alias("fgrams"),
+    ).withColumn("nset", F.size("fgrams"))
+
+    # ---- small tier: |set| <= d*q — exhaustive within the tier --------
+    small = base.filter(F.col("nset") <= d * q).select("fid", "fs", "flen")
+    band_w = Window.partitionBy("flen")
+    small_cap = small.withColumn("band_n", F.count("*").over(band_w)).withColumn(
+        "fs",
+        F.when(
+            F.col("band_n") > max_band_rows,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "fuzzy_pairs: small-tier length band exceeds "
+                        f"{max_band_rows} rows (len="
+                    ),
+                    F.col("flen").cast("string"),
+                    F.lit("); corpus is degenerate for q-gram filtering"),
+                )
+            ),
+        ).otherwise(F.col("fs")),
+    )
+    left = small_cap.select(
+        "fid",
+        "fs",
+        F.explode(
+            F.sequence(F.col("flen") - d, F.col("flen") + d)
+        ).alias("band"),
+    )
+    small_pairs = (
+        left.alias("a")
+        .join(
+            small_cap.alias("b"),
+            (F.col("a.band") == F.col("b.flen")) & (F.col("a.fid") < F.col("b.fid")),
+        )
+        .select(
+            F.col("a.fid").alias("id_a"),
+            F.col("b.fid").alias("id_b"),
+            F.levenshtein(F.col("a.fs"), F.col("b.fs")).alias("dist"),
+        )
+        .filter(F.col("dist") <= d)
+    )
+
+    # ---- prefix tier ---------------------------------------------------
+    grams = base.select("fid", "nset", F.explode("fgrams").alias("gram"))
+    gram_df = grams.groupBy("gram").agg(F.count("*").alias("gdf"))
+    pw = Window.partitionBy("fid").orderBy("gdf", "gram")
+    prefix = (
+        grams.join(gram_df, "gram")
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= prefix_len)
+        .select("fid", "nset", "gram")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.gram") == F.col("b.gram")) & (F.col("a.fid") < F.col("b.fid")),
+        )
+        # pairs where BOTH sets are small belong to (and are complete in)
+        # the small tier; keeping them here would double-count
+        .filter(F.greatest(F.col("a.nset"), F.col("b.nset")) > d * q)
+        .select(F.col("a.fid").alias("id_a"), F.col("b.fid").alias("id_b"))
+        .distinct()
+    )
+    strings = base.select("fid", "fs")
+    big_pairs = (
+        cand.join(strings.withColumnRenamed("fid", "id_a").withColumnRenamed("fs", "s_a"), "id_a")
+        .join(strings.withColumnRenamed("fid", "id_b").withColumnRenamed("fs", "s_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("s_a"), F.col("s_b")).alias("dist"),
+        )
+        .filter(F.col("dist") <= d)
+    )
+    return small_pairs.unionByName(big_pairs).select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.col("dist").cast("int"),
+    )
