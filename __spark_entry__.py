@@ -749,6 +749,57 @@ def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.fuzzy_pairs(corpus, text_col="s", id_col="doc_id", d=2, q=3)
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-crawl URL curation chain (functions/urls.py): canonicalize →
+    keep-first URL dedup → skew-safe per-domain top-10 cap (C4's "limit
+    pages per domain"). URLs are synthesized deterministically per doc
+    (mixed-case scheme/host, default and non-default ports, trailing
+    slashes, tracking params, fragments — every canonicalization rule
+    fires), so planted collisions exist: ids agreeing on the
+    ([id%3==0], id%7, [id%4==1], id%50) canonical key collapse. The
+    oracle re-implements the whole chain in DuckDB string builtins;
+    domain ranks use the naive window, cross-checking the salted
+    two-phase top-N against the definitional form."""
+    from osmcoastline_spark.functions.urls import (
+        canonicalize_urls, domain_topn, url_keep_first,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    d = F.col("doc_id")
+    scheme = (
+        F.when(d % 3 == 0, F.lit("http"))
+        .when(d % 3 == 1, F.lit("https"))
+        .otherwise(F.lit("HTTPS"))
+    )
+    port = (
+        F.when((d % 4 == 0) & (d % 3 == 0), F.lit(":80"))
+        .when((d % 4 == 0), F.lit(":443"))
+        .when(d % 4 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        scheme,
+        F.lit("://WWW.h"), (d % 7).cast("string"), F.lit("-Example.COM"),
+        port,
+        F.lit("/Docs/"), (d % 50).cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?"),
+        F.when(
+            d % 2 == 0,
+            F.concat(F.lit("utm_source=feed&id="), (d % 25).cast("string"), F.lit("&gclid=xyz")),
+        ).otherwise(F.concat(F.lit("id="), (d % 25).cast("string"))),
+        F.when(d % 5 == 0, F.lit("#Section2")).otherwise(F.lit("")),
+    )
+    canon = canonicalize_urls(docs.withColumn("url", url))
+    kept = url_keep_first(canon)
+    capped = domain_topn(
+        kept, 10, order_cols=[F.col("n_chars").desc(), F.col("doc_id")]
+    )
+    return capped.select(
+        "doc_id", "canonical_url", "domain", "dup_count", "domain_rank"
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     return D.simhash64(docs)
@@ -1712,6 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_dedup_clusters": q_dedup_clusters,
         "q_fuzzy_dedup": q_fuzzy_dedup,
+        "q_url_dedup": q_url_dedup,
         "q_simhash": q_simhash,
         "q_text_features": q_text_features,
         "q_lang_guess": q_lang_guess,
@@ -2053,6 +2105,107 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus a JOIN corpus b ON a.doc_id < b.doc_id
             WHERE abs(length(a.s) - length(b.s)) <= 2
               AND levenshtein(a.s, b.s) <= 2
+        """,
+        # full canonicalization chain re-implemented in DuckDB string
+        # builtins; naive-window domain ranks cross-check the salted
+        # two-phase top-N
+        "q_url_dedup": """
+            WITH raw AS (
+              SELECT doc_id, n_chars,
+                     (CASE WHEN doc_id % 3 = 0 THEN 'http'
+                           WHEN doc_id % 3 = 1 THEN 'https'
+                           ELSE 'HTTPS' END)
+                     || '://WWW.h' || CAST(doc_id % 7 AS VARCHAR) || '-Example.COM'
+                     || (CASE WHEN doc_id % 4 = 0 AND doc_id % 3 = 0 THEN ':80'
+                              WHEN doc_id % 4 = 0 THEN ':443'
+                              WHEN doc_id % 4 = 1 THEN ':8080'
+                              ELSE '' END)
+                     || '/Docs/' || CAST(doc_id % 50 AS VARCHAR)
+                     || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+                     || '?'
+                     || (CASE WHEN doc_id % 2 = 0
+                              THEN 'utm_source=feed&id=' || CAST(doc_id % 25 AS VARCHAR) || '&gclid=xyz'
+                              ELSE 'id=' || CAST(doc_id % 25 AS VARCHAR) END)
+                     || (CASE WHEN doc_id % 5 = 0 THEN '#Section2' ELSE '' END)
+                     AS url
+              FROM documents
+            ),
+            s1 AS (
+              SELECT doc_id, n_chars, split_part(url, '#', 1) AS u FROM raw
+            ),
+            s2 AS (
+              SELECT doc_id, n_chars,
+                     split_part(u, '?', 1) AS base,
+                     CASE WHEN strpos(u, '?') > 0
+                          THEN substring(u, strpos(u, '?') + 1) ELSE '' END AS qs
+              FROM s1
+            ),
+            s3 AS (
+              SELECT doc_id, n_chars, qs,
+                     lower(split_part(base, '://', 1)) AS scheme,
+                     substring(base, strpos(base, '://') + 3) AS rest
+              FROM s2
+            ),
+            s4 AS (
+              SELECT doc_id, n_chars, qs, scheme,
+                     lower(split_part(rest, '/', 1)) AS hp0,
+                     substring(rest, length(split_part(rest, '/', 1)) + 1) AS path0
+              FROM s3
+            ),
+            s5 AS (
+              SELECT doc_id, n_chars, qs, scheme,
+                     CASE WHEN scheme = 'http' AND hp0 LIKE '%:80'
+                          THEN left(hp0, length(hp0) - 3)
+                          WHEN scheme = 'https' AND hp0 LIKE '%:443'
+                          THEN left(hp0, length(hp0) - 4)
+                          ELSE hp0 END AS hostport,
+                     CASE WHEN path0 LIKE '%/'
+                          THEN left(path0, length(path0) - 1)
+                          ELSE path0 END AS path
+              FROM s4
+            ),
+            s6 AS (
+              SELECT doc_id, n_chars, scheme, hostport, path,
+                     array_to_string(list_filter(string_split(qs, '&'),
+                       t -> NOT (t = '' OR left(t, 4) = 'utm_'
+                                 OR left(t, 7) = 'fbclid='
+                                 OR left(t, 6) = 'gclid='
+                                 OR left(t, 4) = 'ref=')), '&') AS q2
+              FROM s5
+            ),
+            canon AS (
+              SELECT doc_id, n_chars,
+                     scheme || '://' || hostport || path
+                       || CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END
+                       AS canonical_url,
+                     CASE WHEN left(h2, 4) = 'www.' THEN substring(h2, 5) ELSE h2 END AS host
+              FROM (SELECT *, split_part(hostport, ':', 1) AS h2 FROM s6)
+            ),
+            dom AS (
+              SELECT doc_id, n_chars, canonical_url,
+                     CASE WHEN len(parts) >= 2
+                          THEN parts[-2] || '.' || parts[-1] ELSE host END AS domain
+              FROM (SELECT *, string_split(host, '.') AS parts FROM canon)
+            ),
+            winners AS (
+              SELECT canonical_url, min(doc_id) AS keep_id,
+                     CAST(count(*) AS BIGINT) AS dup_count
+              FROM dom GROUP BY canonical_url
+            ),
+            kept AS (
+              SELECT d.doc_id, d.n_chars, d.canonical_url, d.domain, w.dup_count
+              FROM dom d JOIN winners w
+                ON d.canonical_url = w.canonical_url AND d.doc_id = w.keep_id
+            ),
+            ranked AS (
+              SELECT doc_id, canonical_url, domain, dup_count,
+                     CAST(row_number() OVER (
+                       PARTITION BY domain ORDER BY n_chars DESC, doc_id
+                     ) AS INT) AS domain_rank
+              FROM kept
+            )
+            SELECT doc_id, canonical_url, domain, dup_count, domain_rank
+            FROM ranked WHERE domain_rank <= 10
         """,
         "q_dedup_clusters": """
             WITH RECURSIVE
