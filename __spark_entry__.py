@@ -835,6 +835,23 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.stratified_sample(docs).select("doc_id", "lang")
 
 
+MIX_WEIGHTS = {"src0": 0.5, "src1": 0.2, "src2": 0.2, "src3": 0.1}
+MIX_BUDGET = 40000
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-driven mixture sampler with upsampling
+    (curate.mixture_sample): rate_s = budget*w_s/tokens_s, docs emitted
+    floor(rate) times plus a md5-Bernoulli extra — src0's weight drives
+    rate ≈ 2.7 (multi-epoch upsampling exercised), src3 ≈ 0.5
+    (downsampling), the 16 unlisted sources drop. The uniform is the
+    32-bit md5 prefix vs floor(frac(rate)·2^32): rate is a fixed order
+    of IEEE ops over exact ints and double literals, so DuckDB
+    reproduces the exact multiset including epoch counts."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return C.mixture_sample(docs, MIX_WEIGHTS, MIX_BUDGET)
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality gates (curate.gopher_rules): length floor,
     mean-word-length band, stopword floor, language recognised — each a
@@ -1769,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_guess": q_lang_guess,
         "q_lm_familiarity": q_lm_familiarity,
         "q_stratified_sample": q_stratified_sample,
+        "q_mixture_sample": q_mixture_sample,
         "q_gopher_rules": q_gopher_rules,
         "q_repetition_stats": q_repetition_stats,
         "q_decontaminate": q_decontaminate,
@@ -2290,6 +2308,7 @@ def oracle_sql() -> dict[str, str]:
         "q_text_features": _TEXT_FEATURES_SQL,
         "q_lm_familiarity": _LM_FAMILIARITY_SQL,
         "q_stratified_sample": _STRATIFIED_SAMPLE_SQL,
+        "q_mixture_sample": _MIXTURE_SAMPLE_SQL,
         "q_gopher_rules": _GOPHER_RULES_SQL,
         "q_repetition_stats": _REPETITION_SQL,
         "q_decontaminate": _DECONTAMINATE_SQL,
@@ -3402,6 +3421,39 @@ _STRATIFIED_SAMPLE_SQL = f"""
 SELECT doc_id, lang
 FROM documents
 WHERE substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) < {_MIX_CASE}
+"""
+
+# mixture_sample twin: same IEEE op order as curate.mixture_sample —
+# (CAST(budget) * CAST(w)) / CAST(tok), floor/frac threshold, 32-bit md5
+# prefix via digit shifts (the _kmv_sql idiom). Weight literals are CAST
+# AS DOUBLE because bare 0.2 is DECIMAL in DuckDB.
+_MIX_W_CASE = " ".join(
+    f"WHEN '{s}' THEN CAST({w!r} AS DOUBLE)" for s, w in sorted(MIX_WEIGHTS.items())
+)
+_MIXTURE_SAMPLE_SQL = f"""
+WITH totals AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS tok FROM documents GROUP BY source
+),
+j AS (
+  SELECT d.doc_id, d.source, d.n_chars,
+         (CAST({MIX_BUDGET} AS DOUBLE)
+          * (CASE d.source {_MIX_W_CASE} ELSE CAST(0.0 AS DOUBLE) END))
+          / CAST(t.tok AS DOUBLE) AS rate,
+         list_sum(list_transform(generate_series(1, 8),
+           i -> (CAST(instr('0123456789abcdef',
+                      substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), i, 1)) - 1
+                 AS BIGINT) << CAST(4 * (8 - i) AS INT)))) AS u32
+  FROM documents d JOIN totals t USING (source)
+),
+n AS (
+  SELECT doc_id, source, n_chars,
+         CAST(floor(rate) AS BIGINT)
+         + CASE WHEN u32 < CAST(floor((rate - floor(rate)) * 4294967296.0) AS BIGINT)
+                THEN 1 ELSE 0 END AS n_copies
+  FROM j
+)
+SELECT doc_id, source, n_chars, CAST(t.e AS INT) AS epoch
+FROM n, unnest(generate_series(1, n_copies)) AS t(e)
 """
 
 # gopher-rules twin: thresholds mirror curate.gopher_rules (150 / [3.0,4.6]

@@ -371,3 +371,71 @@ def quality_classifier(
         .alias("score"),
         (F.col("score_num") > 0).alias("pass_quality"),
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    token_col: str = "n_chars",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Budget-driven mixture sampler with upsampling — the data-mixing
+    step proper (LLaMA/DoReMi-style): given target mixture WEIGHTS and a
+    total token BUDGET, emit each source at rate
+        rate_s = budget * w_s / tokens_s
+    where tokens_s is the source's corpus token total. rate_s < 1
+    downsamples; rate_s > 1 UPSAMPLES — every doc appears floor(rate_s)
+    times ("epochs") plus one more with probability frac(rate_s), so the
+    expected token count per source is exactly budget * w_s.
+
+    Determinism/parity: the Bernoulli uniform is the 32-bit md5 prefix
+    of "salt:id" compared against floor(frac(rate)*2^32) — rate is a
+    fixed order of IEEE double ops over exact ints and double literals
+    (budget*w first, one division), so any md5-capable engine reproduces
+    the exact multiset, including epoch counts. Stable under
+    repartitioning and re-runs — the property a reproducible training
+    mix needs.
+
+    Shape at 100 TB: ONE tiny per-source aggregate (map-side combined)
+    broadcast back; everything else is projection + a bounded explode
+    (ceil(rate) copies). The corpus is never shuffled. Sources missing
+    from `weights` get rate 0 and are dropped loudly-by-design (a mixing
+    config that silently passes unlisted sources corrupts the mix —
+    same policy as stratified_sample).
+
+    Output: input columns + `epoch` (1-based copy index, int).
+    """
+    if token_budget <= 0:
+        raise ValueError("mixture_sample: token_budget must be positive")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("mixture_sample: weights must be non-negative")
+    totals = docs.groupBy(source_col).agg(
+        F.sum(token_col).cast("long").alias("__tok")
+    )
+    w_expr = F.lit(0.0)
+    for src, w in sorted(weights.items()):
+        w_expr = F.when(F.col(source_col) == src, F.lit(float(w))).otherwise(w_expr)
+    rate = (
+        F.lit(float(token_budget)) * w_expr / F.col("__tok").cast("double")
+    )
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    base = F.floor(rate).cast("long")
+    thr = F.floor((rate - F.floor(rate)) * F.lit(4294967296.0)).cast("long")
+    n = base + F.when(u32 < thr, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    out_cols = docs.columns
+    return (
+        docs.join(F.broadcast(totals), on=source_col)
+        .withColumn("__n", n)
+        .filter(F.col("__n") >= 1)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("__n").cast("int"))))
+        .select(*out_cols, "epoch")
+    )

@@ -194,3 +194,67 @@ def test_decontaminate_deterministic_under_repartition(spark):
     # candidate adjacent to a benchmark doc (0, 17, 34, 51) is flagged
     flagged = {d for d, c in a if c == 1}
     assert {1, 16, 18, 33, 35, 50, 52} <= flagged
+
+
+# ------------------------------------------------------- mixture_sample
+
+
+def _mix_replica(rows, weights, budget, salt="mix"):
+    tot = {}
+    for i, s, t in rows:
+        tot[s] = tot.get(s, 0) + t
+    want = []
+    for i, s, t in rows:
+        rate = float(budget) * weights.get(s, 0.0) / float(tot[s])
+        u32 = int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16)
+        n = math.floor(rate) + (
+            1 if u32 < math.floor((rate - math.floor(rate)) * 4294967296.0) else 0
+        )
+        want.extend((i, e) for e in range(1, int(n) + 1))
+    return sorted(want)
+
+
+def test_mixture_sample_matches_replica(spark):
+    rows = [(i, f"s{i % 3}", 50 + i % 40) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    weights = {"s0": 0.6, "s1": 0.1}  # s2 unlisted -> dropped
+    got = sorted(
+        (r.doc_id, r.epoch)
+        for r in C.mixture_sample(df, weights, 30000).collect()
+    )
+    want = _mix_replica(rows, weights, 30000)
+    assert got == want
+    # non-vacuous on both sides of rate 1: upsampled epochs AND drops
+    assert any(e > 1 for _, e in got)
+    assert len({i for i, _ in got}) < len(rows)
+
+
+def test_mixture_sample_expected_tokens(spark):
+    # achieved tokens per source ~ budget * w (law of large numbers check)
+    rows = [(i, "a" if i % 2 else "b", 100) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    out = (
+        C.mixture_sample(df, {"a": 0.7, "b": 0.3}, 100000)
+        .groupBy("source")
+        .agg(F.sum("n_chars").alias("tok"))
+        .collect()
+    )
+    tok = {r.source: r.tok for r in out}
+    assert abs(tok["a"] - 70000) / 70000 < 0.1
+    assert abs(tok["b"] - 30000) / 30000 < 0.1
+
+
+def test_mixture_sample_plan_and_guards(spark):
+    rows = [(i, "s0", 10) for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    plan = (
+        C.mixture_sample(df, {"s0": 1.0}, 100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one corpus-side agg exchange; totals come back via broadcast; no Python
+    assert "BroadcastHashJoin" in plan and "Python" not in plan
+    assert "SortMergeJoin" not in plan
+    with pytest.raises(ValueError, match="token_budget"):
+        C.mixture_sample(df, {"s0": 1.0}, 0)
+    with pytest.raises(ValueError, match="non-negative"):
+        C.mixture_sample(df, {"s0": -0.1}, 100)
