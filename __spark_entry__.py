@@ -1120,6 +1120,21 @@ def q_embedding_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk_exact(emb, k=3, bits=6, n_tables=2, dim=64)
 
 
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss reduction (similarity.random_project):
+    64→16 dims via md5-parity Rademacher planes (salt 'rp:'), exact
+    int64 sums + one shared-literal division — the shrink-before-ANN
+    step, zero exchanges. Output exploded to (vec_id, dim_idx, y_int, y)
+    so the value hash covers every projected coordinate."""
+    emb = _read(spark, sf_dir, "embeddings")
+    proj = S.random_project(emb, out_dim=16, dim=64)
+    return proj.select(
+        "vec_id", F.posexplode("proj_q").alias("dim_idx", "y_int")
+    ).withColumn(
+        "y", F.col("y_int").cast("double") / F.lit(4000000.0)  # sqrt(16)*1e6
+    )
+
+
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: inverted lists keyed by the dominant-dimension sign
     cell, queries probe their top-2 cells. Deterministic quantizer ⇒ full
@@ -1803,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_topk": q_embedding_topk,
         "q_embedding_lsh_topk": q_embedding_lsh_topk,
         "q_embedding_lsh_exact": q_embedding_lsh_exact,
+        "q_random_projection": q_random_projection,
         "q_embedding_ivf_topk": q_embedding_ivf_topk,
         "q_kmeans": q_kmeans,
         "q_semantic_dedup": q_semantic_dedup,
@@ -2401,6 +2417,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, nbr_id, cos, CAST(rank AS INT) AS rank
             FROM ranked WHERE rank <= 3
+        """,
+        "q_random_projection": """
+            WITH e AS (
+              SELECT vec_id,
+                     generate_subscripts(embedding, 1) AS d1,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q
+              FROM embeddings
+            ),
+            signs AS (
+              SELECT j.range AS j, d.range AS d,
+                     CASE WHEN strpos('02468ace',
+                            substring(md5(concat('rp:0:', j.range, ':', d.range)), 1, 1)) > 0
+                          THEN 1 ELSE -1 END AS s
+              FROM range(0, 16) j, range(0, 64) d
+            ),
+            p AS (
+              SELECT e.vec_id, s.j, CAST(sum(s.s * e.q) AS BIGINT) AS y_int
+              FROM e JOIN signs s ON s.d = e.d1 - 1
+              GROUP BY 1, 2
+            )
+            SELECT vec_id, CAST(j AS INT) AS dim_idx, y_int,
+                   CAST(y_int AS DOUBLE) / 4000000.0 AS y
+            FROM p
         """,
         "q_embedding_lsh_exact": """
             WITH emb AS (

@@ -267,21 +267,83 @@ def embedding_near_dup_pairs(
     )
 
 
-def rademacher_planes(dim: int, bits: int, n_tables: int) -> np.ndarray:
+def rademacher_planes(dim: int, bits: int, n_tables: int, salt: str = "") -> np.ndarray:
     """±1 (Rademacher) hyperplanes from md5 parity — sign-random-projection
     LSH whose planes are PORTABLE arithmetic: sign(t,b,d) = +1 iff the
-    first hex digit of md5("t:b:d") is even. Any engine with md5 can
-    reproduce them exactly (the DuckDB oracle does), unlike the
-    float-Gaussian planes of `hyperplanes`."""
+    first hex digit of md5("salt" + "t:b:d") is even. Any engine with md5
+    can reproduce them exactly (the DuckDB oracle does), unlike the
+    float-Gaussian planes of `hyperplanes`. `salt` separates independent
+    plane families (random_project uses "rp:" so a JL projection composed
+    with LSH never silently shares planes with it)."""
     import hashlib
 
     signs = np.empty((n_tables, bits, dim), dtype=np.int64)
     for t in range(n_tables):
         for b in range(bits):
             for d in range(dim):
-                h = hashlib.md5(f"{t}:{b}:{d}".encode()).hexdigest()
+                h = hashlib.md5(f"{salt}{t}:{b}:{d}".encode()).hexdigest()
                 signs[t, b, d] = 1 if h[0] in "02468ace" else -1
     return signs
+
+
+def random_project(
+    vectors: DataFrame,
+    out_dim: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: float = 1_000_000.0,
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with Rademacher
+    planes (Achlioptas 2003's database-friendly JL variant): y_j =
+    (1/√m)·Σ_d r_{j,d}·x_d with r = ±1 from the md5-parity family
+    (salt "rp:"), so E‖y_a−y_b‖² = ‖x_a−x_b‖² and pairwise distances
+    are preserved within the JL bound — the shrink-before-ANN step a
+    100 TB embedding pipeline runs so the expensive candidate joins
+    move m≪dim doubles per row.
+
+    Exactness: inputs quantize to int64 (floor(x·scale + 0.5)); each
+    y_int_j is an exact ±1-weighted int64 sum; the double output is ONE
+    division by the shared python literal √m·scale — engine-identical,
+    so the DuckDB twin reproduces every value bit-for-bit.
+
+    Plan shape: PURE projection (m·dim multiply-adds per row inside
+    whole-stage codegen, zero exchanges, no Python). Output columns:
+    id, proj_q (array<long>, the exact integer projection), proj
+    (array<double>, y_int/√m·scale).
+    """
+    if out_dim < 1 or out_dim > dim:
+        raise ValueError("random_project: need 1 <= out_dim <= dim")
+    import math
+
+    signs = rademacher_planes(dim, out_dim, 1, salt="rp:")[0]
+    denom = math.sqrt(out_dim) * scale
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(scale) + F.lit(0.5)).cast("long"),
+    )
+    base = vectors.select(F.col(id_col), q.alias("__q"))
+    y_ints = [
+        F.aggregate(
+            F.zip_with(
+                F.col("__q"),
+                F.array(*[F.lit(int(s)) for s in signs[j]]),
+                lambda a, b: a * b.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        for j in range(out_dim)
+    ]
+    # proj derives from the proj_q COLUMN in a second select so the m·dim
+    # aggregate sums are planned once, not once per output column
+    return base.select(id_col, F.array(*y_ints).alias("proj_q")).select(
+        id_col,
+        "proj_q",
+        F.transform(
+            F.col("proj_q"), lambda v: v.cast("double") / F.lit(denom)
+        ).alias("proj"),
+    )
 
 
 def lsh_topk_exact(

@@ -1119,3 +1119,54 @@ def test_verify_payloads_flags_capability_asymmetry(spark):
         spark.createDataFrame(both, schema), spark.createDataFrame(both, schema)
     )
     assert ok.count() == 0
+
+
+# -------------------------------------------------------- random_project
+
+
+def test_random_project_matches_numpy_replica(spark):
+    import math
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(100, 64)).astype(np.float32)
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: (list(r.proj_q), list(r.proj)) for r in S.random_project(df, 16).collect()}
+    signs = S.rademacher_planes(64, 16, 1, salt="rp:")[0]
+    q = np.floor(vecs.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    yi = q @ signs.T
+    den = math.sqrt(16) * 1e6
+    for i in range(100):
+        assert out[i][0] == list(map(int, yi[i]))
+        assert out[i][1] == [v / den for v in map(int, yi[i])]
+
+
+def test_random_project_preserves_distances(spark):
+    # JL property with Rademacher planes: E||ya-yb||^2 = ||xa-xb||^2;
+    # bounds loose enough to be seed-stable (observed: mean .945, 97%
+    # of pairs within [0.4, 2.0] at m=16)
+    import math
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(200, 64)).astype(np.float32)
+    signs = S.rademacher_planes(64, 16, 1, salt="rp:")[0]
+    q = np.floor(vecs.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    proj = (q @ signs.T) / (math.sqrt(16) * 1e6)
+    d_orig = ((vecs[:, None, :].astype(np.float64) - vecs[None, :, :]) ** 2).sum(-1)
+    d_proj = ((proj[:, None, :] - proj[None, :, :]) ** 2).sum(-1)
+    iu = np.triu_indices(200, 1)
+    ratio = d_proj[iu] / d_orig[iu]
+    assert 0.85 < ratio.mean() < 1.15
+    assert ((ratio > 0.4) & (ratio < 2.0)).mean() > 0.9
+
+
+def test_random_project_plan_and_guard(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    plan = S.random_project(df, 8)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+    # the aggregate sums are planned once, not re-expanded for proj
+    assert plan.count("aggregate(") == 8
+    with pytest.raises(ValueError, match="out_dim"):
+        S.random_project(df, 65)
