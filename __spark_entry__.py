@@ -1635,6 +1635,37 @@ def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_pyramid(base, levels=5)
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (temporal.interval_join): per-event
+    activity intervals [ts, ts + 1..50 min) × a 120-window maintenance
+    lattice (6 h apart, 90 min wide), half-open overlap semantics with
+    exact int64 overlap lengths. Spark bins both sides and emits each
+    pair exactly once via the first-overlap-bin filter; the oracle is
+    DuckDB's native inequality join — two genuinely different
+    algorithms (the q_range_join posture, two-sided)."""
+    from osmcoastline_spark.functions import temporal as T
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    left = ev.select(
+        "event_id",
+        F.timestamp_micros(us).alias("lo"),
+        F.timestamp_micros(
+            us + (F.lit(1) + F.col("user_id") % 50) * F.lit(60_000_000)
+        ).alias("hi"),
+    )
+    base_us = 1704067200000000  # 2024-01-01T00:00:00Z
+    win = spark.range(120).select(
+        F.col("id").alias("win_id"),
+        F.timestamp_micros(F.lit(base_us) + F.col("id") * F.lit(21_600_000_000)).alias("lo"),
+        F.timestamp_micros(
+            F.lit(base_us) + F.col("id") * F.lit(21_600_000_000) + F.lit(5_400_000_000)
+        ).alias("hi"),
+    )
+    j = T.interval_join(left, win, bin_width_s=5400.0, prefix="w_")
+    return j.select("event_id", F.col("w_win_id").alias("win_id"), "overlap_us")
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned range join (functions/temporal.py:range_join): every click
     within the 6-hour attribution window [err.ts, err.ts + 6h) after
@@ -1844,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grid_disk": q_grid_disk,
         "q_tile_pyramid": q_tile_pyramid,
         "q_range_join": q_range_join,
+        "q_interval_join": q_interval_join,
         "q_spatial_knn": q_spatial_knn,
         "q_bm25_topk": q_bm25_topk,
     }
@@ -2714,6 +2746,23 @@ FROM base GROUP BY 1, 2, 3"""
         ),
         # binned range join vs DuckDB's native inequality join: clicks in
         # the half-open 6-hour window after a same-user error
+        # native inequality join twin (two-sided sibling of q_range_join)
+        "q_interval_join": """
+            WITH left_iv AS (
+              SELECT event_id, epoch_us(ts) AS lo,
+                     epoch_us(ts) + (1 + user_id % 50) * 60000000 AS hi
+              FROM events WHERE event_id % 10 = 0
+            ),
+            win AS (
+              SELECT t.range AS win_id,
+                     1704067200000000 + t.range * 21600000000 AS lo,
+                     1704067200000000 + t.range * 21600000000 + 5400000000 AS hi
+              FROM range(0, 120) t
+            )
+            SELECT l.event_id, CAST(w.win_id AS BIGINT) AS win_id,
+                   CAST(least(l.hi, w.hi) - greatest(l.lo, w.lo) AS BIGINT) AS overlap_us
+            FROM left_iv l JOIN win w ON l.lo < w.hi AND w.lo < l.hi
+        """,
         "q_range_join": """
 WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
 errs AS (SELECT event_id AS err_id, user_id, ts AS lo, ts + INTERVAL 6 HOUR AS hi

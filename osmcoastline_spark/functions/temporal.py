@@ -291,3 +291,97 @@ def rolling_stats(
             F.col("_ts_us") - F.lag("_ts_us").over(w_lag), F.lit(-1).cast("long")
         ).alias("gap_prev_us"),
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    on: str | None = None,
+    bin_width_s: float = 300.0,
+    prefix: str = "r_",
+    max_bins_per_interval: int = 4096,
+) -> DataFrame:
+    """Interval×interval OVERLAP join: every (left, right) pair of
+    half-open intervals with `l.lo < r.hi AND r.lo < l.hi`, optionally
+    also matching an equi key `on` — the fourth temporal operator
+    (range_join handles point-in-interval; this is its two-sided
+    sibling: sessions × outage windows, validity ranges × validity
+    ranges).
+
+    Plan: both sides explode into the bins they cover and ONE equi-join
+    on (bin[, key]) runs with the exact overlap predicate as a
+    post-filter. A raw inequality join plans as BroadcastNestedLoop /
+    CartesianProduct; the bins bound fan-in exactly like range_join's.
+    Exactly-once without a distinct pass: an overlapping pair shares
+    every bin of the overlap region, so the join would emit it once per
+    shared bin — the post-filter keeps ONLY the bin of the overlap's
+    first micro, `bin == floor(greatest(l.lo, r.lo) / w)`, a bin both
+    sides necessarily cover (l.lo <= max < min(hi) <= l.hi and
+    symmetrically), so each true pair survives exactly once.
+
+    Output: all left columns + overlap_us (exact int64 overlap length,
+    least(hi)-greatest(lo)) + right columns renamed with `prefix`.
+    Empty intervals drop (half-open); an interval covering more than
+    `max_bins_per_interval` bins fails loudly in-plan (range_join's
+    raise_error idiom).
+    """
+    w = int(bin_width_s * 1_000_000)
+    if w <= 0:
+        raise ValueError(f"bin_width_s must be > 0, got {bin_width_s}")
+
+    def binned(df: DataFrame, rename: str | None) -> DataFrame:
+        lo_us = F.unix_micros(F.col(lo_col).cast("timestamp"))
+        hi_us = F.unix_micros(F.col(hi_col).cast("timestamp"))
+        first_bin = F.floor(lo_us / F.lit(w))
+        last_bin = F.floor((hi_us - 1) / F.lit(w))
+        nbins = last_bin - first_bin + 1
+        cols = (
+            [F.col(c).alias(rename + c) for c in df.columns]
+            if rename
+            else [F.col(c) for c in df.columns]
+        )
+        return df.filter(hi_us > lo_us).select(
+            *cols,
+            F.explode(
+                F.sequence(
+                    first_bin,
+                    F.when(
+                        nbins > max_bins_per_interval,
+                        F.raise_error(
+                            F.concat(
+                                F.lit(
+                                    f"interval_join: interval covers > "
+                                    f"{max_bins_per_interval} bins at "
+                                    f"bin_width_s={bin_width_s}; widen the bin "
+                                    f"or raise max_bins_per_interval (lo="
+                                ),
+                                F.col(lo_col).cast("string"),
+                                F.lit(")"),
+                            )
+                        ).cast("long"),
+                    ).otherwise(last_bin),
+                )
+            ).alias("_bin"),
+        )
+
+    lt = binned(left, None)
+    rt = binned(right, prefix)
+    cond = lt["_bin"] == rt["_bin"]
+    if on is not None:
+        cond = cond & (lt[on] == rt[prefix + on])
+    llo = F.unix_micros(F.col(lo_col).cast("timestamp"))
+    lhi = F.unix_micros(F.col(hi_col).cast("timestamp"))
+    rlo = F.unix_micros(F.col(prefix + lo_col).cast("timestamp"))
+    rhi = F.unix_micros(F.col(prefix + hi_col).cast("timestamp"))
+    return (
+        lt.join(rt, cond, "inner")
+        .filter(
+            (llo < rhi)
+            & (rlo < lhi)
+            & (lt["_bin"] == F.floor(F.greatest(llo, rlo) / F.lit(w)))
+        )
+        .withColumn("overlap_us", F.least(lhi, rhi) - F.greatest(llo, rlo))
+        .drop("_bin")
+    )

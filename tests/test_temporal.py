@@ -372,3 +372,81 @@ def test_rolling_stats_single_exchange(spark):
     )
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
+
+
+# ---------------------------------------------------------- interval_join
+
+
+def _mk_iv(spark, rows, cols="iid long, lo timestamp, hi timestamp"):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    to_ts = lambda m: base + dt.timedelta(minutes=m)  # noqa: E731
+    return spark.createDataFrame(
+        [(i, to_ts(a), to_ts(b)) for i, a, b in rows], cols
+    )
+
+
+def test_interval_join_hand_and_halfopen(spark):
+    from osmcoastline_spark.functions.temporal import interval_join
+
+    left = _mk_iv(spark, [(1, 0, 10), (2, 20, 30), (3, 40, 40)])  # 3 empty
+    right = _mk_iv(spark, [(10, 5, 8), (11, 10, 20), (12, 25, 60)],
+                   "rid long, lo timestamp, hi timestamp")
+    out = interval_join(left, right, bin_width_s=600)
+    got = {(r.iid, r.r_rid, r.overlap_us) for r in out.collect()}
+    # 1x10 overlap [5,8); 1x11 touch at 10 -> NO (half-open);
+    # 2x12 overlap [25,30); empty interval 3 drops
+    assert got == {(1, 10, 3 * 60_000_000), (2, 12, 5 * 60_000_000)}
+
+
+def test_interval_join_matches_bruteforce(spark):
+    import random
+
+    from osmcoastline_spark.functions.temporal import interval_join
+
+    rng = random.Random(3)
+    lrows = [(i, m := rng.randrange(0, 3000), m + rng.randrange(1, 120)) for i in range(120)]
+    rrows = [(i, m := rng.randrange(0, 3000), m + rng.randrange(1, 200)) for i in range(80)]
+    left = _mk_iv(spark, lrows)
+    right = _mk_iv(spark, rrows, "rid long, lo timestamp, hi timestamp")
+    # deliberately small bins so intervals span many bins (dup-risk path)
+    out = interval_join(left, right, bin_width_s=60 * 7)
+    got = sorted((r.iid, r.r_rid, r.overlap_us) for r in out.collect())
+    want = sorted(
+        (li, ri, (min(lh, rh) - max(ll, rl)) * 60_000_000)
+        for li, ll, lh in lrows
+        for ri, rl, rh in rrows
+        if ll < rh and rl < lh
+    )
+    assert got == want  # equality implies exactly-once: no dup pairs
+
+
+def test_interval_join_keyed_plan_and_cap(spark):
+    import datetime as dt
+
+    import pytest as _pt
+
+    from osmcoastline_spark.functions.temporal import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, "a", base, base + dt.timedelta(minutes=10)),
+         (2, "b", base, base + dt.timedelta(minutes=10))],
+        "iid long, k string, lo timestamp, hi timestamp",
+    )
+    right = spark.createDataFrame(
+        [(9, "a", base + dt.timedelta(minutes=5), base + dt.timedelta(minutes=15))],
+        "rid long, k string, lo timestamp, hi timestamp",
+    )
+    out = interval_join(left, right, on="k", bin_width_s=600)
+    rows = out.collect()
+    assert [(r.iid, r.r_rid) for r in rows] == [(1, 9)]  # key blocks iid=2
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    wide = spark.createDataFrame(
+        [(1, base, base + dt.timedelta(days=400))],
+        "iid long, lo timestamp, hi timestamp",
+    )
+    with _pt.raises(Exception, match="covers >"):
+        interval_join(wide, right.drop("k"), bin_width_s=1.0).collect()
