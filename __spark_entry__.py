@@ -909,6 +909,31 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CL.line_dedup(docs, sep=" ")
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (clean.corpus_diff): the 'new' snapshot is
+    derived deterministically from documents — doc_id%31==0 removed,
+    doc_id%13==0 text-mutated (changed), fresh ids doc_id+2_000_000 for
+    doc_id%37==0 (added) — so all three statuses fire. Both sides hash
+    map-side; the full-outer join moves ids + md5 only. Oracle: DuckDB
+    FULL OUTER JOIN twin."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") % 31 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 37 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return CL.corpus_diff(docs, new)
+
+
 def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 per-line quality filters (clean.c4_line_filters). Lines are
     synthesized deterministically per doc_id inside the query (the
@@ -1839,6 +1864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vocab_counts": q_vocab_counts,
         "q_duplicated_spans": q_duplicated_spans,
         "q_line_dedup": q_line_dedup,
+        "q_corpus_diff": q_corpus_diff,
         "q_c4_line_filters": q_c4_line_filters,
         "q_chunk_documents": q_chunk_documents,
         "q_curation_pipeline": q_curation_pipeline,
@@ -2363,6 +2389,28 @@ def oracle_sql() -> dict[str, str]:
         "q_vocab_counts": _VOCAB_COUNTS_SQL,
         "q_duplicated_spans": _DUPLICATED_SPANS_SQL,
         "q_line_dedup": _LINE_DEDUP_SQL,
+        "q_corpus_diff": """
+            WITH old AS (SELECT doc_id, md5(text) AS old_hash FROM documents),
+            new AS (
+              SELECT doc_id,
+                     md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS new_hash
+              FROM documents WHERE doc_id % 31 <> 0
+              UNION ALL
+              SELECT doc_id + 2000000 AS doc_id, md5(text) AS new_hash
+              FROM documents WHERE doc_id % 37 = 0
+            ),
+            j AS (
+              SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, o.old_hash, n.new_hash
+              FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+            )
+            SELECT doc_id,
+                   CASE WHEN old_hash IS NULL THEN 'added'
+                        WHEN new_hash IS NULL THEN 'removed'
+                        WHEN old_hash <> new_hash THEN 'changed' END AS status,
+                   old_hash, new_hash
+            FROM j
+            WHERE old_hash IS NULL OR new_hash IS NULL OR old_hash <> new_hash
+        """,
         "q_c4_line_filters": _C4_LINE_FILTERS_SQL,
         "q_chunk_documents": _CHUNK_DOCUMENTS_SQL,
         "q_curation_pipeline": _CURATION_PIPELINE_SQL,

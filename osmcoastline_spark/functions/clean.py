@@ -396,3 +396,43 @@ def pack_sequences(
             ).alias("straddles"),
         )
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions — the incremental-ingest
+    work list (which docs must re-enter the pipeline after a crawl
+    refresh): `added` (id only in new), `removed` (id only in old),
+    `changed` (both present, content hash differs). Unchanged docs are
+    EXCLUDED — at 100 TB the whole point is that the output is the
+    (small) delta, not the corpus.
+
+    Shape: both sides project to (id, md5) MAP-SIDE, so the full-outer
+    equi-join shuffles 8-byte ids + 32-hex hashes, never document text —
+    the text-shaped analog of segments_diff's J13 EXCEPT (reference
+    osmcoastline_segments changes layer, src/osmcoastline_segments.cpp),
+    generalized to keyed three-way status.
+
+    Output: doc_id, status, old_hash, new_hash (NULL on the absent side).
+    """
+    o = old.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("old_hash")
+    )
+    n = new.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("new_hash")
+    )
+    j = o.join(n, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select("doc_id", "status", "old_hash", "new_hash")
+    )

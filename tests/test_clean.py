@@ -313,3 +313,26 @@ def test_curation_pipeline_custom_id_col(spark):
     # and the default path still works unchanged
     out2 = curation_pipeline(docs.withColumnRenamed("my_id", "doc_id"))
     assert {r.doc_id for r in out2.collect()} == set(rows)
+
+
+def test_corpus_diff(spark):
+    import hashlib
+
+    from osmcoastline_spark.functions.clean import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (5, "e")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: (r.status, r.old_hash, r.new_hash) for r in corpus_diff(old, new).collect()}
+    h = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert got == {
+        2: ("changed", h("b"), h("B2")),
+        3: ("removed", h("c"), None),
+        4: ("removed", h("d"), None),
+        5: ("added", None, h("e")),
+    }  # unchanged doc 1 excluded
+    plan = corpus_diff(old, new)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "CartesianProduct" not in plan
