@@ -852,6 +852,28 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.mixture_sample(docs, MIX_WEIGHTS, MIX_BUDGET)
 
 
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k uniform per-group sample (curate.group_sample_k): the 5
+    md5-order-smallest docs per source — deterministic sampling without
+    replacement, skew-safe via the salted two-phase top-N, which the
+    naive-window DuckDB twin cross-checks."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return C.group_sample_k(docs, 5)
+
+
+def q_assign_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard assignment (curate.assign_shards): contiguous
+    2000-char shards over doc_id order via the two-pass distributed
+    prefix sum (range partition + local cumsum + broadcast offsets —
+    never Spark's single-task global window). The oracle is DuckDB's
+    single global window, cross-checking the distributed decomposition
+    against the definitional form."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return C.assign_shards(docs, 2000, order_cols=["doc_id"]).select(
+        "doc_id", "n_chars", "shard"
+    )
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality gates (curate.gopher_rules): length floor,
     mean-word-length band, stopword floor, language recognised — each a
@@ -1858,6 +1880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_familiarity": q_lm_familiarity,
         "q_stratified_sample": q_stratified_sample,
         "q_mixture_sample": q_mixture_sample,
+        "q_group_sample": q_group_sample,
+        "q_assign_shards": q_assign_shards,
         "q_gopher_rules": q_gopher_rules,
         "q_repetition_stats": q_repetition_stats,
         "q_decontaminate": q_decontaminate,
@@ -2383,6 +2407,25 @@ def oracle_sql() -> dict[str, str]:
         "q_lm_familiarity": _LM_FAMILIARITY_SQL,
         "q_stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "q_mixture_sample": _MIXTURE_SAMPLE_SQL,
+        # naive-window twins for the two-phase / two-pass Spark forms
+        "q_group_sample": """
+            SELECT doc_id, source, sample_rank FROM (
+              SELECT doc_id, source,
+                     CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('gsk:' || CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS INT) AS sample_rank
+              FROM documents
+            ) WHERE sample_rank <= 5
+        """,
+        "q_assign_shards": """
+            SELECT doc_id, n_chars,
+                   CAST(floor(CAST(COALESCE(sum(n_chars) OVER (
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS DOUBLE) / 2000.0) AS BIGINT) AS shard
+            FROM documents
+        """,
         "q_gopher_rules": _GOPHER_RULES_SQL,
         "q_repetition_stats": _REPETITION_SQL,
         "q_decontaminate": _DECONTAMINATE_SQL,

@@ -439,3 +439,110 @@ def mixture_sample(
         .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("__n").cast("int"))))
         .select(*out_cols, "epoch")
     )
+
+
+def group_sample_k(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "gsk",
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Exact-size uniform sample WITHOUT replacement per group — the
+    balanced-eval-set primitive (stratified_sample/mixture_sample give
+    Bernoulli RATES; this gives exactly min(k, |group|) rows per group).
+
+    Determinism/uniformity: rank rows by md5("salt:id") — a uniform
+    deterministic permutation of each group — and keep the k smallest.
+    Reproducible across engines, runs, partitionings; changing `salt`
+    redraws the sample.
+
+    Skew shape: delegates to urls.domain_topn's salted two-phase top-N
+    (bucket top-k, then re-rank the ≤ buckets·k survivors), so a hot
+    group never lands in one task and the result is bit-identical to
+    the naive single window.
+    """
+    from .urls import domain_topn
+
+    if k < 1:
+        raise ValueError("group_sample_k: k must be >= 1")
+    u = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    tagged = df.withColumn("__u", u)
+    out = domain_topn(
+        tagged, k, domain_col=group_col,
+        order_cols=[F.col("__u"), F.col(id_col)], rank_col=rank_col,
+    )
+    return out.drop("__u")
+
+
+def assign_shards(
+    df: DataFrame,
+    shard_budget: int,
+    token_col: str = "n_chars",
+    order_cols=None,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Deterministic token-budget sharding — assign every doc to an
+    output shard so consecutive shards carry ~`shard_budget` tokens each
+    (the dataset-shard writer planning step; pack_sequences packs WITHIN
+    a context window, this packs ACROSS output files).
+
+    shard = floor((cumsum(tokens) - tokens) / budget) over a global
+    deterministic order — first-fit in order, so a shard overshoots by
+    at most one document (no bin-packing heuristics, fully
+    reproducible). The running sum is exact int64.
+
+    Scale shape: a global-ORDER-BY window in Spark is a SINGLE-TASK
+    window (WindowExec warns and moves everything to one partition), so
+    this is the classic two-pass distributed prefix sum instead:
+    repartitionByRange on the order + local per-partition cumsum, then
+    per-partition totals (one tiny job, #partitions rows to the driver)
+    become broadcast offsets. The output is partition-boundary-INVARIANT
+    — cumsum over a deterministic total order does not depend on where
+    the range sampler cut it — and the branch point is localCheckpointed
+    so the two passes cannot see different samplings of the same
+    lineage.
+    """
+    from pyspark.sql.window import Window
+
+    if shard_budget < 1:
+        raise ValueError("assign_shards: shard_budget must be >= 1")
+    if order_cols is None:
+        order_cols = [c for c in df.columns if c != token_col] or [token_col]
+    oc = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    loc_w = Window.partitionBy("__pid").orderBy(*oc)
+    loc = (
+        df.repartitionByRange(*oc)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__run_local",
+            F.sum(F.col(token_col).cast("long")).over(
+                loc_w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .localCheckpoint()  # pin the range sampling before branching
+    )
+    totals = {
+        r["__pid"]: r["t"]
+        for r in loc.groupBy("__pid").agg(F.max("__run_local").alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    spark = df.sparkSession
+    off = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "__pid int, __off long"
+    )
+    run = F.col("__off") + F.col("__run_local")
+    return (
+        loc.join(F.broadcast(off), "__pid")
+        .withColumn(
+            shard_col,
+            F.floor(
+                (run - F.col(token_col).cast("long")) / F.lit(int(shard_budget))
+            ).cast("long"),
+        )
+        .drop("__pid", "__run_local", "__off")
+    )

@@ -258,3 +258,60 @@ def test_mixture_sample_plan_and_guards(spark):
         C.mixture_sample(df, {"s0": 1.0}, 0)
     with pytest.raises(ValueError, match="non-negative"):
         C.mixture_sample(df, {"s0": -0.1}, 100)
+
+
+# ---------------------------------------------- group_sample_k / shards
+
+
+def test_group_sample_k_uniform_and_exact(spark):
+    rows = [(i, f"g{i % 4}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = C.group_sample_k(df, 10).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.source, []).append((r.sample_rank, r.doc_id))
+    assert set(by_g) == {"g0", "g1", "g2", "g3"}
+    # exactly k per group, ranks 1..k, and the sample is the md5-order prefix
+    for g, lst in by_g.items():
+        assert sorted(r for r, _ in lst) == list(range(1, 11))
+        members = [i for i in range(200) if i % 4 == int(g[1])]
+        want = sorted(
+            members,
+            key=lambda i: (hashlib.md5(f"gsk:{i}".encode()).hexdigest(), i),
+        )[:10]
+        assert sorted(i for _, i in lst) == sorted(want)
+    # small group keeps everything
+    tiny = spark.createDataFrame([(1, "g"), (2, "g")], ["doc_id", "source"])
+    assert C.group_sample_k(tiny, 10).count() == 2
+    with pytest.raises(ValueError, match="k must be"):
+        C.group_sample_k(df, 0)
+
+
+def test_assign_shards_matches_sequential_and_is_partition_invariant(spark):
+    rows = [(i, 10 + (i * 7) % 90) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_chars"])
+    got = {
+        r.doc_id: r.shard
+        for r in C.assign_shards(df, 1000, order_cols=["doc_id"]).collect()
+    }
+    acc, want = 0, {}
+    for i, t in rows:  # sequential replica over the same order
+        want[i] = (acc) // 1000
+        acc += t
+    assert got == want
+    # budget property: every shard's tokens <= budget + max doc size
+    sizes = {}
+    for i, t in rows:
+        sizes[got[i]] = sizes.get(got[i], 0) + t
+    assert all(v <= 1000 + 100 for v in sizes.values())
+    assert len(sizes) > 10  # non-vacuous: many shards
+    # partition invariance: different input partitioning, same assignment
+    got2 = {
+        r.doc_id: r.shard
+        for r in C.assign_shards(
+            df.repartition(13), 1000, order_cols=["doc_id"]
+        ).collect()
+    }
+    assert got2 == got
+    with pytest.raises(ValueError, match="shard_budget"):
+        C.assign_shards(df, 0)
