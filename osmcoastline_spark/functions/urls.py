@@ -143,7 +143,8 @@ def domain_topn(
     if order_cols is None:
         order_cols = [c for c in df.columns if c != domain_col]
     order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns if c != domain_col]), F.lit(salt_buckets))
+    salt_cols = [F.col(c) for c in df.columns if c != domain_col] or [F.col(domain_col)]
+    salt = F.pmod(F.xxhash64(*salt_cols), F.lit(salt_buckets))
     w1 = Window.partitionBy(domain_col, "__salt").orderBy(*order_exprs)
     w2 = Window.partitionBy(domain_col).orderBy(*order_exprs)
     return (

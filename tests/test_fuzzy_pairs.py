@@ -115,3 +115,34 @@ def test_fuzzy_pairs_guards(spark):
         fuzzy_pairs(df, d=0)
     with pytest.raises(ValueError, match="q must be"):
         fuzzy_pairs(df, q=1)
+
+
+# hypothesis property: operator == brute force on arbitrary small corpora
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _corpus = st.lists(
+        st.text(alphabet="abcZ ", min_size=0, max_size=14),
+        min_size=0,
+        max_size=12,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(_corpus, st.integers(min_value=1, max_value=2))
+    def test_fuzzy_pairs_property(texts, d):
+        # session fixture unavailable inside @given: reuse the live session
+        from osmcoastline_spark.session import get_spark
+
+        spark = get_spark("osmcoastline-tests", master="local[4]", shuffle_partitions=8)
+        rows = list(enumerate(texts))
+        if not rows:
+            return
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            (r.id_a, r.id_b, r.dist)
+            for r in fuzzy_pairs(df, d=d, q=3, checkpoint=False).collect()
+        }
+        assert got == _brute(rows, d)
+except ImportError:  # pragma: no cover - hypothesis is baked into the env
+    pass

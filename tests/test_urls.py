@@ -81,3 +81,6 @@ def test_domain_topn_guard(spark):
     df = spark.createDataFrame([(1, "d", 1)], ["doc_id", "domain", "q"])
     with pytest.raises(ValueError, match="n must be"):
         domain_topn(df, 0)
+    # domain-only frame: the salt hash falls back to the domain column
+    only = spark.createDataFrame([("a",), ("a",), ("b",)], ["domain"])
+    assert domain_topn(only, 1).count() == 2
