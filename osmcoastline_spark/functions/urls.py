@@ -142,6 +142,11 @@ def domain_topn(
         raise ValueError("domain_topn: n must be >= 1")
     if order_cols is None:
         order_cols = [c for c in df.columns if c != domain_col]
+    if not order_cols:
+        raise ValueError(
+            "domain_topn: no deterministic order — the frame has no "
+            "non-domain column; pass order_cols explicitly"
+        )
     order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     salt_cols = [F.col(c) for c in df.columns if c != domain_col] or [F.col(domain_col)]
     salt = F.pmod(F.xxhash64(*salt_cols), F.lit(salt_buckets))

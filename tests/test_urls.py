@@ -81,6 +81,7 @@ def test_domain_topn_guard(spark):
     df = spark.createDataFrame([(1, "d", 1)], ["doc_id", "domain", "q"])
     with pytest.raises(ValueError, match="n must be"):
         domain_topn(df, 0)
-    # domain-only frame: the salt hash falls back to the domain column
+    # domain-only frame: no deterministic order exists -> loud error
     only = spark.createDataFrame([("a",), ("a",), ("b",)], ["domain"])
-    assert domain_topn(only, 1).count() == 2
+    with pytest.raises(ValueError, match="no deterministic order"):
+        domain_topn(only, 1)
