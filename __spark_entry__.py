@@ -1713,6 +1713,23 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("event_id", F.col("w_win_id").alias("win_id"), "overlap_us")
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON extraction (semistruct.json_field_stats):
+    per-event-type stats over props.$.k with malformed accounting —
+    get_json_object runs JVM-side map-side; every tenth event's blob is
+    corrupted deterministically in the query so n_bad is non-vacuous and
+    the ANSI-safe try_cast path executes. Exact int64 stats."""
+    from osmcoastline_spark.functions.semistruct import json_field_stats
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(
+            F.col("event_id") % 10 == 0, F.concat(F.lit("broken"), F.col("props"))
+        ).otherwise(F.col("props")).alias("props"),
+    )
+    return json_field_stats(ev)
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned range join (functions/temporal.py:range_join): every click
     within the 6-hour attribution window [err.ts, err.ts + 6h) after
@@ -1926,6 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tile_pyramid": q_tile_pyramid,
         "q_range_join": q_range_join,
         "q_interval_join": q_interval_join,
+        "q_json_extract": q_json_extract,
         "q_spatial_knn": q_spatial_knn,
         "q_bm25_topk": q_bm25_topk,
     }
@@ -2837,6 +2855,28 @@ FROM base GROUP BY 1, 2, 3"""
         ),
         # binned range join vs DuckDB's native inequality join: clicks in
         # the half-open 6-hour window after a same-user error
+        "q_json_extract": """
+            WITH ev AS (
+              SELECT event_type,
+                     CASE WHEN event_id % 10 = 0 THEN 'broken' || props
+                          ELSE props END AS props
+              FROM events
+            ),
+            x AS (
+              SELECT event_type,
+                     TRY_CAST(CASE WHEN json_valid(props)
+                                   THEN json_extract_string(props, '$.k')
+                              END AS BIGINT) AS v
+              FROM ev
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(v) AS BIGINT) AS n_vals,
+                   CAST(count(*) - count(v) AS BIGINT) AS n_bad,
+                   CAST(COALESCE(sum(v), 0) AS BIGINT) AS val_sum,
+                   min(v) AS val_min, max(v) AS val_max
+            FROM x GROUP BY event_type
+        """,
         # native inequality join twin (two-sided sibling of q_range_join)
         "q_interval_join": """
             WITH left_iv AS (

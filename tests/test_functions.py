@@ -1170,3 +1170,27 @@ def test_random_project_plan_and_guard(spark):
     assert plan.count("aggregate(") == 8
     with pytest.raises(ValueError, match="out_dim"):
         S.random_project(df, 65)
+
+
+# ------------------------------------------------------- json_field_stats
+
+
+def test_json_field_stats(spark):
+    from osmcoastline_spark.functions.semistruct import json_field_stats
+
+    rows = [
+        ("a", '{"k": 5}'),
+        ("a", '{"k": 7, "x": 1}'),
+        ("a", '{"j": 9}'),        # field missing -> bad
+        ("a", '{"k": "oops"}'),   # non-numeric -> bad
+        ("a", "not json {"),      # malformed -> bad
+        ("b", '{"k": -3}'),
+        ("b", None),              # NULL blob -> bad
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "props"])
+    got = {r.event_type: r for r in json_field_stats(df).collect()}
+    a, b = got["a"], got["b"]
+    assert (a.n_rows, a.n_vals, a.n_bad, a.val_sum, a.val_min, a.val_max) == (5, 2, 3, 12, 5, 7)
+    assert (b.n_rows, b.n_vals, b.n_bad, b.val_sum, b.val_min, b.val_max) == (2, 1, 1, -3, -3, -3)
+    plan = json_field_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # get_json_object is JVM-side
