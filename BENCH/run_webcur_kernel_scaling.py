@@ -49,10 +49,15 @@ spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM
 res = {}
 
 def act(df, name):
+    # row count via Observation on the SAME action — a second count()
+    # would re-run the whole (checkpoint-free) pipeline untimed and
+    # double each level's wall clock
+    from pyspark.sql import Observation
+    obs = Observation(name)
     t0 = time.time()
-    df.write.format("noop").mode("overwrite").save()
+    df.observe(obs, F.count(F.lit(1)).alias("n")).write.format("noop").mode("overwrite").save()
     dt = round(time.time() - t0, 2)
-    res[name] = [dt, df.count()]
+    res[name] = [dt, obs.get["n"]]
 
 # ---- fuzzy: unique head + common-word tail, planted ed-1 mutations ----
 head = F.substring(F.md5(F.concat(F.lit("fz:"), F.col("id").cast("string"))), 1, 8)

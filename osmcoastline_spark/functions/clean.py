@@ -419,12 +419,12 @@ def corpus_diff(
 
     Output: doc_id, status, old_hash, new_hash (NULL on the absent side).
     """
-    o = old.select(
-        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("old_hash")
-    )
-    n = new.select(
-        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("new_hash")
-    )
+    # md5(NULL) is NULL, which would misread a present-but-NULL-text doc
+    # as absent ('removed'/'added' flapping) — give NULL text a sentinel
+    # hash distinct from every md5 hex digest
+    h = lambda c: F.coalesce(F.md5(F.col(c)), F.lit("<null-text>"))  # noqa: E731
+    o = old.select(F.col(id_col).alias("doc_id"), h(text_col).alias("old_hash"))
+    n = new.select(F.col(id_col).alias("doc_id"), h(text_col).alias("new_hash"))
     j = o.join(n, "doc_id", "full_outer")
     status = (
         F.when(F.col("old_hash").isNull(), F.lit("added"))

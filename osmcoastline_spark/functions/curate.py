@@ -412,9 +412,11 @@ def mixture_sample(
         raise ValueError("mixture_sample: token_budget must be positive")
     if any(w < 0 for w in weights.values()):
         raise ValueError("mixture_sample: weights must be non-negative")
+    # sources with zero or unknown (all-NULL) token totals are dropped
+    # consistently — an ANSI divide-by-zero would otherwise kill the job
     totals = docs.groupBy(source_col).agg(
         F.sum(token_col).cast("long").alias("__tok")
-    )
+    ).filter(F.col("__tok") > 0)
     w_expr = F.lit(0.0)
     for src, w in sorted(weights.items()):
         w_expr = F.when(F.col(source_col) == src, F.lit(float(w))).otherwise(w_expr)
@@ -511,13 +513,24 @@ def assign_shards(
     if order_cols is None:
         order_cols = [c for c in df.columns if c != token_col] or [token_col]
     oc = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    # NULL tokens would silently skip the window sum (NULL shard ids) and
+    # negative ones corrupt the offsets — fail loudly in-plan instead
+    tok = F.when(
+        F.col(token_col).isNull() | (F.col(token_col) < 0),
+        F.raise_error(
+            F.concat(
+                F.lit(f"assign_shards: NULL or negative {token_col} at row "),
+                F.coalesce(oc[0].cast("string"), F.lit("?")),
+            )
+        ).cast("long"),
+    ).otherwise(F.col(token_col).cast("long"))
     loc_w = Window.partitionBy("__pid").orderBy(*oc)
     loc = (
         df.repartitionByRange(*oc)
         .withColumn("__pid", F.spark_partition_id())
         .withColumn(
             "__run_local",
-            F.sum(F.col(token_col).cast("long")).over(
+            F.sum(tok).over(
                 loc_w.rowsBetween(Window.unboundedPreceding, 0)
             ),
         )

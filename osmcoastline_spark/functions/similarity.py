@@ -318,8 +318,19 @@ def random_project(
 
     signs = rademacher_planes(dim, out_dim, 1, salt="rp:")[0]
     denom = math.sqrt(out_dim) * scale
+    # zip_with pads mismatched arrays with NULL (silent NULL projections)
+    # — validate the dimension loudly in-plan instead
+    vec_ok = F.when(
+        F.size(F.col(vec_col)) != dim,
+        F.raise_error(
+            F.concat(
+                F.lit(f"random_project: expected {dim}-dim vector, got "),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        ).cast(vectors.schema[vec_col].dataType.simpleString()),
+    ).otherwise(F.col(vec_col))
     q = F.transform(
-        F.col(vec_col),
+        vec_ok,
         lambda x: F.floor(x.cast("double") * F.lit(scale) + F.lit(0.5)).cast("long"),
     )
     base = vectors.select(F.col(id_col), q.alias("__q"))

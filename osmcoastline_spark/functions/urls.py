@@ -62,8 +62,11 @@ def canonicalize_urls(
     has_scheme = F.locate("://", base) > 0
     scheme = F.when(has_scheme, F.lower(F.substring_index(base, "://", 1))).otherwise(F.lit(""))
     rest = F.when(has_scheme, F.substring(base, F.locate("://", base) + 3, big)).otherwise(base)
-    hostport = F.lower(F.substring_index(rest, "/", 1))
-    path = F.substring(rest, F.length(hostport) + 1, big)
+    # path offset must come from the RAW host prefix: lower() can change
+    # string length for some Unicode hosts (e.g. 'İ' lowercases to 2 cps)
+    raw_hp = F.substring_index(rest, "/", 1)
+    path = F.substring(rest, F.length(raw_hp) + 1, big)
+    hostport = F.lower(raw_hp)
     # 3. default ports
     hostport = F.when(
         (scheme == "http") & hostport.endswith(":80"),
@@ -75,13 +78,11 @@ def canonicalize_urls(
     # 4. one trailing slash
     path = F.when(path.endswith("/"), F.substring(path, 1, F.length(path) - 1)).otherwise(path)
     # 5. tracking params, preserving order of survivors
-    keep_tok = lambda t: ~(  # noqa: E731
-        (t == "")
-        | t.startswith("utm_")
-        | t.startswith("fbclid=")
-        | t.startswith("gclid=")
-        | t.startswith("ref=")
-    )
+    def keep_tok(t):
+        bad = t == ""
+        for p in TRACKING_PREFIXES:
+            bad = bad | t.startswith(p)
+        return ~bad
     q2 = F.array_join(F.filter(F.split(qs, "&"), keep_tok), "&")
     canonical = F.concat(
         F.when(has_scheme, F.concat(scheme, F.lit("://"))).otherwise(F.lit("")),
@@ -107,14 +108,12 @@ def url_keep_first(
     rows that shared the URL). Agg + join back on (url, id) — the hot-
     URL-safe shape (map-side partial agg), never a window."""
     winners = df.groupBy(url_col).agg(
-        F.min(id_col).alias("__keep_id"),
+        F.min(id_col).alias(id_col),
         F.count("*").cast("long").alias("dup_count"),
     )
-    return (
-        df.join(winners, on=url_col)
-        .filter(F.col(id_col) == F.col("__keep_id"))
-        .drop("__keep_id")
-    )
+    # join on BOTH (url, id): with the id in the equi-key, a billion-fold
+    # hot URL spreads across reducers instead of landing in one task
+    return df.join(winners, on=[url_col, id_col])
 
 
 def domain_topn(

@@ -336,3 +336,13 @@ def test_corpus_diff(spark):
     }  # unchanged doc 1 excluded
     plan = corpus_diff(old, new)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "CartesianProduct" not in plan
+
+
+def test_corpus_diff_null_text(spark):
+    from osmcoastline_spark.functions.clean import corpus_diff
+
+    old = spark.createDataFrame([(1, None), (2, "x")], "doc_id long, text string")
+    new = spark.createDataFrame([(1, None), (2, None)], "doc_id long, text string")
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    # NULL==NULL text is unchanged (excluded); text->NULL is changed, not removed
+    assert got == {2: "changed"}

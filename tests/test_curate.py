@@ -315,3 +315,22 @@ def test_assign_shards_matches_sequential_and_is_partition_invariant(spark):
     assert got2 == got
     with pytest.raises(ValueError, match="shard_budget"):
         C.assign_shards(df, 0)
+
+
+def test_mixture_sample_drops_zero_token_source(spark):
+    # an all-zero-token source must drop (not ANSI-divide-by-zero the job)
+    rows = [(1, "z", 0), (2, "z", 0), (3, "a", 100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    out = C.mixture_sample(df, {"z": 1.0, "a": 1.0}, 100).collect()
+    assert {r.source for r in out} == {"a"}
+
+
+def test_assign_shards_rejects_null_and_negative_tokens(spark):
+    bad = spark.createDataFrame(
+        [(1, None), (2, 5)], "doc_id long, n_chars long"
+    )
+    with pytest.raises(Exception, match="NULL or negative"):
+        C.assign_shards(bad, 10, order_cols=["doc_id"]).collect()
+    neg = spark.createDataFrame([(1, -3)], "doc_id long, n_chars long")
+    with pytest.raises(Exception, match="NULL or negative"):
+        C.assign_shards(neg, 10, order_cols=["doc_id"]).collect()

@@ -1194,3 +1194,11 @@ def test_json_field_stats(spark):
     assert (b.n_rows, b.n_vals, b.n_bad, b.val_sum, b.val_min, b.val_max) == (2, 1, 1, -3, -3, -3)
     plan = json_field_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan  # get_json_object is JVM-side
+
+
+def test_random_project_rejects_wrong_dim(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0] * 63)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="expected 64-dim"):
+        S.random_project(df, 8, dim=64).collect()
