@@ -48,14 +48,15 @@ spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM
 
 res = {}
 
-def act(df, name):
-    # row count via Observation on the SAME action — a second count()
-    # would re-run the whole (checkpoint-free) pipeline untimed and
-    # double each level's wall clock
+def act(build, name):
+    # `build` is a THUNK: construction runs inside the timed region, so
+    # operators whose construction launches jobs (fuzzy_pairs' eager
+    # prefix checkpoint) are timed whole. Row count via Observation on
+    # the same action — a second count() would re-run the pipeline.
     from pyspark.sql import Observation
     obs = Observation(name)
     t0 = time.time()
-    df.observe(obs, F.count(F.lit(1)).alias("n")).write.format("noop").mode("overwrite").save()
+    build().observe(obs, F.count(F.lit(1)).alias("n")).write.format("noop").mode("overwrite").save()
     dt = round(time.time() - t0, 2)
     res[name] = [dt, obs.get["n"]]
 
@@ -70,7 +71,7 @@ mut = base.filter(F.col("doc_id") % 5 == 0).select(
     F.concat(F.substring("text", 1, 12), F.lit("Z"), F.substring("text", 14, 64)).alias("text"),
 )
 corpus = base.unionByName(mut).localCheckpoint(eager=True)
-act(fuzzy_pairs(corpus, d=2, q=3), "fuzzy")
+act(lambda: fuzzy_pairs(corpus, d=2, q=3), "fuzzy")
 
 # ---- urlchain -------------------------------------------------------
 n_u = rows * 5
@@ -93,7 +94,7 @@ chain = domain_topn(
     url_keep_first(canonicalize_urls(urls)), 10,
     order_cols=[F.col("n_chars").desc(), F.col("doc_id")],
 )
-act(chain, "urlchain")
+act(lambda: chain, "urlchain")
 
 # ---- mixture --------------------------------------------------------
 n_m = rows * 10
@@ -104,7 +105,7 @@ docs = spark.range(n_m).select(
 ).localCheckpoint(eager=True)
 weights = {f"s{i}": (0.3 if i < 2 else 0.05) for i in range(10)}
 tokens_total = n_m * 350  # approx; budget drives rates ~2x on s0/s1
-act(mixture_sample(docs, weights, int(tokens_total * 0.8)), "mixture")
+act(lambda: mixture_sample(docs, weights, int(tokens_total * 0.8)), "mixture")
 
 print(json.dumps({"cpus": cpus, "kernels": res}))
 spark.stop()

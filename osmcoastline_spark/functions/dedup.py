@@ -623,6 +623,14 @@ def fuzzy_pairs(
         .select("fid", "nset", "gram")
     )
     if checkpoint:
+        # EAGER by necessity: under AQE even localCheckpoint(eager=False)
+        # materializes the shuffle stages at call time (measured — 4 jobs
+        # either way), so there is no lazy variant to offer. The
+        # construction-time job is the documented price of computing the
+        # gram->df->window chain ONCE instead of once per self-join branch
+        # (the dedup_clusters / ivfpq checkpoint posture); callers
+        # composing plans lazily pass checkpoint=False and pay the double
+        # plan instead.
         prefix = prefix.localCheckpoint()
     cand = (
         prefix.alias("a")

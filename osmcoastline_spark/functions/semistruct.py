@@ -28,7 +28,10 @@ def json_field_stats(
     field — both are "bad" here by design (an un-ingestable row is an
     un-ingestable row); rows with NULL json_col count as bad too.
     """
-    group_cols = group_cols or ["event_type"]
+    group_cols = group_cols if group_cols is not None else ["event_type"]
+    if not group_cols:
+        raise ValueError("json_field_stats: group_cols must be non-empty "
+                         "(global stats: add a literal group column)")
     raw = F.get_json_object(F.col(json_col), f"$.{field}")
     v = raw.try_cast("long")  # ANSI-safe: non-numeric extract -> NULL, not error
     return (

@@ -321,11 +321,11 @@ def random_project(
     # zip_with pads mismatched arrays with NULL (silent NULL projections)
     # — validate the dimension loudly in-plan instead
     vec_ok = F.when(
-        F.size(F.col(vec_col)) != dim,
+        F.col(vec_col).isNull() | (F.size(F.col(vec_col)) != dim),
         F.raise_error(
             F.concat(
                 F.lit(f"random_project: expected {dim}-dim vector, got "),
-                F.size(F.col(vec_col)).cast("string"),
+                F.coalesce(F.size(F.col(vec_col)).cast("string"), F.lit("NULL")),
             )
         ).cast(vectors.schema[vec_col].dataType.simpleString()),
     ).otherwise(F.col(vec_col))

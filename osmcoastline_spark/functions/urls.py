@@ -112,8 +112,13 @@ def url_keep_first(
         F.count("*").cast("long").alias("dup_count"),
     )
     # join on BOTH (url, id): with the id in the equi-key, a billion-fold
-    # hot URL spreads across reducers instead of landing in one task
-    return df.join(winners, on=[url_col, id_col])
+    # hot URL spreads across reducers instead of landing in one task.
+    # dropDuplicates guards the keep-ONE contract when the input itself
+    # carries duplicate (id, url) rows (e.g. a crawl log ingested twice);
+    # dup_count still counts every input row
+    return df.join(winners, on=[url_col, id_col]).dropDuplicates(
+        [url_col, id_col]
+    )
 
 
 def domain_topn(

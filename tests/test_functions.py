@@ -1202,3 +1202,19 @@ def test_random_project_rejects_wrong_dim(spark):
     )
     with pytest.raises(Exception, match="expected 64-dim"):
         S.random_project(df, 8, dim=64).collect()
+
+
+def test_random_project_rejects_null_embedding(spark):
+    df = spark.createDataFrame(
+        [(0, None)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="expected 64-dim"):
+        S.random_project(df, 8, dim=64).collect()
+
+
+def test_json_field_stats_rejects_empty_groups(spark):
+    from osmcoastline_spark.functions.semistruct import json_field_stats
+
+    df = spark.createDataFrame([("a", "{}")], ["event_type", "props"])
+    with pytest.raises(ValueError, match="non-empty"):
+        json_field_stats(df, group_cols=[])

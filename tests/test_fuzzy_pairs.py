@@ -146,3 +146,17 @@ try:
         assert got == _brute(rows, d)
 except ImportError:  # pragma: no cover - hypothesis is baked into the env
     pass
+
+
+def test_fuzzy_pairs_lazy_optout_runs_no_job(spark):
+    # checkpoint=False is the lazy composition path: building the
+    # DataFrame must not trigger any job (the default checkpoint=True
+    # documents its construction-time job; under AQE there is no
+    # lazy checkpoint to offer — eager=False materializes stages too)
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    df = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+    fuzzy_pairs(df, checkpoint=False)  # no action
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after

@@ -85,3 +85,11 @@ def test_domain_topn_guard(spark):
     only = spark.createDataFrame([("a",), ("a",), ("b",)], ["domain"])
     with pytest.raises(ValueError, match="no deterministic order"):
         domain_topn(only, 1)
+
+
+def test_url_keep_first_duplicate_input_rows(spark):
+    # a crawl log ingested twice: winner emitted ONCE, dup_count counts all
+    rows = [(1, "u"), (1, "u"), (3, "u"), (2, "v")]
+    df = spark.createDataFrame(rows, ["doc_id", "canonical_url"])
+    got = sorted((r.doc_id, r.canonical_url, r.dup_count) for r in url_keep_first(df).collect())
+    assert got == [(1, "u", 3), (2, "v", 1)]
