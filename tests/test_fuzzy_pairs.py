@@ -78,7 +78,7 @@ def _adversarial_corpus():
 
 def test_fuzzy_pairs_matches_bruteforce(spark):
     rows = _adversarial_corpus()
-    for d, q in [(1, 3), (2, 3), (2, 4)]:
+    for d, q in [(1, 3), (2, 3), (2, 4), (3, 2), (3, 3)]:
         df = spark.createDataFrame(rows, ["doc_id", "text"])
         got = {
             (r.id_a, r.id_b, r.dist)
