@@ -42,6 +42,30 @@ def probe() -> dict:
     }
 
 
+def probe_min(k: int) -> dict:
+    """Min-of-k back-to-back samples, k >= 1 (k=1 == probe()).
+
+    Round-5-final finding: in that session's host phase the FIRST alloc
+    probe from an idle process read 0.6-1.8 s while immediate repeats
+    read 0.05-0.07 s (measured 10-probe sequence in KERNELS.md) — a
+    COLD-start fault-path artifact, not steady-state capacity: sustained
+    Spark workloads in the same phase ran the series' best bench
+    (1581 units/s) and kernel harness brackets flipped healthy mid-run
+    under load. A single cold probe therefore OVER-reports degradation
+    for warm workloads; min-of-k measures the warm fault path a running
+    JVM actually sees. k is caller-chosen via SPARK_GRAFT_PROBE_MIN_K in
+    gate_or_abort (default 1 — the conservative historical gate), and
+    every sample is recorded so the cold reading stays visible."""
+    samples = [probe() for _ in range(max(k, 1))]
+    best = min(samples, key=lambda p: p["alloc192MB_s"])
+    return {
+        "alloc192MB_s": best["alloc192MB_s"],
+        "cpu3M_s": min(p["cpu3M_s"] for p in samples),
+        "healthy": best["healthy"],
+        "samples": [p["alloc192MB_s"] for p in samples],
+    }
+
+
 def gate_or_abort(probes: list, attempts: dict) -> None:
     """Probe-bracket gate shared by the kernel harnesses (the single
     implementation, so the degradation policy cannot silently diverge):
@@ -56,7 +80,8 @@ def gate_or_abort(probes: list, attempts: dict) -> None:
     import json
     import os
 
-    p = probe()
+    k = int(os.environ.get("SPARK_GRAFT_PROBE_MIN_K", "1"))
+    p = probe_min(k) if k > 1 else probe()
     probes.append(p)
     if not p["healthy"] and not os.environ.get("SPARK_GRAFT_ALLOW_DEGRADED"):
         print(json.dumps({

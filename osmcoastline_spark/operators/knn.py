@@ -66,6 +66,7 @@ def knn_join(
     site_id: str = "site_id",
     x: str = "lon",
     y: str = "lat",
+    strategy: str = "window",
 ) -> DataFrame:
     """For every row of `points`, the `k` nearest rows of `sites` within
     Euclidean (planar-degree) distance `radius`, ties broken by `site_id`.
@@ -143,6 +144,31 @@ def knn_join(
     # would re-shuffle the full candidate set (|points| × candidates rows,
     # the largest frame in the plan) purely to regroup rows that are
     # already co-located. tests/test_knn.py pins the exchange count.
+    if strategy == "agg":
+        # Same distribution argument as the window below — groupBy
+        # (_cell, _pid) is satisfied by the join's _cell hash partitioning
+        # (grouping keys ⊇ partitioning exprs), so the aggregate adds ZERO
+        # exchange — but it replaces the window's whole-partition SORT
+        # (16M-row sorter over the largest frame in the plan) with a hash
+        # aggregate + an in-row array_sort of each point's own bounded
+        # candidate list. array_sort on struct(_d2, _sid) orders by d2
+        # then site id — byte-identical output to the window variant
+        # (pinned by test_knn_agg_strategy_matches_window).
+        agg = cand.groupBy("_cell", "_pid").agg(
+            F.collect_list(F.struct("_d2", "_sid")).alias("_c")
+        )
+        top = F.slice(F.array_sort("_c"), 1, k)
+        return (
+            agg.select("_pid", F.posexplode(top).alias("_pos", "_s"))
+            .select(
+                F.col("_pid").alias(point_id),
+                F.col("_s._sid").alias(site_id),
+                F.col("_s._d2").alias("d2"),
+                (F.col("_pos") + 1).cast("long").alias("rnk"),
+            )
+        )
+    if strategy != "window":
+        raise ValueError(f"strategy must be 'window' or 'agg', got {strategy!r}")
     w = Window.partitionBy("_cell", "_pid").orderBy(
         F.col("_d2").asc(), F.col("_sid").asc()
     )

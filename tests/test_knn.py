@@ -193,3 +193,26 @@ def test_knn_covering_grid_matches_brute_force(spark, radius, cell_deg, k, exten
     b = sorted(map(tuple, ref.collect()))
     assert a == b
     assert len(a) > 0  # non-vacuous for every config
+
+
+def test_knn_agg_strategy_matches_window(spark):
+    import random
+
+    from osmcoastline_spark.operators.knn import knn_join
+
+    rng = random.Random(4)
+    pts = spark.createDataFrame(
+        [(i, rng.uniform(0, 10), rng.uniform(0, 10)) for i in range(300)],
+        ["point_id", "lon", "lat"],
+    )
+    sites = spark.createDataFrame(
+        [(i, rng.uniform(0, 10), rng.uniform(0, 10)) for i in range(120)],
+        ["site_id", "lon", "lat"],
+    )
+    kw = dict(k=3, radius=2.0, cell_deg=2.0)
+    a = sorted(map(tuple, knn_join(pts, sites, **kw).collect()))
+    b = sorted(map(tuple, knn_join(pts, sites, strategy="agg", **kw).collect()))
+    assert a == b and len(a) > 100
+    # the agg variant must stay exchange-free past the join, like the window
+    plan = knn_join(pts, sites, strategy="agg", **kw)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2  # one per join input, nothing after
