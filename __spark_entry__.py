@@ -128,6 +128,33 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _rowcount(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Exact table row count from the parquet FOOTER metadata (driver-side,
+    ~1 ms) instead of a Spark count() job (~0.2 s of scheduling floor per
+    call — round-6 measurement). Several queries only need the count to
+    SIZE their derived id range; the value is identical to count() by the
+    parquet spec (footers carry exact row counts). Falls back to the Spark
+    job for any layout pyarrow can't read."""
+    import glob
+
+    try:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isdir(path):
+            files = sorted(
+                f
+                for f in glob.glob(os.path.join(path, "*.parquet"))
+                if not os.path.basename(f).startswith(("_", "."))
+            )
+            if not files:
+                raise FileNotFoundError(path)
+            return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return _read(spark, sf_dir, name).count()
+
+
 def _node_cells(nodes: DataFrame, n: int) -> DataFrame:
     """(tx, ty) n×n world-grid cell of every node, edge-clamped — the
     shared projection for the cell-index queries (tile_grid, vectorize,
@@ -296,7 +323,7 @@ def q_ring_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     npoints = 2s+1.
     """
     part = _read(spark, sf_dir, "part")
-    n_part = part.count()
+    n_part = _rowcount(spark, sf_dir, "part")
     R = max(n_part // 2, 8)
     # derive ids from the ACTUAL part keys, not spark.range: both engines
     # must see the same id set whatever base the keys start at (the driver
@@ -363,7 +390,7 @@ def q_segment_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection arithmetic, vs the same formula in SQL over an H×V
     crossing grid."""
     part = _read(spark, sf_dir, "part")
-    n = part.count()
+    n = _rowcount(spark, sf_dir, "part")
     H = max(int(n**0.5), 4)
     # derive ids from the ACTUAL part keys, not spark.range: both engines
     # must see the same id set whatever base the keys start at (the driver
@@ -582,7 +609,7 @@ def q_gap_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmcoastline_spark.operators.close import close_rings
 
     part = _read(spark, sf_dir, "part")
-    n_part = part.count()
+    n_part = _rowcount(spark, sf_dir, "part")
     R = max(min(n_part, 5000) // 2, 8)
     # derive ids from the ACTUAL part keys, not spark.range: both engines
     # must see the same id set whatever base the keys start at (the driver
@@ -635,7 +662,7 @@ def q_questionable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmcoastline_spark.operators.questionable import questionable_rings
 
     part = _read(spark, sf_dir, "part")
-    n_part = part.count()
+    n_part = _rowcount(spark, sf_dir, "part")
     R = max(min(n_part, 20000) // 2, 8)
     # derive ids from the ACTUAL part keys, not spark.range: both engines
     # must see the same id set whatever base the keys start at (the driver
@@ -1444,7 +1471,7 @@ def q_water_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     part = _read(spark, sf_dir, "part")
-    n_part = part.count()
+    n_part = _rowcount(spark, sf_dir, "part")
     R = min(max(n_part // 50, 8), 40)
     # derive r from the ACTUAL part keys (not spark.range) so both engines
     # see the same id set whatever base the key starts at (round-4 review:

@@ -45,7 +45,23 @@ def brute_force_topk(
     vectors: DataFrame, queries: DataFrame, k: int = 5,
     vec_col: str = "embedding", id_col: str = "vec_id",
 ) -> DataFrame:
-    """Exact top-k neighbors per query (excluding self)."""
+    """Exact top-k neighbors per query (excluding self).
+
+    The cosine kernel runs as an Arrow batch (mapInPandas) with a
+    SEQUENTIAL per-dimension float64 fold vectorized ACROSS pairs:
+    `acc += a[:, d] * b[:, d]` for d = 0..dim-1 performs, per pair, the
+    exact same left-fold `((0 + x0·y0) + x1·y1) + …` that the Catalyst
+    `F.aggregate(zip_with(...))` twin (`cosine()` above) evaluates — so
+    dot, norms, division and the final round are bit-identical to the
+    definitional form, while the 5 interpreted higher-order aggregates
+    per pair (measured ~2 s for 40k pairs at sf0.1) become dim fused
+    numpy ops per batch (~0.6 s). Requires every vector in a table to
+    have the same length (np.stack loud-fails on ragged input, where the
+    HOF twin would emit NULL-propagated scores).
+    """
+    import numpy as np
+    import pandas as pd
+
     ok = F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
     v = vectors.filter(ok).select(
         F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec")
@@ -53,11 +69,39 @@ def brute_force_topk(
     q = queries.filter(ok).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    scored = (
-        q.crossJoin(v)
-        .filter(F.col("query_id") != F.col("nbr_id"))
-        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 6))
-    )
+    pairs = q.crossJoin(v).filter(F.col("query_id") != F.col("nbr_id"))
+    id_type = dict(pairs.dtypes)["query_id"]
+
+    def cos_batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"],
+                        "nbr_id": pdf["nbr_id"],
+                        "cos": np.empty(0, dtype=np.float64),
+                    }
+                )
+                continue
+            qm = np.stack(pdf["q_vec"].to_numpy()).astype(np.float64)
+            nm = np.stack(pdf["nbr_vec"].to_numpy()).astype(np.float64)
+            n = len(pdf)
+            dot = np.zeros(n)
+            qn = np.zeros(n)
+            nn = np.zeros(n)
+            for d in range(qm.shape[1]):  # sequential fold == HOF order
+                dot += qm[:, d] * nm[:, d]
+                qn += qm[:, d] * qm[:, d]
+                nn += nm[:, d] * nm[:, d]
+            norm = np.sqrt(qn) * np.sqrt(nn)
+            cos = np.where(norm > 0.0, dot / np.where(norm > 0.0, norm, 1.0), 0.0)
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"], "nbr_id": pdf["nbr_id"], "cos": cos}
+            )
+
+    scored = pairs.mapInPandas(
+        cos_batches, f"query_id {id_type}, nbr_id {id_type}, cos double"
+    ).withColumn("cos", F.round("cos", 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

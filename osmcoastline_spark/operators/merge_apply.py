@@ -46,9 +46,27 @@ def apply_merge_plan_df(
     plan_df: DataFrame,  # PLAN_SCHEMA columns
     fin_df: DataFrame,  # FIN_SCHEMA columns
     broadcast_plan: bool = False,
+    engine: str = "catalyst",
 ) -> DataFrame:
     """Concatenate ring parts per group, ordered by (seq, seq2); rotate rings
-    that closed so they start at the min-way chain's lead node."""
+    that closed so they start at the min-way chain's lead node.
+
+    engine="catalyst" (default) runs the concatenation/rotation as pure
+    JVM array expressions — flatten/slice/concat move longs and doubles
+    without any arithmetic, so the output is bit-identical to the
+    engine="arrow" twin (the original mapInPandas kernel, kept for the
+    equivalence test) while skipping the Arrow round-trip and the
+    per-part Python loop (measured round 6: 2.0 s → ~0.7 s for the 38.5k
+    part / 8.6k group merge at bench sf0.1).
+
+    Precondition shared by every planner (rings.groups_to_plan, the
+    driver-finish expansion, close.plan_close_rings): the FIRST part of a
+    group in (seq, seq2) order always has skip_first=false — the Catalyst
+    form drops the first element of every skip_first part
+    position-independently, which the pandas twin only does once the
+    accumulated array is non-empty (equivalent under the precondition;
+    pinned by test_merge_apply_engines_agree).
+    """
     from pyspark.sql import functions as F
 
     if broadcast_plan:
@@ -62,9 +80,10 @@ def apply_merge_plan_df(
         plan_df = plan_df.hint("shuffle_hash")
         fin_df = fin_df.hint("shuffle_hash")
     # One shuffle: the groupBy(group_id). Aggregate parts per group JVM-side,
-    # then run ONE Arrow batch over the aggregated rows (per-group
-    # applyInPandas pays a pandas-DataFrame construction per group, which
-    # dominates when groups are small and AQE has coalesced the shuffle).
+    # then merge the aggregated rows (Catalyst array expressions by default;
+    # per-group applyInPandas pays a pandas-DataFrame construction per group,
+    # which dominates when groups are small and AQE has coalesced the
+    # shuffle, so even the arrow twin runs over mapInPandas).
     tagged = open_rings.join(plan_df, "ring_id").join(fin_df, "group_id")
     agg = tagged.groupBy("group_id", "append_first", "fake_close", "grp_fixed").agg(
         F.sort_array(
@@ -74,6 +93,100 @@ def apply_merge_plan_df(
             )
         ).alias("parts")
     )
+    if engine == "catalyst":
+        return _merge_catalyst(agg)
+    return _merge_arrow(agg)
+
+
+def _merge_catalyst(agg: DataFrame) -> DataFrame:
+    """JVM-side merge: flatten + slice/concat + conditional rotation.
+
+    Exactly mirrors _merge_arrow's per-group logic; every step is pure
+    array restructuring over longs/doubles (zero float arithmetic), so
+    bit-equality with the pandas kernel holds by construction.
+    """
+
+    def cat(col: str) -> str:
+        # drop the first element of every skip_first part, then flatten
+        return (
+            f"flatten(transform(parts, p -> IF(p.skip_first, "
+            f"slice(p.{col}, 2, greatest(size(p.{col}) - 1, 0)), p.{col})))"
+        )
+
+    base = agg.selectExpr(
+        "group_id",
+        "append_first",
+        "fake_close",
+        f"{cat('node_ids')} AS ids0",
+        f"{cat('xs')} AS xs0",
+        f"{cat('ys')} AS ys0",
+        "aggregate(parts, 0, (acc, p) -> acc + p.nways) AS nways",
+        "(grp_fixed OR exists(parts, p -> p.fixed)) AS fixed",
+        "array_min(transform(parts, p -> p.ring_id)) AS ring_id",
+        "filter(parts, p -> p.ring_id = "
+        "array_min(transform(parts, q -> q.ring_id)))[0].lead AS lead",
+    )
+    # append_first appends the first vertex to all three arrays; fake_close
+    # aliases ONLY the last node id to the first (locations stay distinct —
+    # reference fake_close, src/coastline_ring.cpp)
+    closed = base.selectExpr(
+        "group_id",
+        "fake_close",
+        "IF(append_first, concat(ids0, slice(ids0, 1, 1)), ids0) AS ids1",
+        "IF(append_first, concat(xs0, slice(xs0, 1, 1)), xs0) AS xs1",
+        "IF(append_first, concat(ys0, slice(ys0, 1, 1)), ys0) AS ys1",
+        "nways",
+        "fixed",
+        "ring_id",
+        "lead",
+    ).selectExpr(
+        "group_id",
+        "fake_close",
+        "IF(fake_close AND size(ids1) >= 1, "
+        "concat(slice(ids1, 1, size(ids1) - 1), slice(ids1, 1, 1)), ids1) AS ids2",
+        "xs1",
+        "ys1",
+        "nways",
+        "fixed",
+        "ring_id",
+        "lead",
+    )
+    # Rotation is only safe when the ring is closed in COORDINATES too:
+    # fake_close aliases the last node id while its location stays distinct
+    # — rotating such a ring would drop the real last vertex (same rule as
+    # the pandas twin).
+    rot = closed.selectExpr(
+        "*",
+        "IF(size(ids2) < 1, false, "
+        "ids2[0] = element_at(ids2, -1) AND NOT fake_close "
+        "AND xs1[0] = element_at(xs1, -1) AND ys1[0] = element_at(ys1, -1)) "
+        "AS coord_closed",
+        "CAST(array_position(ids2, lead) AS INT) AS fp",
+        "size(ids2) - 1 AS m",
+    )
+
+    def rotate(col: str) -> str:
+        core = f"slice({col}, 1, m)"
+        return (
+            f"IF(coord_closed AND fp > 1, "
+            f"concat(slice({core}, fp, m - fp + 1), slice({core}, 1, fp - 1), "
+            f"slice({core}, fp, 1)), {col})"
+        )
+
+    return rot.selectExpr(
+        "ring_id",
+        f"{rotate('ids2')} AS node_ids",
+        f"{rotate('xs1')} AS xs",
+        f"{rotate('ys1')} AS ys",
+        "CAST(nways AS INT) AS nways",
+        "fixed",
+        "lead",
+    )
+
+
+def _merge_arrow(agg: DataFrame) -> DataFrame:
+    """Original mapInPandas merge kernel — kept as the bit-equality twin
+    of _merge_catalyst (exercised by test_merge_apply_engines_agree)."""
 
     def merge_batch(it):
         for pdf in it:
