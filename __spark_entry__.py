@@ -364,7 +364,10 @@ def q_ring_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("ys"),
     )
-    closed, open_ = assemble_rings(ways_loc)
+    # materialize=False: this query consumes `closed` exactly once, so the
+    # merged-rings localCheckpoint (an extra full array write + job) buys
+    # nothing — the noop/oracle action evaluates the merge once either way
+    closed, open_ = assemble_rings(ways_loc, materialize=False)
     return closed.select(
         "ring_id", "nways", F.size("node_ids").cast("int").alias("npoints")
     )

@@ -56,6 +56,11 @@ class CloseResult:
     error_lines: list  # (osm_id, error, xs, ys)
     fixed_rings: int
     unconnected_nodes: int
+    # output ring_ids (min member id per group) of groups that end CLOSED
+    # (first_id == last_id after planning) — known exactly on the driver,
+    # so downstream passes that only need "which rings changed" can skip
+    # re-deriving the set from the merged DataFrame (round-6 optimization)
+    closed_group_ids: list = field(default_factory=list)
 
 
 def plan_close_rings(endpoints: list[dict], max_distance: float) -> CloseResult:
@@ -181,10 +186,14 @@ def plan_close_rings(endpoints: list[dict], max_distance: float) -> CloseResult:
 
     plan = []
     finalize = []
+    closed_group_ids = []
     for r in rings.values():
         for seq, (orig, skip) in enumerate(r.parts):
             plan.append((orig, r.ring_id, seq, skip))
         finalize.append((r.ring_id, r.append_first, r.fake_close, r.fixed))
+        if r.closed:
+            # the merge kernel emits min(member ids) as the output ring_id
+            closed_group_ids.append(min(orig for orig, _sk in r.parts))
 
     return CloseResult(
         plan=plan,
@@ -193,6 +202,7 @@ def plan_close_rings(endpoints: list[dict], max_distance: float) -> CloseResult:
         error_lines=error_lines,
         fixed_rings=fixed_rings,
         unconnected_nodes=len(start_nodes) + len(end_nodes),
+        closed_group_ids=closed_group_ids,
     )
 
 
@@ -205,7 +215,24 @@ def close_rings(
     that are now closed have first==last node id.
     """
     spark = open_rings.sparkSession
-    n = open_rings.count()
+    # ONE endpoint pass: the old count()-then-collect() evaluated the
+    # endpoint projection twice (two driver-floor jobs); collecting first
+    # and checking len() gives the same loud-fail for one pass. The rows
+    # are endpoint-only (~60 B/ring); a pathological input beyond the cap
+    # still fails loudly BEFORE driver memory is at risk because collect()
+    # is bounded by spark.driver.maxResultSize (default 1 GB ≈ 16M
+    # endpoint rows >> the 1M cap) with its own named error.
+    rows = open_rings.select(
+        "ring_id",
+        F.element_at("node_ids", 1).alias("first_id"),
+        F.element_at("node_ids", -1).alias("last_id"),
+        F.element_at("xs", 1).alias("fx"),
+        F.element_at("ys", 1).alias("fy"),
+        F.element_at("xs", -1).alias("lx"),
+        F.element_at("ys", -1).alias("ly"),
+        "nways",
+    ).collect()
+    n = len(rows)
     if n == 0:
         return open_rings, CloseResult([], [], [], [], 0, 0)
     if n > max_driver_endpoints:
@@ -225,16 +252,7 @@ def close_rings(
             "ly": r["ly"],
             "nways": r["nways"],
         }
-        for r in open_rings.select(
-            "ring_id",
-            F.element_at("node_ids", 1).alias("first_id"),
-            F.element_at("node_ids", -1).alias("last_id"),
-            F.element_at("xs", 1).alias("fx"),
-            F.element_at("ys", 1).alias("fy"),
-            F.element_at("xs", -1).alias("lx"),
-            F.element_at("ys", -1).alias("ly"),
-            "nways",
-        ).collect()
+        for r in rows
     ]
     res = plan_close_rings(eps, max_distance)
 

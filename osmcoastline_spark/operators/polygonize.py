@@ -186,8 +186,34 @@ def polygonize(rings: DataFrame, cell_deg: float = DEFAULT_CELL_DEG) -> Polygoni
         "fixed",
     ).withColumn("area2", _area2_expr("xs", "ys")).localCheckpoint(eager=True)
 
+    # one aggregate over the fresh checkpoint decides the shape of the rest
+    # of the plan: with ZERO hole candidates (the common coastline case —
+    # islands are simple CCW rings) the containment join, the hole-in-hole
+    # check, the hole aggregation and the second full-array checkpoint all
+    # run over empty inputs, ~8 driver-floor jobs of nothing. Branching on
+    # the count produces identical output (every ring is a shell polygon
+    # with NULL hole columns and bad=false) for one small job.
+    cnt = rev.agg(
+        F.count("*").alias("nt"),
+        F.sum((F.col("area2") >= 0).cast("long")).alias("nh"),
+    ).first()
+    n_total, n_holes = int(cnt["nt"]), int(cnt["nh"] or 0)
+
     shells = rev.filter(F.col("area2") < 0)  # CW after reversal = outer
     hole_cands = rev.filter(F.col("area2") >= 0)
+
+    if n_holes == 0:
+        # hole-free fast path: all_polys is a cheap projection over the rev
+        # checkpoint (no second array write needed — downstream consumers
+        # re-read the checkpoint through a codegen filter/projection)
+        all_polys = (
+            shells.select("ring_id", "xs", "ys", "nways", "fixed", "area2")
+            .withColumn("holes_x", F.lit(None).cast("array<array<double>>"))
+            .withColumn("holes_y", F.lit(None).cast("array<array<double>>"))
+            .withColumn("hole_ring_ids", F.lit(None).cast("array<long>"))
+            .withColumn("bad", F.lit(False))
+        )
+        return _polygonize_result(spark, all_polys, n_bad=0, n_good=n_total)
 
     hole_pts = hole_cands.select(
         F.col("ring_id").alias("point_id"),
@@ -289,14 +315,20 @@ def polygonize(rings: DataFrame, cell_deg: float = DEFAULT_CELL_DEG) -> Polygoni
         .localCheckpoint(eager=True)
     )
 
-    good = all_polys.filter(~F.col("bad"))
-    bad = all_polys.filter(F.col("bad"))
     # one aggregate job for both counts (reads the fresh checkpoint)
     agg = all_polys.agg(
         F.sum(F.col("bad").cast("long")).alias("nb"), F.count("*").alias("nt")
     ).first()
     n_bad = int(agg["nb"] or 0)
     n_good = int(agg["nt"]) - n_bad
+    return _polygonize_result(spark, all_polys, n_bad=n_bad, n_good=n_good)
+
+
+def _polygonize_result(
+    spark, all_polys: DataFrame, n_bad: int, n_good: int
+) -> PolygonizeResult:
+    good = all_polys.filter(~F.col("bad"))
+    bad = all_polys.filter(F.col("bad"))
 
     # reference quirk: the 'invalid' error line is only written on the
     # multipolygon path (add_polygons_in_multi_to); a lone invalid polygon

@@ -72,12 +72,14 @@ def questionable_rings(
     nxt = spine.withColumn("nf", F.last("f", ignorenulls=True).over(w_spine)).select(
         "bucket", F.col("nf.ring_id").alias("next_ring")
     )
+    # no .distinct(): the left-anti join below is an existence check, so
+    # duplicate ids on the build side change nothing — dropping the
+    # distinct removes one exchange (round 6)
     outer_ids = (
         events.filter(F.col("kind") == 0)
         .join(F.broadcast(nxt), "bucket", "left")
         .select(F.coalesce("marked", "next_ring").alias("ring_id"))
         .dropna()
-        .distinct()
     )
 
     closed = F.element_at("node_ids", 1) == F.element_at("node_ids", -1)

@@ -175,6 +175,7 @@ def assemble_rings(
     checkpoint_every: int = 1,
     driver_threshold: int = 2_000_000,
     assume_materialized: bool = False,
+    materialize: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (closed_rings, open_rings) with schema
     ring_id, node_ids, xs, ys, nways, fixed, lead.
@@ -201,6 +202,12 @@ def assemble_rings(
     bounded at any data scale; the distributed rounds exist for inputs
     whose way count itself is huge — and they now shuffle O(chains × 32B)
     per round instead of O(total coordinates).
+
+    `materialize=False` skips the final localCheckpoint of the merged
+    rings — correct ONLY when the caller consumes a single output once
+    (e.g. the bench oracle query reads `closed` exactly one time); the
+    pipeline keeps the default because both outputs feed several
+    downstream consumers.
     """
     spark = ways_loc.sparkSession
     # one materialization of the location join; everything derives from
@@ -295,7 +302,6 @@ def assemble_rings(
 
     from osmcoastline_spark.operators.merge_apply import (
         FIN_SCHEMA,
-        PLAN_SCHEMA,
         apply_merge_plan_df,
     )
 
@@ -330,11 +336,24 @@ def assemble_rings(
     if driver_plan is not None:
         # expand the driver plan (over chain representatives) through each
         # chain's member list: outer seq = driver position, inner seq2 =
-        # member position; only the very first part keeps its first node
+        # member position; only the very first part keeps its first node.
+        # createDataFrame from a pandas frame rides the Arrow serializer
+        # (a list of tuples goes through per-row pickle — measured ~0.14 s
+        # for 38k plan rows vs ~0.03 s via Arrow at bench sf0.1).
         plan_rows, fin_rows = driver_plan
+        import pandas as _pd
+
+        repr_pdf = _pd.DataFrame(plan_rows, columns=["repr", "group_id", "seq", "skip"])
         repr_plan = F.broadcast(
             spark.createDataFrame(
-                [(r, g, s, bool(sk)) for r, g, s, sk in plan_rows],
+                _pd.DataFrame(
+                    {
+                        "repr": repr_pdf["repr"].astype("int64"),
+                        "group_id": repr_pdf["group_id"].astype("int64"),
+                        "seq": repr_pdf["seq"].astype("int32"),
+                        "rskip": repr_pdf["skip"].astype("bool"),
+                    }
+                ),
                 "repr long, group_id long, seq int, rskip boolean",
             )
         )
@@ -357,7 +376,22 @@ def assemble_rings(
                 ),
             )
         )
-        fin_parts.append(spark.createDataFrame(fin_rows, FIN_SCHEMA))
+        fin_pdf = _pd.DataFrame(
+            fin_rows, columns=["group_id", "append_first", "fake_close", "grp_fixed"]
+        )
+        fin_parts.append(
+            spark.createDataFrame(
+                _pd.DataFrame(
+                    {
+                        "group_id": fin_pdf["group_id"].astype("int64"),
+                        "append_first": fin_pdf["append_first"].astype("bool"),
+                        "fake_close": fin_pdf["fake_close"].astype("bool"),
+                        "grp_fixed": fin_pdf["grp_fixed"].astype("bool"),
+                    }
+                ),
+                FIN_SCHEMA,
+            )
+        )
     else:
         # rounds exhausted or no adjacency left: remaining chains
         # materialize as their own groups (possibly still open)
@@ -365,18 +399,28 @@ def assemble_rings(
         plan_parts.append(p)
         fin_parts.append(f)
 
-    plan_df = spark.createDataFrame([], PLAN_SCHEMA)
-    for p in plan_parts:
+    # plan_parts is never empty: the driver-finish or fallback branch above
+    # always contributes one part (possibly zero-row)
+    plan_df = plan_parts[0]
+    for p in plan_parts[1:]:
         plan_df = plan_df.unionByName(p)
-    fin_df = spark.createDataFrame([], FIN_SCHEMA)
-    for f in fin_parts:
+    fin_df = fin_parts[0]
+    for f in fin_parts[1:]:
         fin_df = fin_df.unionByName(f)
 
     # ONE distributed concatenation: arrays move through exactly one shuffle.
     # closed/open are returned as cheap FILTERS over the two checkpoints
     # (chains, merged) — re-checkpointing the union would rewrite every
-    # array a second time for no lineage benefit.
-    merged = apply_merge_plan_df(open_, plan_df, fin_df).localCheckpoint(eager=True)
+    # array a second time for no lineage benefit. The plan sides broadcast
+    # when the whole plan came from the driver finish (row count bounded by
+    # driver_threshold by construction) — that removes both plan-join
+    # exchanges, leaving the groupBy regroup as the only shuffle; plans
+    # that include distributed-round groups keep the shuffle-hash hint
+    # (their size is unbounded).
+    bcast = driver_plan is not None and not closed_groups
+    merged = apply_merge_plan_df(open_, plan_df, fin_df, broadcast_plan=bcast)
+    if materialize:
+        merged = merged.localCheckpoint(eager=True)
     closed = closed.unionByName(merged.filter(_closed()))
     open_ = merged.filter(~_closed())
     return closed, open_

@@ -125,6 +125,32 @@ def _empty(spark: SparkSession, schema):
     return spark.createDataFrame([], schema)
 
 
+# one shared driver thread for the overlapped error-category count (the
+# submit sites never queue more than one task per pipeline run)
+from concurrent.futures import ThreadPoolExecutor as _TPE
+
+_acct_pool = _TPE(max_workers=2)
+
+
+def _count_error_categories(error_points: list, error_lines: list) -> list:
+    """One pruned aggregate over both error-table union lineages: rows of
+    (kind 'p'|'l', error, count). Counting only touches the `error`
+    column, so Catalyst prunes every coordinate array out of the plan."""
+    ep = error_points[0]
+    for df in error_points[1:]:
+        ep = ep.unionByName(df)
+    el = error_lines[0]
+    for df in error_lines[1:]:
+        el = el.unionByName(df)
+    return (
+        ep.select(F.lit("p").alias("kind"), "error")
+        .unionByName(el.select(F.lit("l").alias("kind"), "error"))
+        .groupBy("kind", "error")
+        .count()
+        .collect()
+    )
+
+
 def _transform_polygons_3857(polys: DataFrame) -> DataFrame:
     """G11: closed-form WebMercator. The whole Arrow batch transforms in
     ONE numpy call per coordinate axis: ragged shell/hole arrays are
@@ -267,10 +293,13 @@ def run_pipeline(
 
     error_points = [tagged_node_errors(nodes)]
     error_lines = [_empty(spark, ERROR_LINES_SCHEMA)]
+    acct_future = None
+    acct_sig = None
 
     if preassembled is not None:
         closed, open_, pre_stats = preassembled
         res.stats.update(pre_stats)
+        n_closed_pre = None
         if opt.collect_stats:
             # a snapshot written with collect_stats=False has no stats_pre
             # (round-3 ADVICE): recompute the missing counts from the
@@ -320,10 +349,21 @@ def run_pipeline(
         else:
             cways = coastline_ways(ways)
             if opt.collect_stats:
-                res.stats["ways"] = cways.count()
-            ways_loc = ways_with_locations(
-                cways, nodes, count_missing=True
-            ).localCheckpoint(eager=True)
+                # the ways count and the location-join materialization are
+                # independent DAGs over the same checkpointed inputs — run
+                # them concurrently so the count hides inside the join's
+                # wall time instead of paying its own job floor first
+                n_ways, ways_loc = run_concurrently(
+                    cways.count,
+                    lambda: ways_with_locations(
+                        cways, nodes, count_missing=True
+                    ).localCheckpoint(eager=True),
+                )
+                res.stats["ways"] = n_ways
+            else:
+                ways_loc = ways_with_locations(
+                    cways, nodes, count_missing=True
+                ).localCheckpoint(eager=True)
         missing = ways_loc.agg(F.sum("nmiss")).first()[0] or 0
         if missing:
             res.stats["missing_locations"] = int(missing)
@@ -335,10 +375,17 @@ def run_pipeline(
 
         # R1 assembly (input already materialized — no second checkpoint)
         closed, open_ = assemble_rings(ways_loc, assume_materialized=True)
+        n_closed_pre = None
         if opt.collect_stats:
-            # two independent floor-priced count jobs — overlap them
-            n1, n2 = run_concurrently(
-                closed.filter(F.col("nways") == 1).count, open_.count
+            # three independent floor-priced count jobs — overlap them; the
+            # post-assembly closed count feeds stats["rings"] ARITHMETICALLY
+            # (closed-after-close = closed-now + antarctica + gap-close
+            # merges, all driver-known) so the later dedicated count job
+            # disappears (round 6)
+            n1, n2, n_closed_pre = run_concurrently(
+                closed.filter(F.col("nways") == 1).count,
+                open_.count,
+                closed.count,
             )
             res.stats["rings_from_single_way"] = n1
             res.stats["unconnected_nodes_before_close"] = n2 * 2
@@ -386,41 +433,64 @@ def run_pipeline(
     # G12 Antarctica
     open_, found = close_antarctica_ring(open_, opt.epsg)
     res.stats["antarctica_closed"] = found
-    newly = open_.filter(F.element_at("node_ids", 1) == F.element_at("node_ids", -1))
-    closed = closed.unionByName(newly.select(*closed.columns))
-    open_ = open_.filter(F.element_at("node_ids", 1) != F.element_at("node_ids", -1))
     # rings whose GEOMETRY is new or changed after this point (Antarctica
     # closure, gap-close merges) — the incremental post-close validity
     # pass below re-runs the self-intersection kernel only on these
-    changed_ring_ids = [newly.select("ring_id")]
+    changed_ring_ids: list = []
+    n_closed_delta = 0  # rings closed after assembly (driver-known)
+    if found:
+        n_closed_delta += 1
+        # only the Antarctica ring can have closed — skip the filter/union
+        # replumbing entirely on the (common) no-Antarctica input
+        newly = open_.filter(
+            F.element_at("node_ids", 1) == F.element_at("node_ids", -1)
+        )
+        closed = closed.unionByName(newly.select(*closed.columns))
+        open_ = open_.filter(
+            F.element_at("node_ids", 1) != F.element_at("node_ids", -1)
+        )
+        changed_ring_ids.append(newly.select("ring_id"))
 
     # R2 gap closing. Open rings ENTIRELY made of duplicated segments are
     # leftover duplicate-way artifacts — the reference orphans them via its
     # endpoint-map overwrite semantics (see invalid-duplicate-segments-1);
     # we detect them explicitly and exclude them from closing.
     if opt.close_distance > 0:
-        open_segs = ring_segments(open_)
-        dup_keys = dup_counts.drop("k")
-        per_ring = open_segs.groupBy("ring_id").agg(F.count("*").alias("ntot"))
-        dup_per_ring = (
-            open_segs.join(dup_keys, ["x1", "y1", "x2", "y2"], "left_semi")
-            .groupBy("ring_id")
-            .agg(F.count("*").alias("ndup"))
-        )
-        # tiny id set, but its lineage (global duplicate-segment groupBy +
-        # two joins) would otherwise re-execute for every consumer: the
-        # close count, the endpoint collect, the orphan semi-join and the
-        # merged checkpoint — four evaluations without this pin
-        orphan_ids = (
-            per_ring.join(dup_per_ring, "ring_id")
-            .filter(F.col("ndup") == F.col("ntot"))
-            .select("ring_id")
-            .localCheckpoint(eager=True)
-        )
-        orphans = open_.join(orphan_ids, "ring_id", "left_semi")
-        active = open_.join(orphan_ids, "ring_id", "left_anti")
+        # materialize dup_counts with ONE cheap count — if the input has no
+        # duplicate segments at all (the common healthy-data case) the
+        # whole orphan-detection branch (explode + semi-join + two groupBys
+        # + an eager checkpoint, ~5 driver-floor jobs) is provably a no-op
+        # and is skipped; the count also pre-fills the dup_counts cache
+        # that the overlap error lines read later either way
+        n_dup_keys = dup_counts.count()
+        if n_dup_keys:
+            open_segs = ring_segments(open_)
+            dup_keys = dup_counts.drop("k")
+            per_ring = open_segs.groupBy("ring_id").agg(F.count("*").alias("ntot"))
+            dup_per_ring = (
+                open_segs.join(dup_keys, ["x1", "y1", "x2", "y2"], "left_semi")
+                .groupBy("ring_id")
+                .agg(F.count("*").alias("ndup"))
+            )
+            # tiny id set, but its lineage (global duplicate-segment groupBy
+            # + two joins) would otherwise re-execute for every consumer:
+            # the close count, the endpoint collect, the orphan semi-join
+            # and the merged checkpoint — four evaluations without this pin
+            orphan_ids = (
+                per_ring.join(dup_per_ring, "ring_id")
+                .filter(F.col("ndup") == F.col("ntot"))
+                .select("ring_id")
+                .localCheckpoint(eager=True)
+            )
+            orphans = open_.join(orphan_ids, "ring_id", "left_semi")
+            active = open_.join(orphan_ids, "ring_id", "left_anti")
+        else:
+            orphans = None
+            active = open_
         merged, cres = close_rings(active, opt.close_distance)
-        merged = merged.unionByName(orphans).localCheckpoint(eager=True)
+        if orphans is not None:
+            merged = merged.unionByName(orphans)
+        merged = merged.localCheckpoint(eager=True)
         res.stats["rings_fixed"] = cres.fixed_rings
         res.stats["unconnected_nodes"] = cres.unconnected_nodes
         res.errors += cres.fixed_rings + cres.unconnected_nodes
@@ -431,9 +501,26 @@ def run_pipeline(
         now_closed = merged.filter(F.element_at("node_ids", 1) == F.element_at("node_ids", -1))
         closed = closed.unionByName(now_closed.select(*closed.columns))
         open_ = merged.filter(F.element_at("node_ids", 1) != F.element_at("node_ids", -1))
-        changed_ring_ids.append(now_closed.select("ring_id"))
+        n_closed_delta += len(cres.closed_group_ids)
+        if cres.closed_group_ids:
+            # the planner already knows exactly which output ring_ids
+            # closed — a tiny driver-built frame replaces re-deriving the
+            # set from the merged checkpoint (same ids, one less filter +
+            # distinct lineage in the validity joins below)
+            changed_ring_ids.append(
+                spark.createDataFrame(
+                    [(int(i),) for i in cres.closed_group_ids], "ring_id long"
+                )
+            )
     if opt.collect_stats:
-        res.stats["rings"] = closed.count()
+        if n_closed_pre is not None:
+            # exact arithmetic: post-close closed set = post-assembly closed
+            # set (counted concurrently with the other assembly stats) plus
+            # the driver-known closures (Antarctica + gap-close groups) —
+            # no dedicated count job
+            res.stats["rings"] = n_closed_pre + n_closed_delta
+        else:
+            res.stats["rings"] = closed.count()
     _trace("close+rings_count")
 
     routed = route_rings(closed)
@@ -451,26 +538,31 @@ def run_pipeline(
     # post-close pass at a fraction of the cost.
     si_first = None
     if opt.output_rings or opt.output_polygons != "none" or opt.output_lines:
-        # no checkpoint: the id set's lineage is two filters over already-
-        # checkpointed frames — re-evaluating it for the semi+anti join
-        # pair is cheaper than one more eager-checkpoint job on the
-        # driver's ~0.2 s/job floor
-        changed_ids = changed_ring_ids[0]
-        for df in changed_ring_ids[1:]:
-            changed_ids = changed_ids.unionByName(df)
-        changed_ids = changed_ids.distinct()
         pring = routed["polygonizable"]
-        si_pre = (
-            ipairs.filter(F.col("a_ring") == F.col("b_ring"))
-            .select(F.col("a_ring").alias("ring_id"), "x", "y")
-            .join(pring.select("ring_id"), "ring_id", "left_semi")
-            .join(changed_ids, "ring_id", "left_anti")
-        )
-        si_new = ring_self_intersections(
-            ring_segments(pring.join(changed_ids, "ring_id", "left_semi")),
-            opt.cell_deg,
-        )
-        si_points = si_pre.unionByName(si_new)
+        si_base = ipairs.filter(F.col("a_ring") == F.col("b_ring")).select(
+            F.col("a_ring").alias("ring_id"), "x", "y"
+        ).join(pring.select("ring_id"), "ring_id", "left_semi")
+        if changed_ring_ids:
+            # no checkpoint: the id set is either driver-built (gap-close
+            # groups) or a filter over a checkpointed frame (Antarctica) —
+            # re-evaluating it for the semi+anti join pair is cheaper than
+            # one more eager-checkpoint job on the driver's ~0.2 s/job floor
+            changed_ids = changed_ring_ids[0]
+            for df in changed_ring_ids[1:]:
+                changed_ids = changed_ids.unionByName(df)
+            changed_ids = changed_ids.distinct()
+            si_pre = si_base.join(changed_ids, "ring_id", "left_anti")
+            si_new = ring_self_intersections(
+                ring_segments(pring.join(changed_ids, "ring_id", "left_semi")),
+                opt.cell_deg,
+            )
+            si_points = si_pre.unionByName(si_new)
+        else:
+            # nothing closed after assembly: every polygonizable ring kept
+            # its pre-close geometry, so the pre-computed ipairs rows ARE
+            # the complete self-intersection set (same output, minus the
+            # empty incremental-kernel branch and its join/Arrow stages)
+            si_points = si_base
         if opt.output_rings:
             # GEOS IsValid is also false for a ring touching itself at a
             # POINT (repeated coordinate, e.g. two nodes at one location)
@@ -647,6 +739,17 @@ def run_pipeline(
                     error_lines.append(q.select("osm_id", "error", "xs", "ys"))
                     _trace("questionable_plan")
 
+                # error tables are COMPLETE here (split/check/water add
+                # warnings as ints, never error rows) — launch the
+                # accounting count in a driver thread so its wall time
+                # hides under the split + check_polygons actions below
+                # (round 6; the guard at the accounting site falls back to
+                # a synchronous count if a future edit appends later)
+                acct_sig = (len(error_points), len(error_lines))
+                acct_future = _acct_pool.submit(
+                    _count_error_categories, list(error_points), list(error_lines)
+                )
+
                 if opt.split_large_polygons and opt.max_points_in_polygon > 0:
                     polys = split_polygons(
                         polys,
@@ -742,21 +845,27 @@ def run_pipeline(
     el = error_lines[0]
     for df in error_lines[1:]:
         el = el.unionByName(df)
-    # single-pass warning accounting: persist + one count job per error
-    # table — the cache fills DURING the counting job, so later consumers
-    # of the error tables read the materialized partitions without paying
-    # a separate eager-checkpoint job first. The two DAGs are independent
-    # and their cost is the per-job scheduling floor, not compute, so they
-    # run CONCURRENTLY (Spark's scheduler interleaves the two driver-side
-    # job queues; measured ~2 s off the accounting span at sf0.1)
+    # single-JOB warning accounting: the exit-code contract only needs the
+    # per-category COUNTS, and counting needs only the `error` column — so
+    # one union-of-projections aggregate covers both tables (round 6;
+    # previously two concurrent per-table count jobs whose ~18 AQE stage
+    # jobs dominated the accounting span at sf0.1). The count runs BEFORE
+    # persist() is registered so Catalyst prunes the coordinate arrays out
+    # of the counting plan (no cache substitution forces a full-row
+    # materialization); the persisted error tables then fill lazily on
+    # their first real consumer (sink write) — same total work for CLI
+    # runs, array-free accounting for everyone. When the polygon branch
+    # launched the count early (overlapped with split/check), reuse its
+    # result iff no error frame was appended since.
+    if acct_future is not None and acct_sig == (len(error_points), len(error_lines)):
+        counts = acct_future.result()
+    else:
+        counts = _count_error_categories(error_points, error_lines)
+    epc = {r["error"]: r["count"] for r in counts if r["kind"] == "p"}
+    elc = {r["error"]: r["count"] for r in counts if r["kind"] == "l"}
     ep = ep.persist()
     el = el.persist()
     res.persisted += [ep, el]
-    ep_rows, el_rows = run_concurrently(
-        ep.groupBy("error").count().collect, el.groupBy("error").count().collect
-    )
-    epc = {r["error"]: r["count"] for r in ep_rows}
-    elc = {r["error"]: r["count"] for r in el_rows}
     _trace("error_accounting")
     res.stats["overlaps"] = elc.get("overlap", 0)
     res.stats["intersections"] = epc.get("intersection", 0)
