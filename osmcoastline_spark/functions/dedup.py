@@ -78,7 +78,13 @@ def _minhash_sig_struct(
     at both local[8] and local[32], identical value-hash — and the shuffle
     count drops to ZERO, the shape that matters at 100 TB (signatures
     become embarrassingly parallel; only LSH's candidate join shuffles).
+    An under-parallel input (single unsplittable file) is repartitioned
+    first so the md5-heavy signature pass uses every core (round 6,
+    util.ensure_min_parallelism; no-op on healthy multi-split inputs).
     """
+    from osmcoastline_spark.util import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(docs)
     sh = docs.select(F.col(id_col).alias("doc_id"), _shingle_array(text_col, k).alias("_sh"))
     init = F.struct(*[F.lit("g").alias(f"c{b}") for b in range(n_hashes)])
 
@@ -139,6 +145,13 @@ def minhash_lsh_pairs(
         .withColumnRenamed("pos", "lsh_band")
         .withColumnRenamed("col", "key")
     )
+    # materialize the band keys ONCE: both sides of the self-join below
+    # otherwise recompute the full signature aggregate (every md5) in
+    # their own map stages — the checkpoint holds bands×docs tiny rows
+    # (doc_id + one concat key), far smaller than the join shuffle itself,
+    # and halves the dominant signature cost (round 6: 1.12 s -> 0.49 s
+    # at sf0.1 together with the input repartition)
+    keys = keys.localCheckpoint(eager=True)
     a = keys.select(F.col("doc_id").alias("a"), "lsh_band", "key")
     b = keys.select(F.col("doc_id").alias("b"), "lsh_band", "key")
     return (
@@ -214,8 +227,13 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     object based: the 64-aggregate plan built through per-Column py4j
     calls costs ~1.2 s of driver time PER BUILD (measured round 6, ~700
     py4j round-trips), while the identical plan parsed from expression
-    strings builds in ~0.25 s. Same analyzed plan, same results.
+    strings builds in ~0.25 s. Same analyzed plan, same results. An
+    under-parallel input is repartitioned so the md5/token pass uses
+    every core (util.ensure_min_parallelism; no-op on multi-split input).
     """
+    from osmcoastline_spark.util import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(docs)
     toks = docs.selectExpr(
         f"{id_col} AS doc_id",
         f"explode(split(lower(trim({text_col})), '\\\\s+')) AS tok",

@@ -54,9 +54,20 @@ def word_like_count(text: Column) -> Column:
     return F.length(F.regexp_replace(stripped, "[^\x01]", ""))
 
 
+# the ASCII punctuation set of the classic regex class [!-/:-@\[-`{-~]
+_PUNCT_CHARS = "".join(
+    chr(i)
+    for i in (*range(33, 48), *range(58, 65), *range(91, 97), *range(123, 127))
+)
+
+
 def punct_ratio(text: Column) -> Column:
+    # count-by-removal via translate (single table-lookup pass) instead of
+    # regexp_replace with the char-class — same count for the identical
+    # ASCII set, ~2x cheaper per row (round 6); the oracle SQL twin keeps
+    # the regex formulation
     n = F.length(text)
-    p = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
+    p = n - F.length(F.translate(text, _PUNCT_CHARS, ""))
     return F.when(n == 0, F.lit(0.0)).otherwise(p.cast("double") / n.cast("double"))
 
 
@@ -171,6 +182,11 @@ def rolling_fingerprint_vec(texts: pd.Series) -> pd.Series:
 
 
 def with_text_features(docs: DataFrame, col: str = "text") -> DataFrame:
+    from osmcoastline_spark.util import ensure_min_parallelism
+
+    # single-file inputs: spread the regex/HOF feature projection and the
+    # Arrow fingerprint stage across cores (no-op on multi-split input)
+    docs = ensure_min_parallelism(docs)
     c = F.col(col)
     return (
         docs.withColumn("tokens", token_count(c))

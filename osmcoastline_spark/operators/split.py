@@ -227,6 +227,15 @@ def split_polygons(
     done_parts = [work.filter(F.col("npoints") <= max_points).withColumn("final", F.lit(True))]
     todo = work.filter(F.col("npoints") > max_points)
 
+    # levels handled INSIDE one Arrow batch per round: each distributed
+    # round pays an isEmpty probe + a mapInPandas stage + a checkpoint
+    # (~1 s of driver floor at bench scale), so recursing a few levels
+    # in-UDF divides the round count by LEVELS_PER_ROUND. Outputs are
+    # identical to one-level rounds (each level applies the same
+    # _split_one), and skew stays bounded: one task expands a polygon at
+    # most 2^LEVELS_PER_ROUND-fold before the next exchange rebalances.
+    LEVELS_PER_ROUND = 4
+
     for _ in range(max_rounds):
         if todo.isEmpty():
             break
@@ -235,7 +244,18 @@ def split_polygons(
             for pdf in it:
                 rows = []
                 for row in pdf.to_dict("records"):
-                    rows.extend(_split_one(row, expand, extent))
+                    stack = [(row, 1)]
+                    while stack:
+                        r, lvl = stack.pop()
+                        for p in _split_one(r, expand, extent):
+                            if (
+                                not p["final"]
+                                and p["npoints"] > max_points
+                                and lvl < LEVELS_PER_ROUND
+                            ):
+                                stack.append((p, lvl + 1))
+                            else:
+                                rows.append(p)
                 if rows:
                     yield pd.DataFrame(rows)
 

@@ -20,6 +20,31 @@ def run_concurrently(*thunks: Callable):
         return [f.result() for f in futures]
 
 
+def ensure_min_parallelism(df, factor: int = 2):
+    """Repartition an under-parallel input before compute-heavy narrow
+    stages (spark_optimization_guide §2.5: 'one huge unsplittable file …
+    repartition immediately after the read').
+
+    The driver testdata ships each table as ONE single-row-group parquet
+    file, so every scan is exactly one task and per-row kernels (md5
+    signatures, regex features) serialize on one core regardless of
+    cluster size. A round-robin repartition to defaultParallelism costs
+    one tiny exchange of the raw rows and parallelizes everything above
+    it. No-op when the input already has ≥ defaultParallelism/factor
+    partitions — healthy multi-file inputs at scale never pay the extra
+    shuffle. Row-set identical (repartition reorders, never changes rows;
+    sort-before-repartition keeps the placement deterministic)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if cur * factor <= target:
+        return df.repartition(target)
+    return df
+
+
 def aslist(v):
     """None/NaN → []; ndarray/list → list (Arrow hands nested arrays as
     numpy objects whose truthiness is ambiguous). Shared by every
