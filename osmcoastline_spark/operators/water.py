@@ -267,7 +267,7 @@ def water_polygons(
                 (F.col("cell") / CELL_STRIDE).cast("long").alias("tx"),
                 (F.col("cell") % CELL_STRIDE).alias("ty"),
             )
-            rects = vectorize_cells(cells)
+            rects = vectorize_cells(cells, width=nx)
             minx = F.col("x1") * cell + F.lit(x0)
             miny = F.col("y1") * cell + F.lit(y0)
             maxx = (F.col("x2") + 1) * cell + F.lit(x0)

@@ -65,12 +65,44 @@ def test_vectorize_partition_property_and_dups(spark):
 
 
 def test_vectorize_plan_shape(spark):
-    # exactly the 2 documented exchanges (row key, then run span);
-    # no Python nodes
+    # with a known width within one chunk: exactly the 2 documented
+    # exchanges (chunked row key — one level — then run span); no Python
+    # nodes. The window partition (y, chunk) is reused by the run groupBy.
     df = _cells_df(spark, [(0, 0), (1, 0)])
-    plan = vectorize_cells(df)._jdf.queryExecution().executedPlan().toString()
+    plan = (
+        vectorize_cells(df, width=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert plan.count("Exchange") == 2, plan
     assert "Python" not in plan and "InPandas" not in plan
+
+
+def test_vectorize_chunked_matches_flat(spark):
+    """The hierarchical (bounded-partition) merge must emit EXACTLY the
+    flat scanline's rectangles — exercised with a tiny chunk so runs
+    cross multiple chunk edges and every level does real work."""
+    import random
+
+    rng = random.Random(11)
+    pts = set()
+    for y in range(6):
+        xpos = 0
+        while xpos < 64:
+            run = rng.randint(1, 9)
+            for i in range(run):
+                if xpos + i < 64:  # honor the width=64 contract below
+                    pts.add((xpos + i, y))
+            xpos += run + rng.randint(1, 3)
+    # full-width row: one run crossing every chunk boundary
+    pts |= {(x, 6) for x in range(64)}
+    df = _cells_df(spark, sorted(pts), dup=True)
+    flat = _rects(vectorize_cells(df, width=64, chunk=128))  # single window
+    for chunk, width in ((4, 64), (4, None), (8, None)):
+        got = _rects(vectorize_cells(df, chunk=chunk, width=width))
+        assert got == flat, (chunk, width)
+    assert _covered(flat) == pts
 
 
 def _compact_ref(pts, levels):
