@@ -418,16 +418,17 @@ def run_pipeline(
     # min member) and adds closure segments, so pre-close ids would both
     # miss new self-crossings and name rings that no longer exist
     # (round-3 ADVICE fix).
-    ipairs = intersection_pairs(segs, opt.cell_deg).localCheckpoint(eager=True)
-    _trace("ipairs")
-    isects = ipairs.select(
-        F.lit(0).cast("long").alias("osm_id"),
-        F.lit("intersection").alias("error"),
-        "x",
-        "y",
+    # the checkpoint (cell-binned self-join + exact Arrow kernel — the
+    # longest independent computation in this phase) runs on a driver
+    # thread UNDER the Antarctica/gap-close block below, which only needs
+    # segs/dup_counts; the result is joined right before its first
+    # consumer. The 'intersection' error points slot into the error list
+    # at this position (recorded index) so union order is unchanged.
+    ipairs_future = _acct_pool.submit(
+        lambda: intersection_pairs(segs, opt.cell_deg).localCheckpoint(eager=True)
     )
     error_lines.append(overlaps)
-    error_points.append(isects)
+    isects_pos = len(error_points)
     res.tables["segments"] = segs
 
     # G12 Antarctica
@@ -522,6 +523,20 @@ def run_pipeline(
         else:
             res.stats["rings"] = closed.count()
     _trace("close+rings_count")
+
+    # join the background intersection checkpoint (launched above) and
+    # slot its error points into their original union position
+    ipairs = ipairs_future.result()
+    error_points.insert(
+        isects_pos,
+        ipairs.select(
+            F.lit(0).cast("long").alias("osm_id"),
+            F.lit("intersection").alias("error"),
+            "x",
+            "y",
+        ),
+    )
+    _trace("ipairs_join")
 
     routed = route_rings(closed)
 
