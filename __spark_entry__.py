@@ -366,8 +366,12 @@ def q_ring_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # materialize=False: this query consumes `closed` exactly once, so the
     # merged-rings localCheckpoint (an extra full array write + job) buys
-    # nothing — the noop/oracle action evaluates the merge once either way
-    closed, open_ = assemble_rings(ways_loc, materialize=False)
+    # nothing — the noop/oracle action evaluates the merge once either way.
+    # max_chains_hint: each ring contributes s = (r%7)+1 <= 7 ways and
+    # chains are one-per-way, so 7*R provably bounds the chain count.
+    closed, open_ = assemble_rings(
+        ways_loc, materialize=False, max_chains_hint=7 * R
+    )
     return closed.select(
         "ring_id", "nways", F.size("node_ids").cast("int").alias("npoints")
     )

@@ -176,6 +176,7 @@ def assemble_rings(
     driver_threshold: int = 2_000_000,
     assume_materialized: bool = False,
     materialize: bool = True,
+    max_chains_hint: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (closed_rings, open_rings) with schema
     ring_id, node_ids, xs, ys, nways, fixed, lead.
@@ -208,6 +209,12 @@ def assemble_rings(
     (e.g. the bench oracle query reads `closed` exactly one time); the
     pipeline keeps the default because both outputs feed several
     downstream consumers.
+
+    `max_chains_hint` is an optional TRUE upper bound on the chain count
+    (one chain per input way, so the input's way-row count qualifies);
+    when it proves the driver finish applies, round 0 skips its count
+    job. A hint that is not actually an upper bound risks an oversized
+    driver transfer — callers must only pass provable bounds.
     """
     spark = ways_loc.sparkSession
     # one materialization of the location join; everything derives from
@@ -236,15 +243,29 @@ def assemble_rings(
     closed_groups: list[DataFrame] = []  # (ring_id, members) closed mid-rounds
     driver_plan = None
 
+    # a caller-supplied TRUE upper bound on the chain count (chains ≤ input
+    # way rows, one chain per way) below driver_threshold proves round 0
+    # goes straight to the driver finish — skip its count job and decide
+    # emptiness from the fetched frame itself (round 6: one less full pass
+    # over the chain projection per assembly)
+    hint_ok = (
+        max_chains_hint is not None and max_chains_hint <= driver_threshold
+    )
     for rnd in range(max_rounds):
-        n_open = ep.count()
-        if n_open == 0:
-            break
-        if n_open <= driver_threshold:
+        if hint_ok and rnd == 0:
+            n_open = None
+        else:
+            n_open = ep.count()
+            if n_open == 0:
+                break
+        if n_open is None or n_open <= driver_threshold:
             # Arrow toPandas, not collect(): py4j row materialization is
             # ~10× slower at the default threshold and dominates at a
             # raised one; the bound on this transfer is driver_threshold
+            # (or the caller's hint, whichever applies)
             pdf = ep.select("ring_id", "first_node", "last_node").toPandas()
+            if len(pdf) == 0:
+                break
             eps = list(
                 zip(
                     pdf["ring_id"].tolist(),

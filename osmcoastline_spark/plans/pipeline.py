@@ -373,8 +373,15 @@ def run_pipeline(
         ways_loc = ways_loc.drop("nmiss")
         _trace("locations")
 
-        # R1 assembly (input already materialized — no second checkpoint)
-        closed, open_ = assemble_rings(ways_loc, assume_materialized=True)
+        # R1 assembly (input already materialized — no second checkpoint).
+        # The ways count — when collected — is an exact upper bound on the
+        # chain count (one chain per way), letting assembly skip its
+        # round-0 count job whenever the driver finish provably applies.
+        closed, open_ = assemble_rings(
+            ways_loc,
+            assume_materialized=True,
+            max_chains_hint=res.stats.get("ways") if opt.collect_stats else None,
+        )
         n_closed_pre = None
         if opt.collect_stats:
             # three independent floor-priced count jobs — overlap them; the
