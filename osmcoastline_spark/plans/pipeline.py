@@ -438,8 +438,16 @@ def run_pipeline(
     isects_pos = len(error_points)
     res.tables["segments"] = segs
 
-    # G12 Antarctica
-    open_, found = close_antarctica_ring(open_, opt.epsg)
+    # G12 Antarctica — its detection aggregate and the duplicate-segment
+    # count the gap-close block needs are independent single jobs over
+    # already-checkpointed frames: overlap them (guide §2.6)
+    if opt.close_distance > 0:
+        (open_, found), n_dup_keys = run_concurrently(
+            lambda: close_antarctica_ring(open_, opt.epsg), dup_counts.count
+        )
+    else:
+        open_, found = close_antarctica_ring(open_, opt.epsg)
+        n_dup_keys = None
     res.stats["antarctica_closed"] = found
     # rings whose GEOMETRY is new or changed after this point (Antarctica
     # closure, gap-close merges) — the incremental post-close validity
@@ -464,13 +472,13 @@ def run_pipeline(
     # endpoint-map overwrite semantics (see invalid-duplicate-segments-1);
     # we detect them explicitly and exclude them from closing.
     if opt.close_distance > 0:
-        # materialize dup_counts with ONE cheap count — if the input has no
-        # duplicate segments at all (the common healthy-data case) the
-        # whole orphan-detection branch (explode + semi-join + two groupBys
-        # + an eager checkpoint, ~5 driver-floor jobs) is provably a no-op
-        # and is skipped; the count also pre-fills the dup_counts cache
-        # that the overlap error lines read later either way
-        n_dup_keys = dup_counts.count()
+        # n_dup_keys was materialized concurrently with the Antarctica
+        # aggregate above — if the input has no duplicate segments at all
+        # (the common healthy-data case) the whole orphan-detection branch
+        # (explode + semi-join + two groupBys + an eager checkpoint, ~5
+        # driver-floor jobs) is provably a no-op and is skipped; the count
+        # also pre-fills the dup_counts cache that the overlap error lines
+        # read later either way
         if n_dup_keys:
             open_segs = ring_segments(open_)
             dup_keys = dup_counts.drop("k")
@@ -607,15 +615,19 @@ def run_pipeline(
                 .select("ring_id", "x", "y")
             )
             si_points = si_points.unionByName(dup_pts)
-        si_first = (
-            si_points.groupBy("ring_id")
-            .agg(F.min(F.struct("x", "y")).alias("p"))
-        )
         if opt.output_rings:
-            # 3 consumers in rings mode (error points, rings.valid, triage)
-            # — pin it; in polygons-only mode the single triage consumer
-            # doesn't justify a checkpoint job
-            si_first = si_first.localCheckpoint(eager=True)
+            # rings mode needs one (min x, y) crossing POINT per invalid
+            # ring for the error table — build the per-ring min aggregate
+            # and pin it (3 consumers: error points, rings.valid, triage)
+            si_first = si_points.groupBy("ring_id").agg(
+                F.min(F.struct("x", "y")).alias("p")
+            ).localCheckpoint(eager=True)
+            crossing_ids = si_first.select("ring_id")
+        else:
+            # polygons-only: the triage consumes only the ID SET of
+            # crossing rings (it dedups internally) — skip the min-point
+            # groupBy exchange entirely (round 6)
+            crossing_ids = si_points.select("ring_id")
         _trace("validity")
 
     if opt.output_rings:
@@ -712,7 +724,7 @@ def run_pipeline(
         # reference's thrown runtime_error (osmcoastline.cpp:355-417).
         pg_in = routed["polygonizable"]
         polygonizable = buffer0_triage(
-            pg_in, opt.cell_deg, crossing_ids=si_first.select("ring_id")
+            pg_in, opt.cell_deg, crossing_ids=crossing_ids
         )
         if polygonizable is not pg_in:
             # repairs rewrote arrays — pin them; the clean identity return
