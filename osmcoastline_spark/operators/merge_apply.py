@@ -85,6 +85,8 @@ def apply_merge_plan_df(
     # which dominates when groups are small and AQE has coalesced the
     # shuffle, so even the arrow twin runs over mapInPandas).
     tagged = open_rings.join(plan_df, "ring_id").join(fin_df, "group_id")
+    if engine == "catalyst":
+        return _merge_catalyst(tagged)
     agg = tagged.groupBy("group_id", "append_first", "fake_close", "grp_fixed").agg(
         F.sort_array(
             F.collect_list(
@@ -93,38 +95,62 @@ def apply_merge_plan_df(
             )
         ).alias("parts")
     )
-    if engine == "catalyst":
-        return _merge_catalyst(agg)
     return _merge_arrow(agg)
 
 
-def _merge_catalyst(agg: DataFrame) -> DataFrame:
+def _merge_catalyst(tagged: DataFrame) -> DataFrame:
     """JVM-side merge: flatten + slice/concat + conditional rotation.
 
     Exactly mirrors _merge_arrow's per-group logic; every step is pure
     array restructuring over longs/doubles (zero float arithmetic), so
     bit-equality with the pandas kernel holds by construction.
+
+    Zero interpreted higher-order functions (round-6 follow-up: the first
+    cut spent ~1 s of the bench merge in interpreted per-part lambdas):
+    the skip_first trim happens BEFORE the collect as a codegen IF/slice
+    per input row; nways/fixed/min-rid/lead fold into the aggregate
+    itself (sum / bool_or / min(struct)); and the concatenation extracts
+    the collected struct fields (`parts.t_ids`, a codegen GetArrayStruct-
+    Fields) and flattens the resulting array-of-arrays — every remaining
+    expression is a per-GROUP built-in over the assembled arrays.
     """
+    from pyspark.sql import functions as F
 
-    def cat(col: str) -> str:
-        # drop the first element of every skip_first part, then flatten
-        return (
-            f"flatten(transform(parts, p -> IF(p.skip_first, "
-            f"slice(p.{col}, 2, greatest(size(p.{col}) - 1, 0)), p.{col})))"
-        )
-
+    trimmed = tagged.selectExpr(
+        "group_id",
+        "append_first",
+        "fake_close",
+        "grp_fixed",
+        "seq",
+        "seq2",
+        "nways",
+        "fixed",
+        "ring_id",
+        "lead",
+        "IF(skip_first, slice(node_ids, 2, greatest(size(node_ids) - 1, 0)), "
+        "node_ids) AS t_ids",
+        "IF(skip_first, slice(xs, 2, greatest(size(xs) - 1, 0)), xs) AS t_xs",
+        "IF(skip_first, slice(ys, 2, greatest(size(ys) - 1, 0)), ys) AS t_ys",
+    )
+    # (seq, seq2) is unique per group (planner invariant), so sorting the
+    # narrower struct orders parts exactly like the arrow twin's wider one
+    agg = trimmed.groupBy("group_id", "append_first", "fake_close", "grp_fixed").agg(
+        F.expr("sort_array(collect_list(struct(seq, seq2, t_ids, t_xs, t_ys))) AS parts"),
+        F.expr("sum(nways) AS nways_sum"),
+        F.expr("bool_or(fixed) AS any_fixed"),
+        F.expr("min(struct(ring_id, lead)) AS ml"),
+    )
     base = agg.selectExpr(
         "group_id",
         "append_first",
         "fake_close",
-        f"{cat('node_ids')} AS ids0",
-        f"{cat('xs')} AS xs0",
-        f"{cat('ys')} AS ys0",
-        "aggregate(parts, 0, (acc, p) -> acc + p.nways) AS nways",
-        "(grp_fixed OR exists(parts, p -> p.fixed)) AS fixed",
-        "array_min(transform(parts, p -> p.ring_id)) AS ring_id",
-        "filter(parts, p -> p.ring_id = "
-        "array_min(transform(parts, q -> q.ring_id)))[0].lead AS lead",
+        "flatten(parts.t_ids) AS ids0",
+        "flatten(parts.t_xs) AS xs0",
+        "flatten(parts.t_ys) AS ys0",
+        "CAST(nways_sum AS INT) AS nways",
+        "(grp_fixed OR any_fixed) AS fixed",
+        "ml.ring_id AS ring_id",
+        "ml.lead AS lead",
     )
     # append_first appends the first vertex to all three arrays; fake_close
     # aliases ONLY the last node id to the first (locations stay distinct —

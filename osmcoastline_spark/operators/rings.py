@@ -205,10 +205,11 @@ def assemble_rings(
     per round instead of O(total coordinates).
 
     `materialize=False` skips the final localCheckpoint of the merged
-    rings — correct ONLY when the caller consumes a single output once
-    (e.g. the bench oracle query reads `closed` exactly one time); the
-    pipeline keeps the default because both outputs feed several
-    downstream consumers.
+    rings — only ever correct when the caller consumes a single output
+    once, and since the Catalyst merge landed it measures SLOWER even
+    then (the final filter/projection re-evaluates the merge chain via
+    predicate pushdown: 2.0 s vs 1.2 s with the checkpoint at bench
+    sf0.1). Kept for A/B purposes; every production caller materializes.
 
     `max_chains_hint` is an optional TRUE upper bound on the chain count
     (one chain per input way, so the input's way-row count qualifies);
